@@ -1,0 +1,500 @@
+"""The index layer: vector store + TPU scoring engine.
+
+Capability contract mirrors the reference ``Index`` ABC (reference:
+``index/base.py:30-513``): ``add`` vectors with document/passage IDs, call the
+index on a ``Ranking`` to compute semantic re-ranking scores, iterate in
+batches, switch ranking ``Mode``.
+
+The scoring path is redesigned TPU-first (SURVEY.md §7): instead of
+string-keyed pandas merges and a numpy dot-product loop, the host resolves
+IDs to int32 rows once and builds flat ``(rows, qno, seg)`` arrays; a single
+jitted device program gathers candidate vectors from the HBM table,
+(de)quantizes, computes dot products and applies the mode's segment
+reduction (see ``fastforward_tpu.ops.scoring``).
+"""
+
+import abc
+import logging
+from collections import defaultdict
+from collections.abc import Iterable, Iterator, Sequence
+from dataclasses import dataclass
+from time import perf_counter
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+from tqdm import tqdm
+
+from fastforward_tpu import ops
+from fastforward_tpu.encoder.base import Encoder
+from fastforward_tpu.index.mode import REDUCE_OP, Mode
+from fastforward_tpu.index.util import expand_pairs, resolve_rows
+from fastforward_tpu.quantizer import Quantizer
+from fastforward_tpu.quantizer.pq import OPQ, PQ
+from fastforward_tpu.quantizer.scalar import ScalarQuantizer
+from fastforward_tpu.ranking import Ranking
+
+LOGGER = logging.getLogger(__name__)
+
+IDSequence = Sequence[str | None]
+
+
+@dataclass
+class DeviceView:
+    """Device-resident scoring arrays for an index backend.
+
+    ``kind`` selects the device program: ``"dense"`` scores against a
+    ``(N, dim)`` table, ``"pq"`` against PQ codes + codebooks (ADC),
+    ``"scalar"`` against int8 codes with per-dimension scales folded into the
+    queries.
+    """
+
+    kind: str
+    table: jax.Array
+    codebooks: jax.Array | None = None
+    scales: np.ndarray | None = None
+
+
+class Index(abc.ABC):
+    """Abstract base class for TPU-backed Fast-Forward indexes."""
+
+    _query_encoder: Encoder | None = None
+    _quantizer: Quantizer | None = None
+
+    def __init__(
+        self,
+        query_encoder: Encoder | None = None,
+        quantizer: Quantizer | None = None,
+        mode: Mode = Mode.MAXP,
+        encoder_batch_size: int = 32,
+    ) -> None:
+        """Create an index.
+
+        :param query_encoder: The query encoder to use.
+        :param quantizer: The quantizer to use.
+        :param mode: The ranking mode.
+        :param encoder_batch_size: The query-encoder batch size.
+        """
+        if query_encoder is not None:
+            self.query_encoder = query_encoder
+        self.mode = mode
+        if quantizer is not None:
+            self.quantizer = quantizer
+        self._encoder_batch_size = encoder_batch_size
+        # host string-ID -> int row maps; maintained by backends on add/load
+        self._doc_id_to_rows: dict[str, list[int]] = defaultdict(list)
+        self._psg_id_to_row: dict[str, int] = {}
+
+    # -- encoders ------------------------------------------------------------
+
+    def encode_queries(self, queries: Sequence[str]) -> np.ndarray:
+        """Encode queries with the query encoder (micro-batched).
+
+        :param queries: The queries to encode.
+        :raises RuntimeError: When no query encoder exists.
+        :return: The query vectors, shape ``(len(queries), dim)``.
+        """
+        if self.query_encoder is None:
+            raise RuntimeError("Index does not have a query encoder.")
+        parts = [
+            self.query_encoder(queries[i : i + self._encoder_batch_size])
+            for i in range(0, len(queries), self._encoder_batch_size)
+        ]
+        return np.concatenate(parts)
+
+    @property
+    def query_encoder(self) -> Encoder | None:
+        """The query encoder (if any)."""
+        return self._query_encoder
+
+    @query_encoder.setter
+    def query_encoder(self, encoder: Encoder) -> None:
+        assert isinstance(encoder, Encoder)
+        self._query_encoder = encoder
+
+    # -- quantizer -----------------------------------------------------------
+
+    @property
+    def quantizer(self) -> Quantizer | None:
+        """The quantizer (if any)."""
+        return self._quantizer
+
+    def _on_quantizer_set(self) -> None:
+        """Backend hook: a quantizer was attached to this index."""
+        pass
+
+    @quantizer.setter
+    def quantizer(self, quantizer: Quantizer) -> None:
+        assert isinstance(quantizer, Quantizer)
+        if len(self) > 0:
+            raise RuntimeError("Quantizers can only be attached to empty indexes.")
+        self._quantizer = quantizer
+        self._on_quantizer_set()
+        quantizer.set_attached()
+
+    # -- mode / shape properties ---------------------------------------------
+
+    @property
+    def mode(self) -> Mode:
+        """The ranking mode."""
+        return self._mode
+
+    @mode.setter
+    def mode(self, mode: Mode) -> None:
+        assert isinstance(mode, Mode)
+        self._mode = mode
+
+    @abc.abstractmethod
+    def _get_internal_dim(self) -> int | None:
+        pass
+
+    @property
+    def dim(self) -> int | None:
+        """Dimensionality of the (decoded) vectors; ``None`` if empty."""
+        if self._quantizer is not None:
+            return self._quantizer.dims[0]
+        return self._get_internal_dim()
+
+    @property
+    def doc_ids(self) -> set[str]:
+        """All unique document IDs."""
+        return set(self._doc_id_to_rows.keys())
+
+    @property
+    def psg_ids(self) -> set[str]:
+        """All unique passage IDs."""
+        return set(self._psg_id_to_row.keys())
+
+    @abc.abstractmethod
+    def _get_num_vectors(self) -> int:
+        pass
+
+    def __len__(self) -> int:
+        """Number of vectors in the index."""
+        return self._get_num_vectors()
+
+    # -- adding vectors ------------------------------------------------------
+
+    @abc.abstractmethod
+    def _add(
+        self, vectors: np.ndarray, doc_ids: IDSequence, psg_ids: IDSequence
+    ) -> None:
+        """Store (possibly quantized) vectors and their IDs (backend)."""
+        pass
+
+    def add(
+        self,
+        vectors: np.ndarray,
+        doc_ids: IDSequence | None = None,
+        psg_ids: IDSequence | None = None,
+    ) -> None:
+        """Add vectors and their document/passage IDs to the index.
+
+        Only one of ``doc_ids`` / ``psg_ids`` may be ``None``; individual IDs
+        may be ``None`` but every vector needs at least one ID.  Document IDs
+        may repeat (multi-passage documents); passage IDs must be unique.
+
+        :param vectors: The vectors, shape ``(num_vectors, dim)``.
+        :param doc_ids: Corresponding document IDs.
+        :param psg_ids: Corresponding passage IDs.
+        :raises ValueError: When ID counts don't match the vector count.
+        :raises ValueError: When the dimensionality doesn't match the index.
+        :raises ValueError: When a vector has neither ID.
+        :raises RuntimeError: When the backend rejects the add.
+        """
+        num_vectors, dim = vectors.shape
+        if doc_ids is None:
+            doc_ids = [None] * num_vectors
+        if psg_ids is None:
+            psg_ids = [None] * num_vectors
+        if not len(doc_ids) == len(psg_ids) == num_vectors:
+            raise ValueError("Number of IDs does not match number of vectors.")
+        if self.dim is not None and dim != self.dim:
+            raise ValueError(
+                f"Input vector dimensionality ({dim}) does not match "
+                f"index dimensionality ({self.dim})."
+            )
+        for doc_id, psg_id in zip(doc_ids, psg_ids):
+            if doc_id is None and psg_id is None:
+                raise ValueError("Vector has neither document nor passage ID.")
+
+        if self._quantizer is not None:
+            vectors = self._quantizer.encode(vectors)
+        self._add(vectors, doc_ids, psg_ids)
+
+    # -- scoring -------------------------------------------------------------
+
+    @abc.abstractmethod
+    def _get_vectors(self, ids: Iterable[str]) -> tuple[np.ndarray, list[str]]:
+        """Return stored (possibly quantized) vectors for IDs (backend, host).
+
+        The result order is unspecified; each vector is paired with its ID in
+        the returned list.  Depends on the current mode.
+
+        :param ids: The document/passage IDs.
+        :raises IndexError: When an ID is not found.
+        :return: The vectors and the corresponding IDs.
+        """
+        pass
+
+    def _device_view(self) -> DeviceView | None:
+        """Backend hook: device-resident arrays for the fused scoring path.
+
+        ``None`` means the backend stores vectors off-device (e.g. on disk);
+        scoring then gathers candidates on the host per call.
+        """
+        return None
+
+    def _prepare_queries(self, query_vectors: np.ndarray, view: DeviceView) -> np.ndarray:
+        """Fold quantizer-specific transforms into the query vectors."""
+        q = np.asarray(query_vectors, dtype=np.float32)
+        if view.kind == "pq" and isinstance(self._quantizer, OPQ):
+            q = self._quantizer.rotate(q)
+        elif view.kind == "scalar":
+            assert isinstance(self._quantizer, ScalarQuantizer)
+            q = q * self._quantizer.scales
+        return q
+
+    def _gather_view(
+        self, ids: Sequence[str]
+    ) -> tuple[DeviceView, np.ndarray, np.ndarray]:
+        """Return (device view, per-ID row indices, per-ID row counts).
+
+        Fast path: the backend's persistent device table + host ID maps.
+        Fallback: gather (and decode) candidate vectors on the host and ship
+        them to the device for this call only.
+        """
+        view = self._device_view()
+        if view is not None:
+            rows, counts = resolve_rows(
+                ids, self.mode, self._doc_id_to_rows, self._psg_id_to_row
+            )
+            return view, rows, counts
+
+        vectors, vec_ids = self._get_vectors(ids)
+        if self._quantizer is not None:
+            vectors = self._quantizer.decode(vectors)
+        by_id: dict[str, list[int]] = defaultdict(list)
+        for pos, vid in enumerate(vec_ids):
+            by_id[vid].append(pos)
+        rows = np.asarray(
+            [r for i in ids for r in by_id[i]], dtype=np.int32
+        )
+        counts = np.asarray([len(by_id[i]) for i in ids], dtype=np.int32)
+        table = jnp.asarray(np.asarray(vectors, dtype=np.float32))
+        return DeviceView("dense", table), rows, counts
+
+    def _device_score(
+        self,
+        view: DeviceView,
+        query_vectors: np.ndarray,
+        rows: np.ndarray,
+        qno: np.ndarray,
+        seg: np.ndarray,
+        n_pairs: int,
+    ) -> np.ndarray:
+        """Run the device scoring program over padded, bucketed arrays."""
+        op = REDUCE_OP[self.mode]
+        p_bucket = ops.bucket(rows.shape[0])
+        s_bucket = ops.bucket(n_pairs)
+        rows_p = jnp.asarray(ops.pad_i32(rows, p_bucket, 0))
+        qno_p = jnp.asarray(ops.pad_i32(qno, p_bucket, 0))
+        seg_p = jnp.asarray(ops.pad_i32(seg, p_bucket, s_bucket))
+
+        q = self._prepare_queries(query_vectors, view)
+        q_bucket = ops.bucket(q.shape[0])
+        q_pad = np.zeros((q_bucket, q.shape[1]), dtype=np.float32)
+        q_pad[: q.shape[0]] = q
+        q_dev = jnp.asarray(q_pad)
+
+        if view.kind == "pq":
+            scores = ops.score_pairs_pq(
+                view.table, view.codebooks, q_dev, rows_p, qno_p, seg_p, s_bucket, op
+            )
+        else:
+            scores = ops.score_pairs_dense(
+                view.table, q_dev, rows_p, qno_p, seg_p, s_bucket, op
+            )
+        return np.asarray(scores)[:n_pairs]
+
+    def _compute_scores(
+        self, data: pd.DataFrame, query_vectors: np.ndarray
+    ) -> pd.DataFrame:
+        """Compute semantic scores for (query, ID) pairs.
+
+        ``data`` needs ``id`` and ``q_no`` columns; ``query_vectors`` is
+        indexed by ``q_no``.  Returns a copy of ``data`` with an ``ff_score``
+        column, preserving row order.
+        """
+        out = data.copy()
+        if len(data) == 0:
+            out["ff_score"] = np.zeros((0,), dtype=np.float32)
+            return out
+
+        ids_unique = data["id"].unique()
+        view, rows_concat, counts = self._gather_view(list(ids_unique))
+        pos = {i: p for p, i in enumerate(ids_unique)}
+        pair_id_pos = data["id"].map(pos).to_numpy(dtype=np.int64)
+        pair_qno = data["q_no"].to_numpy(dtype=np.int64)
+        rows, qno, seg = expand_pairs(pair_id_pos, pair_qno, rows_concat, counts)
+        out["ff_score"] = self._device_score(
+            view, query_vectors, rows, qno, seg, len(data)
+        )
+        return out
+
+    def _early_stopping(
+        self,
+        df: pd.DataFrame,
+        query_vectors: np.ndarray,
+        cutoff: int,
+        alpha: float,
+        depths: Iterable[int],
+    ) -> pd.DataFrame:
+        """Score progressively deeper chunks, dropping queries that stopped.
+
+        Semantics match the reference (reference: ``index/base.py:316-387``):
+        only scored rows are returned; a query stops once its ``cutoff``-th
+        best interpolated score can no longer be beaten by unscored docs.
+        """
+        scored: list[pd.DataFrame] = []
+        a = 0
+        for b in sorted(depths):
+            if b < cutoff:
+                continue
+
+            if a == 0:
+                active = list(pd.unique(df["q_id"]))
+            else:
+                so_far = pd.concat(scored)
+                active = (
+                    so_far.groupby("q_id")
+                    .filter(
+                        lambda g: g["int_score"].nlargest(cutoff).iat[-1]
+                        < alpha * g["score"].iat[-1]
+                        + (1 - alpha) * g["ff_score"].max()
+                    )["q_id"]
+                    .drop_duplicates()
+                    .to_list()
+                )
+            LOGGER.info("depth %s: %s queries left", b, len(active))
+
+            chunk = (
+                df.loc[df["q_id"].isin(active)]
+                .groupby("q_id")
+                .nth(list(range(a, b)))
+            )
+            if len(chunk) == 0:
+                break
+
+            chunk_scores = self._compute_scores(chunk, query_vectors)
+            chunk_scores["int_score"] = np.asarray(
+                ops.interpolate_scores(
+                    chunk_scores["score"].to_numpy(dtype=np.float32),
+                    chunk_scores["ff_score"].to_numpy(dtype=np.float32),
+                    alpha,
+                )
+            )
+            scored.append(chunk_scores)
+            a = b
+        return pd.concat(scored) if scored else df.iloc[:0].assign(ff_score=[])
+
+    def __call__(
+        self,
+        ranking: Ranking,
+        early_stopping: int | None = None,
+        early_stopping_alpha: float | None = None,
+        early_stopping_depths: Iterable[int] | None = None,
+        batch_size: int | None = None,
+    ) -> Ranking:
+        """Compute semantic scores for a ranking.
+
+        :param ranking: The ranking (queries must be attached).
+        :param early_stopping: Early-stopping cut-off depth.
+        :param early_stopping_alpha: Early-stopping interpolation parameter.
+        :param early_stopping_depths: Early-stopping depth schedule.
+        :param batch_size: Queries per device batch (``None``: all at once).
+        :raises ValueError: When the ranking has no queries attached.
+        :raises ValueError: When early-stopping arguments are missing.
+        :raises IndexError: When an ID is missing from the index.
+        :return: A ranking with the computed scores.
+        """
+        if not ranking.has_queries:
+            raise ValueError("Input ranking has no queries attached.")
+        if early_stopping is not None and (
+            early_stopping_alpha is None or early_stopping_depths is None
+        ):
+            raise ValueError("Early stopping requires alpha and depths.")
+        t0 = perf_counter()
+
+        # unique queries -> dense query numbers (device batch indices)
+        query_df = (
+            ranking._df[["q_id", "query"]].drop_duplicates().reset_index(drop=True)
+        )
+        query_df["q_no"] = query_df.index
+        df = ranking._df.merge(query_df, on="q_id", suffixes=(None, "_"))
+        # early stopping splits the frame; remember provenance
+        df["orig_index"] = df.index
+
+        query_vectors = self.encode_queries(list(query_df["query"]))
+
+        def _get_result(frame: pd.DataFrame) -> pd.DataFrame:
+            if early_stopping is None:
+                return self._compute_scores(frame, query_vectors)
+            assert early_stopping_alpha is not None
+            assert early_stopping_depths is not None
+            return self._early_stopping(
+                frame,
+                query_vectors,
+                early_stopping,
+                early_stopping_alpha,
+                early_stopping_depths,
+            )
+
+        num_queries = len(query_df)
+        if batch_size is None or batch_size >= num_queries:
+            result = _get_result(df)
+        else:
+            parts = []
+            for start in tqdm(range(0, num_queries, batch_size)):
+                mask = (df["q_no"] >= start) & (df["q_no"] < start + batch_size)
+                parts.append(_get_result(df[mask]))
+            result = pd.concat(parts)
+
+        result["score"] = result["ff_score"]
+        LOGGER.info("computed scores in %s seconds", perf_counter() - t0)
+        return Ranking(
+            result,
+            name="fast-forward",
+            dtype=ranking._df.dtypes["score"],
+            copy=False,
+            is_sorted=False,
+        )
+
+    # -- iteration -----------------------------------------------------------
+
+    @abc.abstractmethod
+    def _batch_iter(
+        self, batch_size: int
+    ) -> Iterator[tuple[np.ndarray, IDSequence, IDSequence]]:
+        """Yield (stored vectors, doc IDs, psg IDs) batches (backend)."""
+        pass
+
+    def batch_iter(
+        self, batch_size: int
+    ) -> Iterator[tuple[np.ndarray, IDSequence, IDSequence]]:
+        """Iterate over all vectors and IDs in batches (decoded if quantized).
+
+        :param batch_size: The batch size.
+        :return: Iterator of (vectors, doc IDs, psg IDs) tuples.
+        """
+        if self._quantizer is None:
+            yield from self._batch_iter(batch_size)
+        else:
+            for vectors, doc_ids, psg_ids in self._batch_iter(batch_size):
+                yield self._quantizer.decode(vectors), doc_ids, psg_ids
+
+    def __iter__(self) -> Iterator[tuple[np.ndarray, str | None, str | None]]:
+        """Iterate over all (vector, doc ID, psg ID) triples."""
+        for vectors, doc_ids, psg_ids in self.batch_iter(2**9):
+            yield from zip(vectors, doc_ids, psg_ids)

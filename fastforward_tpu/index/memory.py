@@ -1,0 +1,204 @@
+"""HBM-resident index: host-canonical store + device scoring table.
+
+The TPU-native counterpart of the reference's chunked in-memory index
+(reference: ``index/memory.py:20-180``).  The canonical copy is one growable
+host array (amortized growth, input dtype preserved — deliberately avoiding
+the reference's float64 overflow-chunk bug, ``memory.py:106``); the scoring
+copy is a padded device table uploaded lazily and invalidated on ``add``.
+Quantized indexes keep raw codes on device and decode inside the scoring
+program.
+"""
+
+import logging
+from collections.abc import Iterable, Iterator
+
+import jax.numpy as jnp
+import numpy as np
+
+from fastforward_tpu.encoder.base import Encoder
+from fastforward_tpu.index.base import DeviceView, IDSequence, Index
+from fastforward_tpu.index.mode import Mode
+from fastforward_tpu.index.util import resolve_rows
+from fastforward_tpu.quantizer import Quantizer
+from fastforward_tpu.quantizer.pq import PQ
+from fastforward_tpu.quantizer.scalar import ScalarQuantizer
+
+LOGGER = logging.getLogger(__name__)
+
+# device tables are padded to a multiple of this many rows so the scoring
+# program recompiles only on growth, not on every add
+_ROW_PAD = 4096
+
+
+class InMemoryIndex(Index):
+    """Fast-Forward index held in memory (host canonical, HBM for scoring)."""
+
+    def __init__(
+        self,
+        query_encoder: Encoder | None = None,
+        quantizer: Quantizer | None = None,
+        mode: Mode = Mode.MAXP,
+        encoder_batch_size: int = 32,
+        init_size: int = 2**16,
+        alloc_size: int = 2**16,
+        device_dtype: str = "float32",
+    ) -> None:
+        """Create an in-memory index.
+
+        :param query_encoder: The query encoder to use.
+        :param quantizer: The quantizer to use.
+        :param mode: The ranking mode.
+        :param encoder_batch_size: Batch size for the query encoder.
+        :param init_size: Initially allocated capacity (number of vectors).
+        :param alloc_size: Capacity growth granularity (number of vectors).
+        :param device_dtype: Dtype of the device scoring table
+            (``"float32"`` or ``"bfloat16"``; ignored for quantized indexes).
+        """
+        self._store: np.ndarray | None = None
+        self._num = 0
+        self._init_size = init_size
+        self._alloc_size = alloc_size
+        self._device_dtype = device_dtype
+        self._dev_view: DeviceView | None = None
+        self._dev_rows = 0  # rows captured in the current device view
+        super().__init__(
+            query_encoder=query_encoder,
+            quantizer=quantizer,
+            mode=mode,
+            encoder_batch_size=encoder_batch_size,
+        )
+
+    # -- storage -------------------------------------------------------------
+
+    def _get_num_vectors(self) -> int:
+        return self._num
+
+    def _get_internal_dim(self) -> int | None:
+        if self._store is None:
+            return None
+        return self._store.shape[1]
+
+    def _grow_to(self, capacity: int, dim: int, dtype: np.dtype) -> None:
+        """Ensure the host store has room for ``capacity`` vectors."""
+        if self._store is None:
+            cap = max(self._init_size, capacity)
+            self._store = np.zeros((cap, dim), dtype=dtype)
+            return
+        cur = self._store.shape[0]
+        if capacity <= cur:
+            return
+        extra = -(-(capacity - cur) // self._alloc_size) * self._alloc_size
+        LOGGER.debug("growing host store from %s to %s rows", cur, cur + extra)
+        grown = np.zeros((cur + extra, self._store.shape[1]), self._store.dtype)
+        grown[: self._num] = self._store[: self._num]
+        self._store = grown
+
+    def _add(
+        self, vectors: np.ndarray, doc_ids: IDSequence, psg_ids: IDSequence
+    ) -> None:
+        num_new = vectors.shape[0]
+        start = self._num
+
+        for offset, psg_id in enumerate(psg_ids):
+            if psg_id is None:
+                continue
+            if psg_id in self._psg_id_to_row:
+                raise RuntimeError(f"Passage ID {psg_id} already exists.")
+            self._psg_id_to_row[psg_id] = start + offset
+        for offset, doc_id in enumerate(doc_ids):
+            if doc_id is not None:
+                self._doc_id_to_rows[doc_id].append(start + offset)
+
+        self._grow_to(start + num_new, vectors.shape[1], vectors.dtype)
+        self._store[start : start + num_new] = vectors
+        self._num += num_new
+        self._dev_view = None  # device table is stale
+
+    def consolidate(self) -> None:
+        """Trim the host store to exactly the used capacity."""
+        if self._store is not None:
+            self._store = self._store[: self._num].copy()
+
+    # -- host retrieval ------------------------------------------------------
+
+    def _get_vectors(self, ids: Iterable[str]) -> tuple[np.ndarray, list[str]]:
+        ids = list(ids)
+        rows, counts = resolve_rows(
+            ids, self.mode, self._doc_id_to_rows, self._psg_id_to_row
+        )
+        if rows.shape[0] == 0:
+            return np.array([]), []
+        out_ids = [i for i, c in zip(ids, counts) for _ in range(c)]
+        return self._store[rows], out_ids
+
+    def _batch_iter(
+        self, batch_size: int
+    ) -> Iterator[tuple[np.ndarray, IDSequence, IDSequence]]:
+        row_to_doc: dict[int, str] = {
+            row: doc_id
+            for doc_id, rows in self._doc_id_to_rows.items()
+            for row in rows
+        }
+        row_to_psg: dict[int, str] = {
+            row: psg_id for psg_id, row in self._psg_id_to_row.items()
+        }
+        for i in range(0, self._num, batch_size):
+            j = min(i + batch_size, self._num)
+            yield (
+                self._store[i:j],
+                [row_to_doc.get(r) for r in range(i, j)],
+                [row_to_psg.get(r) for r in range(i, j)],
+            )
+
+    # -- device table --------------------------------------------------------
+
+    def _device_view(self) -> DeviceView | None:
+        if self._num == 0:
+            return None
+        if self._dev_view is not None:
+            return self._dev_view
+
+        n_pad = -(-self._num // _ROW_PAD) * _ROW_PAD
+        data = self._store[: self._num]
+
+        if isinstance(self._quantizer, PQ):
+            codes = np.zeros((n_pad, data.shape[1]), dtype=data.dtype)
+            codes[: self._num] = data
+            self._dev_view = DeviceView(
+                kind="pq",
+                table=jnp.asarray(codes),
+                codebooks=jnp.asarray(
+                    np.asarray(self._quantizer.codewords, dtype=np.float32)
+                ),
+            )
+        elif isinstance(self._quantizer, ScalarQuantizer):
+            codes = np.zeros((n_pad, data.shape[1]), dtype=np.int8)
+            codes[: self._num] = data
+            self._dev_view = DeviceView(
+                kind="scalar",
+                table=jnp.asarray(codes),
+                scales=self._quantizer.scales,
+            )
+        elif self._quantizer is not None:
+            # unknown quantizer: decode on host, score dense
+            table = np.zeros(
+                (n_pad, self._quantizer.dims[0]), dtype=np.float32
+            )
+            table[: self._num] = self._quantizer.decode(data)
+            self._dev_view = DeviceView(kind="dense", table=jnp.asarray(table))
+        else:
+            dim = data.shape[1]
+            table = np.zeros((n_pad, dim), dtype=np.float32)
+            table[: self._num] = data
+            if dim % 128 == 0 and self._device_dtype != "bfloat16":
+                # (N, dim//128, 128): row-DMA-friendly layout for the fused
+                # Pallas gather-dot kernel (free reshape on the host side)
+                dev = jnp.asarray(table.reshape(n_pad, dim // 128, 128))
+            else:
+                dev = jnp.asarray(table)
+                if self._device_dtype == "bfloat16":
+                    dev = dev.astype(jnp.bfloat16)
+            self._dev_view = DeviceView(kind="dense", table=dev)
+
+        self._dev_rows = self._num
+        return self._dev_view

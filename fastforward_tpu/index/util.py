@@ -1,0 +1,93 @@
+"""Host-side helpers: string IDs -> integer rows -> flat scoring arrays.
+
+All correctness of the device scoring program rests on this mapping
+(SURVEY.md §7): the host maps document/passage IDs to int32 row indices once,
+and per call builds the flat ``(rows, qno, seg)`` arrays the device consumes.
+The reference's equivalents are the pandas merges and the chunk indexer
+(reference: ``index/util.py:12-113``, ``index/base.py:296-298``); here the
+table is one logical array, so no chunk bookkeeping is needed.
+"""
+
+from collections.abc import Iterable, Mapping, Sequence
+
+import numpy as np
+
+from fastforward_tpu.index.mode import Mode
+
+
+def resolve_rows(
+    ids: Iterable[str],
+    mode: Mode,
+    doc_id_to_rows: Mapping[str, Sequence[int]],
+    psg_id_to_row: Mapping[str, int],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Resolve IDs to table rows according to the ranking mode.
+
+    Document modes (MAXP/AVEP) map an ID to all of its passage rows, FIRSTP
+    to the first row only, PASSAGE to the single passage row.
+
+    :param ids: The document/passage IDs, in output order.
+    :param mode: The ranking mode.
+    :param doc_id_to_rows: Document ID -> list of row indices.
+    :param psg_id_to_row: Passage ID -> row index.
+    :raises IndexError: When an ID is not present in the index.
+    :return: ``(rows, counts)``: the concatenated row indices (int32) and the
+        number of rows per input ID (int32).
+    """
+    rows: list[int] = []
+    counts = []
+    if mode in (Mode.MAXP, Mode.AVEP):
+        for i in ids:
+            r = doc_id_to_rows.get(i)
+            if not r:
+                raise IndexError(f"ID {i} not found in the index.")
+            rows.extend(r)
+            counts.append(len(r))
+    elif mode == Mode.FIRSTP:
+        for i in ids:
+            r = doc_id_to_rows.get(i)
+            if not r:
+                raise IndexError(f"ID {i} not found in the index.")
+            rows.append(r[0])
+            counts.append(1)
+    else:  # Mode.PASSAGE
+        for i in ids:
+            r = psg_id_to_row.get(i)
+            if r is None:
+                raise IndexError(f"ID {i} not found in the index.")
+            rows.append(r)
+            counts.append(1)
+    return np.asarray(rows, dtype=np.int32), np.asarray(counts, dtype=np.int32)
+
+
+def expand_pairs(
+    pair_id_pos: np.ndarray,
+    pair_qno: np.ndarray,
+    rows_concat: np.ndarray,
+    counts: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Expand (query, doc) pairs into flat per-candidate-vector arrays.
+
+    Pure integer numpy; O(total rows).
+
+    :param pair_id_pos: For each pair, the position of its ID among the
+        unique IDs (indexes ``counts``/offsets), shape ``(n_pairs,)``.
+    :param pair_qno: For each pair, its query number, shape ``(n_pairs,)``.
+    :param rows_concat: Concatenated row indices per unique ID.
+    :param counts: Rows per unique ID.
+    :return: ``(rows, qno, seg)`` flat arrays, one entry per (pair, row).
+    """
+    offsets = np.zeros(counts.shape[0] + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+
+    counts_per_pair = counts[pair_id_pos]
+    n_pairs = pair_id_pos.shape[0]
+    seg = np.repeat(np.arange(n_pairs, dtype=np.int32), counts_per_pair)
+    # position of each flat entry within its pair's row block
+    pair_ends = np.cumsum(counts_per_pair)
+    within = np.arange(pair_ends[-1] if n_pairs else 0, dtype=np.int64) - np.repeat(
+        pair_ends - counts_per_pair, counts_per_pair
+    )
+    rows = rows_concat[offsets[pair_id_pos][seg] + within].astype(np.int32)
+    qno = pair_qno[seg].astype(np.int32)
+    return rows, qno, seg

@@ -1,0 +1,21 @@
+"""Device ops: jitted/Pallas scoring programs for the index hot path."""
+
+from fastforward_tpu.ops.scoring import (
+    bucket,
+    interpolate_scores,
+    pad_i32,
+    score_pairs_dense,
+    score_pairs_pq,
+    set_use_pallas,
+    use_pallas,
+)
+
+__all__ = [
+    "bucket",
+    "pad_i32",
+    "score_pairs_dense",
+    "score_pairs_pq",
+    "interpolate_scores",
+    "use_pallas",
+    "set_use_pallas",
+]

@@ -1,0 +1,186 @@
+"""Device scoring programs: gather -> (dequantize) -> dot -> segment-reduce.
+
+This replaces the reference's pandas-merge + numpy hot loop
+(reference: ``index/base.py:279-314``) with a single jitted device program
+over integer row/segment ids:
+
+- the embedding table lives in HBM (fp32/bf16 dense, PQ codes, or int8);
+- ``rows`` selects the candidate vectors (flattened over all (query, doc)
+  pairs, one entry per stored passage vector of the doc);
+- ``qno`` selects the query vector for each row;
+- ``seg`` maps each row to its output (query, doc) pair, and the ranking
+  ``Mode`` becomes a segment reduction (max / mean / sum-of-one).
+
+All shapes are padded to power-of-two buckets by the host so XLA compiles a
+small, stable set of programs.  On TPU the dense path dispatches to a fused
+Pallas gather-dot kernel (``fastforward_tpu.ops.gather_dot``) that streams
+table rows HBM -> VMEM and never materializes the gathered matrix; the lax
+path below is the portable reference implementation used on CPU and for
+parity tests.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_BUCKET_MIN = 256
+
+#: When True, the dense path uses the fused Pallas gather-dot kernel (TPU
+#: only).  Off by default pending validation that it beats the XLA gather
+#: path — enable with ``set_use_pallas(True)`` or ``FFTPU_USE_PALLAS=1``.
+_use_pallas: bool | None = None
+
+
+def use_pallas() -> bool:
+    """Whether the fused Pallas kernels should be used (TPU backend only)."""
+    global _use_pallas
+    if _use_pallas is None:
+        import os
+
+        _use_pallas = (
+            os.environ.get("FFTPU_USE_PALLAS", "0") == "1"
+            and jax.default_backend() == "tpu"
+        )
+    return _use_pallas
+
+
+def set_use_pallas(value: bool | None) -> None:
+    """Force (or reset, with ``None``) Pallas kernel dispatch."""
+    global _use_pallas
+    _use_pallas = value
+
+
+def bucket(n: int) -> int:
+    """Round up to the next power of two (>= 256) to stabilize jit shapes."""
+    return max(_BUCKET_MIN, 1 << max(0, int(n - 1)).bit_length())
+
+
+def pad_i32(arr: np.ndarray, size: int, fill: int) -> np.ndarray:
+    """Pad a 1-d int array to ``size`` with ``fill``."""
+    out = np.full((size,), fill, dtype=np.int32)
+    out[: arr.shape[0]] = arr
+    return out
+
+
+def _segment_reduce(
+    row_scores: jnp.ndarray, seg: jnp.ndarray, num_out: int, op: str
+) -> jnp.ndarray:
+    """Reduce per-row scores into per-pair scores.
+
+    Padding rows carry ``seg == num_out`` (a sentinel slot that is dropped).
+    """
+    n = num_out + 1
+    if op == "max":
+        out = jax.ops.segment_max(row_scores, seg, num_segments=n)
+    elif op == "mean":
+        sums = jax.ops.segment_sum(row_scores, seg, num_segments=n)
+        counts = jax.ops.segment_sum(
+            jnp.ones_like(row_scores), seg, num_segments=n
+        )
+        out = sums / jnp.maximum(counts, 1.0)
+    else:  # "sum": modes with exactly one row per pair (PASSAGE / FIRSTP)
+        out = jax.ops.segment_sum(row_scores, seg, num_segments=n)
+    return out[:num_out]
+
+
+@partial(jax.jit, static_argnames=("num_out", "op"))
+def score_pairs_dense(
+    table: jnp.ndarray,
+    qvecs: jnp.ndarray,
+    rows: jnp.ndarray,
+    qno: jnp.ndarray,
+    seg: jnp.ndarray,
+    num_out: int,
+    op: str,
+) -> jnp.ndarray:
+    """Score (query, doc) pairs against a dense embedding table.
+
+    :param table: Embedding table, shape ``(N, dim)`` (fp32/bf16/int8).
+    :param qvecs: Query vectors, shape ``(Q, dim)`` fp32.
+    :param rows: Row index into ``table`` per candidate vector, ``(P,)``.
+    :param qno: Row index into ``qvecs`` per candidate vector, ``(P,)``.
+    :param seg: Output pair id per candidate vector, ``(P,)``; padding rows
+        use ``num_out`` as sentinel.
+    :param num_out: Number of output pairs (static).
+    :param op: Aggregation: ``"max"`` | ``"mean"`` | ``"sum"`` (static).
+    :return: Per-pair scores, shape ``(num_out,)`` fp32.
+    """
+    from fastforward_tpu.ops import gather_dot as gd
+
+    if table.ndim == 3:
+        # row-DMA-friendly (N, dim//128, 128) layout (see gather_dot)
+        q3 = qvecs.reshape(qvecs.shape[0], table.shape[1], table.shape[2])
+        if use_pallas() and gd.supports(table, rows):
+            row_scores = gd.gather_dot(table, q3, rows, qno)
+        else:
+            d = jnp.take(table, rows, axis=0).astype(jnp.float32)
+            q = jnp.take(q3, qno, axis=0)
+            row_scores = jnp.einsum(
+                "pkl,pkl->p", q, d, preferred_element_type=jnp.float32
+            )
+    else:
+        d = jnp.take(table, rows, axis=0).astype(jnp.float32)
+        q = jnp.take(qvecs, qno, axis=0)
+        row_scores = jnp.einsum(
+            "pd,pd->p", q, d, preferred_element_type=jnp.float32
+        )
+    return _segment_reduce(row_scores, seg, num_out, op)
+
+
+@partial(jax.jit, static_argnames=("num_out", "op"))
+def score_pairs_pq(
+    codes: jnp.ndarray,
+    codebooks: jnp.ndarray,
+    qvecs: jnp.ndarray,
+    rows: jnp.ndarray,
+    qno: jnp.ndarray,
+    seg: jnp.ndarray,
+    num_out: int,
+    op: str,
+) -> jnp.ndarray:
+    """Score pairs against PQ codes via asymmetric distance computation.
+
+    Instead of decoding codes to fp32 vectors (reference:
+    ``index/base.py:292-293``), per-query lookup tables
+    ``lut[q, m, k] = q_sub[q, m] . codeword[m, k]`` are built with one MXU
+    contraction, and each candidate's score is the sum of ``M`` table lookups
+    — an O(M) gather instead of an O(dim) read per row.
+
+    :param codes: PQ codes, shape ``(N, M)`` (uint8/uint16/uint32).
+    :param codebooks: Codebooks, shape ``(M, Ks, Ds)`` fp32.
+    :param qvecs: Query vectors (already OPQ-rotated if applicable),
+        shape ``(Q, M * Ds)`` fp32.
+    :param rows: Candidate row per entry, ``(P,)``.
+    :param qno: Query per entry, ``(P,)``.
+    :param seg: Output pair per entry, ``(P,)`` (sentinel = ``num_out``).
+    :param num_out: Number of output pairs (static).
+    :param op: Aggregation (static).
+    :return: Per-pair scores, shape ``(num_out,)`` fp32.
+    """
+    num_q = qvecs.shape[0]
+    m, ks, ds = codebooks.shape
+    qsub = qvecs.reshape(num_q, m, ds)
+    lut = jnp.einsum(
+        "qmd,mkd->qmk", qsub, codebooks, preferred_element_type=jnp.float32
+    )
+    c = jnp.take(codes, rows, axis=0).astype(jnp.int32)  # (P, M)
+    subspace = jnp.arange(m, dtype=jnp.int32)[None, :]
+    row_scores = jnp.sum(lut[qno[:, None], subspace, c], axis=-1)
+    return _segment_reduce(row_scores, seg, num_out, op)
+
+
+def interpolate_scores(
+    lexical: jnp.ndarray, semantic: jnp.ndarray, alpha: float
+) -> jnp.ndarray:
+    """On-device score interpolation ``alpha * lexical + (1-alpha) * semantic``.
+
+    (Reference host equivalent: ``ranking.py:293-326``.)
+    """
+    return _interpolate(lexical, semantic, alpha)
+
+
+@jax.jit
+def _interpolate(lexical, semantic, alpha):
+    return alpha * lexical + (1.0 - alpha) * semantic
