@@ -1,0 +1,188 @@
+"""Benchmark: re-ranking QPS at depth-1000 vs the CPU reference.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "QPS", "vs_baseline": N}``.
+
+Workload (BASELINE.md config #1): an InMemoryIndex holding ``--n`` fp32
+768-d vectors, re-ranking ``--queries`` queries x depth-``--depth`` in
+``Mode.PASSAGE`` with precomputed query vectors (LambdaEncoder), measured
+end-to-end through ``index(ranking)`` — host orchestration included.
+
+The denominator runs the *actual reference implementation* (read-only from
+/root/reference/src, with a stub for its optional nanopq dependency) on the
+identical workload on CPU, and is cached in BASELINE_MEASURED.json.
+"""
+
+import argparse
+import hashlib
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).parent
+sys.path.insert(0, str(REPO))
+
+DIM = 768
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def make_workload(n, num_queries, depth, seed=0):
+    rng = np.random.default_rng(seed)
+    corpus = rng.normal(size=(n, DIM)).astype(np.float32)
+    qvecs = rng.normal(size=(num_queries, DIM)).astype(np.float32)
+    run = {}
+    queries = {}
+    for q in range(num_queries):
+        cand = rng.choice(n, size=depth, replace=False)
+        run[f"q{q}"] = {f"p{c}": float(depth - i) for i, c in enumerate(cand)}
+        queries[f"q{q}"] = f"query {q}"
+    return corpus, qvecs, run, queries
+
+
+def _query_map(qvecs, queries):
+    """Map query text -> precomputed vector (LambdaEncoder-compatible)."""
+    by_text = {f"query {i}": qvecs[i] for i in range(qvecs.shape[0])}
+    return lambda text: by_text[text]
+
+
+def measure_ours(corpus, qvecs, run, queries, depth, repeats):
+    from fastforward_tpu.encoder import LambdaEncoder
+    from fastforward_tpu.index import InMemoryIndex, Mode
+    from fastforward_tpu.ranking import Ranking
+
+    import jax
+
+    log(f"backend: {jax.default_backend()}")
+    index = InMemoryIndex(LambdaEncoder(_query_map(qvecs, queries)), mode=Mode.PASSAGE)
+    index.add(corpus, psg_ids=[f"p{i}" for i in range(corpus.shape[0])])
+    ranking = Ranking.from_run(run, queries=queries)
+
+    t0 = time.perf_counter()
+    result = index(ranking)
+    log(f"ours: first call (incl. compile) {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        result = index(ranking)
+    elapsed = time.perf_counter() - t0
+    qps = len(queries) * repeats / elapsed
+    log(f"ours: {repeats} calls in {elapsed:.3f}s -> {qps:.1f} QPS")
+
+    # sanity: exact scores on a few entries
+    q0 = result["q0"]
+    for pid in list(q0)[:3]:
+        expected = float(corpus[int(pid[1:])] @ qvecs[0])
+        assert abs(expected - q0[pid]) < 0.05, (pid, expected, q0[pid])
+    return qps
+
+
+def measure_reference(corpus, qvecs, run, queries, repeats):
+    """Run the actual CPU reference implementation on the same workload."""
+    import importlib.metadata as importlib_metadata
+    import types
+
+    # the reference hard-imports nanopq (absent here) and its own package
+    # version; neither is needed for the dense in-memory benchmark
+    if "nanopq" not in sys.modules:
+        stub = types.ModuleType("nanopq")
+        stub.PQ = type("PQ", (), {"__init__": lambda self, **kw: None})
+        stub.OPQ = type("OPQ", (), {"__init__": lambda self, **kw: None})
+        sys.modules["nanopq"] = stub
+    orig_version = importlib_metadata.version
+    importlib_metadata.version = lambda name: (
+        "0.8.0" if name == "fast-forward-indexes" else orig_version(name)
+    )
+    sys.path.insert(0, "/root/reference/src")
+    try:
+        from fast_forward.encoder import LambdaEncoder as RefLambdaEncoder
+        from fast_forward.index.base import Mode as RefMode
+        from fast_forward.index.memory import InMemoryIndex as RefInMemoryIndex
+        from fast_forward.ranking import Ranking as RefRanking
+
+        index = RefInMemoryIndex(
+            RefLambdaEncoder(_query_map(qvecs, queries)), mode=RefMode.PASSAGE
+        )
+        index.add(corpus, psg_ids=[f"p{i}" for i in range(corpus.shape[0])])
+        ranking = RefRanking.from_run(run, queries=queries)
+
+        index(ranking)  # warm-up
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            index(ranking)
+        elapsed = time.perf_counter() - t0
+        qps = len(queries) * repeats / elapsed
+        log(f"reference: {repeats} calls in {elapsed:.3f}s -> {qps:.1f} QPS")
+        return qps
+    finally:
+        sys.path.remove("/root/reference/src")
+        importlib_metadata.version = orig_version
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n", type=int, default=500_000)
+    parser.add_argument("--queries", type=int, default=32)
+    parser.add_argument("--depth", type=int, default=1000)
+    parser.add_argument("--repeats", type=int, default=10)
+    parser.add_argument("--ref-repeats", type=int, default=2)
+    parser.add_argument("--skip-baseline", action="store_true")
+    args = parser.parse_args()
+
+    config_key = hashlib.sha1(
+        f"{args.n}-{args.queries}-{args.depth}-{DIM}".encode()
+    ).hexdigest()[:12]
+
+    log(f"workload: N={args.n} Q={args.queries} depth={args.depth} dim={DIM}")
+    corpus, qvecs, run, queries = make_workload(args.n, args.queries, args.depth)
+
+    qps = measure_ours(corpus, qvecs, run, queries, args.depth, args.repeats)
+
+    baseline_file = REPO / "BASELINE_MEASURED.json"
+    cache = {}
+    if baseline_file.exists():
+        cache = json.loads(baseline_file.read_text())
+    if args.skip_baseline and config_key not in cache:
+        ref_qps = None
+    elif config_key in cache:
+        ref_qps = cache[config_key]["ref_qps"]
+        log(f"reference (cached): {ref_qps:.1f} QPS")
+    else:
+        ref_qps = measure_reference(
+            corpus, qvecs, run, queries, args.ref_repeats
+        )
+        cache[config_key] = {
+            "ref_qps": ref_qps,
+            "config": {
+                "n": args.n,
+                "queries": args.queries,
+                "depth": args.depth,
+                "dim": DIM,
+                "mode": "PASSAGE",
+                "hardware": "CPU (reference implementation)",
+            },
+        }
+        baseline_file.write_text(json.dumps(cache, indent=2))
+
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"re-rank QPS (depth-{args.depth}, {DIM}d fp32, "
+                    f"N={args.n}, PASSAGE, incl. host orchestration)"
+                ),
+                "value": round(qps, 1),
+                "unit": "QPS",
+                "vs_baseline": round(qps / ref_qps, 1) if ref_qps else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

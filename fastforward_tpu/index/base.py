@@ -29,7 +29,7 @@ from tqdm import tqdm
 from fastforward_tpu import ops
 from fastforward_tpu.encoder.base import Encoder
 from fastforward_tpu.index.mode import REDUCE_OP, Mode
-from fastforward_tpu.index.util import expand_pairs, resolve_rows
+from fastforward_tpu.index.util import expand_pairs
 from fastforward_tpu.quantizer import Quantizer
 from fastforward_tpu.quantizer.pq import OPQ, PQ
 from fastforward_tpu.quantizer.scalar import ScalarQuantizer
@@ -47,13 +47,16 @@ class DeviceView:
     ``kind`` selects the device program: ``"dense"`` scores against a
     ``(N, dim)`` table, ``"pq"`` against PQ codes + codebooks (ADC),
     ``"scalar"`` against int8 codes with per-dimension scales folded into the
-    queries.
+    queries.  When ``mesh`` is set the table is row-sharded over the mesh's
+    ``shard`` axis and scoring runs the SPMD program
+    (``fastforward_tpu.parallel.sharded``).
     """
 
     kind: str
     table: jax.Array
     codebooks: jax.Array | None = None
     scales: np.ndarray | None = None
+    mesh: "jax.sharding.Mesh | None" = None
 
 
 class Index(abc.ABC):
@@ -82,9 +85,11 @@ class Index(abc.ABC):
         if quantizer is not None:
             self.quantizer = quantizer
         self._encoder_batch_size = encoder_batch_size
-        # host string-ID -> int row maps; maintained by backends on add/load
-        self._doc_id_to_rows: dict[str, list[int]] = defaultdict(list)
-        self._psg_id_to_row: dict[str, int] = {}
+        # host string-ID -> int-row map (native C++ when available); the
+        # device only ever sees int32 rows + segment ids
+        from fastforward_tpu.runtime import create_idmap
+
+        self._ids = create_idmap()
 
     # -- encoders ------------------------------------------------------------
 
@@ -159,12 +164,12 @@ class Index(abc.ABC):
     @property
     def doc_ids(self) -> set[str]:
         """All unique document IDs."""
-        return set(self._doc_id_to_rows.keys())
+        return self._ids.doc_id_set()
 
     @property
     def psg_ids(self) -> set[str]:
         """All unique passage IDs."""
-        return set(self._psg_id_to_row.keys())
+        return self._ids.psg_id_set()
 
     @abc.abstractmethod
     def _get_num_vectors(self) -> int:
@@ -267,9 +272,7 @@ class Index(abc.ABC):
         """
         view = self._device_view()
         if view is not None:
-            rows, counts = resolve_rows(
-                ids, self.mode, self._doc_id_to_rows, self._psg_id_to_row
-            )
+            rows, counts = self._ids.resolve(ids, self.mode)
             return view, rows, counts
 
         vectors, vec_ids = self._get_vectors(ids)
@@ -308,7 +311,13 @@ class Index(abc.ABC):
         q_pad[: q.shape[0]] = q
         q_dev = jnp.asarray(q_pad)
 
-        if view.kind == "pq":
+        if view.mesh is not None:
+            from fastforward_tpu.parallel.sharded import score_pairs_sharded
+
+            scores = score_pairs_sharded(
+                view.mesh, view.table, q_dev, rows_p, qno_p, seg_p, s_bucket, op
+            )
+        elif view.kind == "pq":
             scores = ops.score_pairs_pq(
                 view.table, view.codebooks, q_dev, rows_p, qno_p, seg_p, s_bucket, op
             )
@@ -320,28 +329,25 @@ class Index(abc.ABC):
 
     def _compute_scores(
         self, data: pd.DataFrame, query_vectors: np.ndarray
-    ) -> pd.DataFrame:
+    ) -> np.ndarray:
         """Compute semantic scores for (query, ID) pairs.
 
         ``data`` needs ``id`` and ``q_no`` columns; ``query_vectors`` is
-        indexed by ``q_no``.  Returns a copy of ``data`` with an ``ff_score``
-        column, preserving row order.
+        indexed by ``q_no``.  Returns one score per row of ``data``, in row
+        order.  The host work is fully vectorized: ``factorize`` maps IDs to
+        dense codes, the (native) ID map resolves unique IDs to table rows,
+        and ``expand_pairs`` builds the flat device arrays.
         """
-        out = data.copy()
         if len(data) == 0:
-            out["ff_score"] = np.zeros((0,), dtype=np.float32)
-            return out
+            return np.zeros((0,), dtype=np.float32)
 
-        ids_unique = data["id"].unique()
+        pair_id_pos, ids_unique = pd.factorize(data["id"], sort=False)
         view, rows_concat, counts = self._gather_view(list(ids_unique))
-        pos = {i: p for p, i in enumerate(ids_unique)}
-        pair_id_pos = data["id"].map(pos).to_numpy(dtype=np.int64)
         pair_qno = data["q_no"].to_numpy(dtype=np.int64)
-        rows, qno, seg = expand_pairs(pair_id_pos, pair_qno, rows_concat, counts)
-        out["ff_score"] = self._device_score(
-            view, query_vectors, rows, qno, seg, len(data)
+        rows, qno, seg = expand_pairs(
+            pair_id_pos.astype(np.int64), pair_qno, rows_concat, counts
         )
-        return out
+        return self._device_score(view, query_vectors, rows, qno, seg, len(data))
 
     def _early_stopping(
         self,
@@ -387,13 +393,16 @@ class Index(abc.ABC):
             if len(chunk) == 0:
                 break
 
-            chunk_scores = self._compute_scores(chunk, query_vectors)
-            chunk_scores["int_score"] = np.asarray(
-                ops.interpolate_scores(
-                    chunk_scores["score"].to_numpy(dtype=np.float32),
-                    chunk_scores["ff_score"].to_numpy(dtype=np.float32),
-                    alpha,
-                )
+            ff_scores = self._compute_scores(chunk, query_vectors)
+            chunk_scores = chunk.assign(
+                ff_score=ff_scores,
+                int_score=np.asarray(
+                    ops.interpolate_scores(
+                        chunk["score"].to_numpy(dtype=np.float32),
+                        ff_scores.astype(np.float32),
+                        alpha,
+                    )
+                ),
             )
             scored.append(chunk_scores)
             a = b
@@ -427,20 +436,23 @@ class Index(abc.ABC):
             raise ValueError("Early stopping requires alpha and depths.")
         t0 = perf_counter()
 
-        # unique queries -> dense query numbers (device batch indices)
-        query_df = (
-            ranking._df[["q_id", "query"]].drop_duplicates().reset_index(drop=True)
-        )
-        query_df["q_no"] = query_df.index
-        df = ranking._df.merge(query_df, on="q_id", suffixes=(None, "_"))
+        # unique queries -> dense query numbers (device batch indices),
+        # vectorized: factorize numbers queries by first appearance, and the
+        # first-occurrence rows carry the matching query strings
+        df = ranking._df.copy()
+        q_codes, _ = pd.factorize(df["q_id"], sort=False)
+        df["q_no"] = q_codes
+        queries = df.loc[~df["q_id"].duplicated(), "query"].tolist()
         # early stopping splits the frame; remember provenance
         df["orig_index"] = df.index
 
-        query_vectors = self.encode_queries(list(query_df["query"]))
+        query_vectors = self.encode_queries(queries)
 
         def _get_result(frame: pd.DataFrame) -> pd.DataFrame:
             if early_stopping is None:
-                return self._compute_scores(frame, query_vectors)
+                return frame.assign(
+                    ff_score=self._compute_scores(frame, query_vectors)
+                )
             assert early_stopping_alpha is not None
             assert early_stopping_depths is not None
             return self._early_stopping(
@@ -451,7 +463,7 @@ class Index(abc.ABC):
                 early_stopping_depths,
             )
 
-        num_queries = len(query_df)
+        num_queries = len(queries)
         if batch_size is None or batch_size >= num_queries:
             result = _get_result(df)
         else:

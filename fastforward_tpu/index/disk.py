@@ -14,21 +14,18 @@ table to device memory once while keeping the HDF5 file canonical.
 """
 
 import logging
-from collections import defaultdict
 from collections.abc import Iterable, Iterator
 from pathlib import Path
 
 import h5py
 import jax.numpy as jnp
 import numpy as np
-from tqdm import tqdm
 
 import fastforward_tpu
 from fastforward_tpu.encoder.base import Encoder
 from fastforward_tpu.index.base import DeviceView, IDSequence, Index
 from fastforward_tpu.index.memory import InMemoryIndex
 from fastforward_tpu.index.mode import Mode
-from fastforward_tpu.index.util import resolve_rows
 from fastforward_tpu.quantizer import Quantizer
 from fastforward_tpu.quantizer.pq import PQ
 from fastforward_tpu.quantizer.scalar import ScalarQuantizer
@@ -161,8 +158,7 @@ class OnDiskIndex(Index):
                     f"Passage ID {psg_id} is longer than the maximum "
                     f"({self._max_id_length} characters)."
                 )
-            if psg_id in self._psg_id_to_row:
-                raise RuntimeError(f"Passage ID {psg_id} already exists.")
+        self._ids.check_new_psgs(psg_ids)
 
     def _add(
         self, vectors: np.ndarray, doc_ids: IDSequence, psg_ids: IDSequence
@@ -185,21 +181,14 @@ class OnDiskIndex(Index):
                     fp[name].resize(new_size, axis=0)
                 self._mmap_chunks = None
 
-            doc_rows, doc_values = [], []
-            for offset, doc_id in enumerate(doc_ids):
-                if doc_id is not None:
-                    self._doc_id_to_rows[doc_id].append(start + offset)
-                    doc_rows.append(start + offset)
-                    doc_values.append(doc_id)
-            fp["doc_ids"][doc_rows] = doc_values
-
-            psg_rows, psg_values = [], []
-            for offset, psg_id in enumerate(psg_ids):
-                if psg_id is not None:
-                    self._psg_id_to_row[psg_id] = start + offset
-                    psg_rows.append(start + offset)
-                    psg_values.append(psg_id)
-            fp["psg_ids"][psg_rows] = psg_values
+            self._ids.add(doc_ids, psg_ids, start)
+            width = self._max_id_length
+            fp["doc_ids"][start : start + num_new] = np.array(
+                [(d or "").encode() for d in doc_ids], dtype=f"S{width}"
+            )
+            fp["psg_ids"][start : start + num_new] = np.array(
+                [(p or "").encode() for p in psg_ids], dtype=f"S{width}"
+            )
 
             fp["vectors"][start : start + num_new] = vectors
             fp.attrs["num_vectors"] = start + num_new
@@ -257,9 +246,7 @@ class OnDiskIndex(Index):
 
     def _get_vectors(self, ids: Iterable[str]) -> tuple[np.ndarray, list[str]]:
         ids = list(ids)
-        rows, counts = resolve_rows(
-            ids, self.mode, self._doc_id_to_rows, self._psg_id_to_row
-        )
+        rows, counts = self._ids.resolve(ids, self.mode)
         if rows.shape[0] == 0:
             return np.array([]), []
         out_ids = [i for i, c in zip(ids, counts) for _ in range(c)]
@@ -403,13 +390,9 @@ class OnDiskIndex(Index):
             if num_vectors == 0:
                 return index
 
-            doc_id_arr = fp["doc_ids"].asstr()[:num_vectors]
-            psg_id_arr = fp["psg_ids"].asstr()[:num_vectors]
-            for row, (doc_id, psg_id) in tqdm(
-                enumerate(zip(doc_id_arr, psg_id_arr)), total=num_vectors
-            ):
-                if doc_id:
-                    index._doc_id_to_rows[doc_id].append(row)
-                if psg_id:
-                    index._psg_id_to_row[psg_id] = row
+            # rebuild the row maps natively from the raw fixed-width arrays
+            # (the reference scans these in a python loop, disk.py:410-417)
+            index._ids.bulk_load(
+                fp["doc_ids"][:num_vectors], fp["psg_ids"][:num_vectors]
+            )
         return index

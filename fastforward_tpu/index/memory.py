@@ -11,14 +11,17 @@ program.
 
 import logging
 from collections.abc import Iterable, Iterator
+from typing import TYPE_CHECKING
 
 import jax.numpy as jnp
 import numpy as np
 
+if TYPE_CHECKING:
+    from fastforward_tpu.parallel.mesh import MeshConfig
+
 from fastforward_tpu.encoder.base import Encoder
 from fastforward_tpu.index.base import DeviceView, IDSequence, Index
 from fastforward_tpu.index.mode import Mode
-from fastforward_tpu.index.util import resolve_rows
 from fastforward_tpu.quantizer import Quantizer
 from fastforward_tpu.quantizer.pq import PQ
 from fastforward_tpu.quantizer.scalar import ScalarQuantizer
@@ -42,6 +45,7 @@ class InMemoryIndex(Index):
         init_size: int = 2**16,
         alloc_size: int = 2**16,
         device_dtype: str = "float32",
+        mesh_config: "MeshConfig | None" = None,
     ) -> None:
         """Create an in-memory index.
 
@@ -53,12 +57,16 @@ class InMemoryIndex(Index):
         :param alloc_size: Capacity growth granularity (number of vectors).
         :param device_dtype: Dtype of the device scoring table
             (``"float32"`` or ``"bfloat16"``; ignored for quantized indexes).
+        :param mesh_config: When set, shard the table row-wise across a
+            device mesh and score with the SPMD program (dense tables only).
         """
         self._store: np.ndarray | None = None
         self._num = 0
         self._init_size = init_size
         self._alloc_size = alloc_size
         self._device_dtype = device_dtype
+        self._mesh_config = mesh_config
+        self._mesh = None
         self._dev_view: DeviceView | None = None
         self._dev_rows = 0  # rows captured in the current device view
         super().__init__(
@@ -99,16 +107,7 @@ class InMemoryIndex(Index):
         num_new = vectors.shape[0]
         start = self._num
 
-        for offset, psg_id in enumerate(psg_ids):
-            if psg_id is None:
-                continue
-            if psg_id in self._psg_id_to_row:
-                raise RuntimeError(f"Passage ID {psg_id} already exists.")
-            self._psg_id_to_row[psg_id] = start + offset
-        for offset, doc_id in enumerate(doc_ids):
-            if doc_id is not None:
-                self._doc_id_to_rows[doc_id].append(start + offset)
-
+        self._ids.add(doc_ids, psg_ids, start)
         self._grow_to(start + num_new, vectors.shape[1], vectors.dtype)
         self._store[start : start + num_new] = vectors
         self._num += num_new
@@ -123,9 +122,7 @@ class InMemoryIndex(Index):
 
     def _get_vectors(self, ids: Iterable[str]) -> tuple[np.ndarray, list[str]]:
         ids = list(ids)
-        rows, counts = resolve_rows(
-            ids, self.mode, self._doc_id_to_rows, self._psg_id_to_row
-        )
+        rows, counts = self._ids.resolve(ids, self.mode)
         if rows.shape[0] == 0:
             return np.array([]), []
         out_ids = [i for i, c in zip(ids, counts) for _ in range(c)]
@@ -134,21 +131,10 @@ class InMemoryIndex(Index):
     def _batch_iter(
         self, batch_size: int
     ) -> Iterator[tuple[np.ndarray, IDSequence, IDSequence]]:
-        row_to_doc: dict[int, str] = {
-            row: doc_id
-            for doc_id, rows in self._doc_id_to_rows.items()
-            for row in rows
-        }
-        row_to_psg: dict[int, str] = {
-            row: psg_id for psg_id, row in self._psg_id_to_row.items()
-        }
+        doc_list, psg_list = self._ids.inverse(self._num)
         for i in range(0, self._num, batch_size):
             j = min(i + batch_size, self._num)
-            yield (
-                self._store[i:j],
-                [row_to_doc.get(r) for r in range(i, j)],
-                [row_to_psg.get(r) for r in range(i, j)],
-            )
+            yield (self._store[i:j], doc_list[i:j], psg_list[i:j])
 
     # -- device table --------------------------------------------------------
 
@@ -186,6 +172,27 @@ class InMemoryIndex(Index):
             )
             table[: self._num] = self._quantizer.decode(data)
             self._dev_view = DeviceView(kind="dense", table=jnp.asarray(table))
+        elif self._mesh_config is not None:
+            # multi-chip: row-sharded 3D table over the mesh's shard axis
+            import jax
+
+            from fastforward_tpu.parallel.sharded import table_sharding
+
+            dim = data.shape[1]
+            if dim % 128 != 0:
+                raise ValueError(
+                    "Sharded tables require dim % 128 == 0 "
+                    f"(got {dim}); pad the embeddings."
+                )
+            if self._mesh is None:
+                self._mesh = self._mesh_config.build()
+            table = np.zeros((n_pad, dim), dtype=np.float32)
+            table[: self._num] = data
+            dev = jax.device_put(
+                table.reshape(n_pad, dim // 128, 128),
+                table_sharding(self._mesh),
+            )
+            self._dev_view = DeviceView(kind="dense", table=dev, mesh=self._mesh)
         else:
             dim = data.shape[1]
             table = np.zeros((n_pad, dim), dtype=np.float32)

@@ -1,0 +1,222 @@
+// Native host runtime: string-ID -> table-row mapping.
+//
+// The device only ever sees int32 rows + segment ids (SURVEY.md §7); this
+// map is where string document/passage IDs are resolved.  The reference
+// keeps python dicts rebuilt by a python loop (reference:
+// index/memory.py:86-95, index/disk.py:400-417) — at MS MARCO scale that
+// loop dominates index load time and the per-call lookups sit on the
+// scoring path, so both run natively here (GIL-free batch calls over
+// fixed-width numpy 'S' arrays via ctypes).
+//
+// Build: see build.py (g++ -O3 -shared -fPIC).
+
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct IdMap {
+  // doc id -> rows (documents may span multiple passages, in add order)
+  std::unordered_map<std::string, std::vector<int32_t>> doc_rows;
+  // psg id -> unique row
+  std::unordered_map<std::string, int32_t> psg_row;
+  // insertion order (needed to enumerate ids deterministically)
+  std::vector<const std::string*> doc_order;
+  std::vector<const std::string*> psg_order;
+};
+
+inline std::string make_key(const char* data, int64_t width) {
+  // fixed-width field, right-padded with NULs (numpy 'S' layout)
+  int64_t len = width;
+  while (len > 0 && data[len - 1] == '\0') --len;
+  return std::string(data, static_cast<size_t>(len));
+}
+
+}  // namespace
+
+extern "C" {
+
+void* idmap_create() { return new IdMap(); }
+
+void idmap_destroy(void* handle) { delete static_cast<IdMap*>(handle); }
+
+// Register a batch of ids starting at table row `start_row`.
+// Empty (all-NUL) fields mean "no id for this vector".  Passing nullptr for
+// either array means no ids of that kind.  Returns -(i+1) if psg id i is a
+// duplicate (nothing before i is rolled back - caller validates first via
+// idmap_check_new), else 0.
+int64_t idmap_add(void* handle, const char* doc_ids, const char* psg_ids,
+                  int64_t n, int64_t width, int64_t start_row) {
+  IdMap* m = static_cast<IdMap*>(handle);
+  for (int64_t i = 0; i < n; ++i) {
+    if (psg_ids != nullptr) {
+      std::string key = make_key(psg_ids + i * width, width);
+      if (!key.empty()) {
+        auto [it, inserted] =
+            m->psg_row.emplace(std::move(key), static_cast<int32_t>(start_row + i));
+        if (!inserted) return -(i + 1);
+        m->psg_order.push_back(&it->first);
+      }
+    }
+    if (doc_ids != nullptr) {
+      std::string key = make_key(doc_ids + i * width, width);
+      if (!key.empty()) {
+        auto [it, inserted] = m->doc_rows.emplace(
+            std::move(key), std::vector<int32_t>{});
+        if (inserted) m->doc_order.push_back(&it->first);
+        it->second.push_back(static_cast<int32_t>(start_row + i));
+      }
+    }
+  }
+  return 0;
+}
+
+// Pre-validate a psg-id batch: returns -(i+1) for the first id already
+// present (or duplicated within the batch), else 0.
+int64_t idmap_check_new(void* handle, const char* psg_ids, int64_t n,
+                        int64_t width) {
+  IdMap* m = static_cast<IdMap*>(handle);
+  std::unordered_map<std::string, int64_t> batch;
+  for (int64_t i = 0; i < n; ++i) {
+    std::string key = make_key(psg_ids + i * width, width);
+    if (key.empty()) continue;
+    if (m->psg_row.count(key)) return -(i + 1);
+    auto [it, inserted] = batch.emplace(std::move(key), i);
+    if (!inserted) return -(i + 1);
+  }
+  return 0;
+}
+
+int64_t idmap_num_docs(void* handle) {
+  return static_cast<IdMap*>(handle)->doc_rows.size();
+}
+
+int64_t idmap_num_psgs(void* handle) {
+  return static_cast<IdMap*>(handle)->psg_row.size();
+}
+
+// Copy all ids (insertion order) into `out`, a (count, width) 'S' buffer.
+void idmap_doc_ids(void* handle, char* out, int64_t width) {
+  IdMap* m = static_cast<IdMap*>(handle);
+  for (size_t i = 0; i < m->doc_order.size(); ++i) {
+    const std::string& key = *m->doc_order[i];
+    std::memset(out + i * width, 0, static_cast<size_t>(width));
+    std::memcpy(out + i * width, key.data(), key.size());
+  }
+}
+
+void idmap_psg_ids(void* handle, char* out, int64_t width) {
+  IdMap* m = static_cast<IdMap*>(handle);
+  for (size_t i = 0; i < m->psg_order.size(); ++i) {
+    const std::string& key = *m->psg_order[i];
+    std::memset(out + i * width, 0, static_cast<size_t>(width));
+    std::memcpy(out + i * width, key.data(), key.size());
+  }
+}
+
+// Resolve ids to row counts.  mode: 0 = PASSAGE, 1 = doc all rows
+// (MAXP/AVEP), 2 = doc first row (FIRSTP).  Fills counts[n]; returns the
+// total number of rows, or -(i+1) if id i is missing.
+int64_t idmap_counts(void* handle, const char* ids, int64_t n, int64_t width,
+                     int32_t mode, int32_t* counts) {
+  IdMap* m = static_cast<IdMap*>(handle);
+  int64_t total = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    std::string key = make_key(ids + i * width, width);
+    if (mode == 0) {
+      auto it = m->psg_row.find(key);
+      if (it == m->psg_row.end()) return -(i + 1);
+      counts[i] = 1;
+      total += 1;
+    } else {
+      auto it = m->doc_rows.find(key);
+      if (it == m->doc_rows.end() || it->second.empty()) return -(i + 1);
+      counts[i] = mode == 2 ? 1 : static_cast<int32_t>(it->second.size());
+      total += counts[i];
+    }
+  }
+  return total;
+}
+
+// Fill the flat row array (concatenation of each id's rows).  Caller has
+// validated via idmap_counts; missing ids abort with -(i+1).
+int64_t idmap_rows(void* handle, const char* ids, int64_t n, int64_t width,
+                   int32_t mode, int32_t* rows) {
+  IdMap* m = static_cast<IdMap*>(handle);
+  int64_t pos = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    std::string key = make_key(ids + i * width, width);
+    if (mode == 0) {
+      auto it = m->psg_row.find(key);
+      if (it == m->psg_row.end()) return -(i + 1);
+      rows[pos++] = it->second;
+    } else {
+      auto it = m->doc_rows.find(key);
+      if (it == m->doc_rows.end() || it->second.empty()) return -(i + 1);
+      if (mode == 2) {
+        rows[pos++] = it->second.front();
+      } else {
+        for (int32_t r : it->second) rows[pos++] = r;
+      }
+    }
+  }
+  return pos;
+}
+
+// Bulk-load from parallel fixed-width id arrays (the OnDiskIndex.load path:
+// row i gets doc_ids[i] / psg_ids[i] unless empty).  Duplicate psg ids keep
+// the *last* row, matching the reference load semantics (disk.py:417).
+void idmap_bulk_load(void* handle, const char* doc_ids, const char* psg_ids,
+                     int64_t n, int64_t width) {
+  IdMap* m = static_cast<IdMap*>(handle);
+  m->doc_rows.reserve(static_cast<size_t>(n));
+  m->psg_row.reserve(static_cast<size_t>(n));
+  for (int64_t i = 0; i < n; ++i) {
+    if (doc_ids != nullptr) {
+      std::string key = make_key(doc_ids + i * width, width);
+      if (!key.empty()) {
+        auto [it, inserted] =
+            m->doc_rows.emplace(std::move(key), std::vector<int32_t>{});
+        if (inserted) m->doc_order.push_back(&it->first);
+        it->second.push_back(static_cast<int32_t>(i));
+      }
+    }
+    if (psg_ids != nullptr) {
+      std::string key = make_key(psg_ids + i * width, width);
+      if (!key.empty()) {
+        auto [it, inserted] =
+            m->psg_row.emplace(std::move(key), static_cast<int32_t>(i));
+        if (inserted) {
+          m->psg_order.push_back(&it->first);
+        } else {
+          it->second = static_cast<int32_t>(i);
+        }
+      }
+    }
+  }
+}
+
+// Look up one id's rows (for _get_vectors-style single queries).
+// Returns count (0 if missing); writes up to max_out rows.
+int64_t idmap_lookup(void* handle, const char* id, int64_t width,
+                     int32_t mode, int32_t* out, int64_t max_out) {
+  IdMap* m = static_cast<IdMap*>(handle);
+  std::string key = make_key(id, width);
+  if (mode == 0) {
+    auto it = m->psg_row.find(key);
+    if (it == m->psg_row.end()) return 0;
+    if (max_out > 0) out[0] = it->second;
+    return 1;
+  }
+  auto it = m->doc_rows.find(key);
+  if (it == m->doc_rows.end()) return 0;
+  const auto& rows = it->second;
+  int64_t count = mode == 2 ? 1 : static_cast<int64_t>(rows.size());
+  for (int64_t i = 0; i < count && i < max_out; ++i) out[i] = rows[i];
+  return count;
+}
+
+}  // extern "C"

@@ -1,0 +1,350 @@
+"""Host ID-map runtime: ctypes binding + pure-python fallback.
+
+One interface, two implementations: ``NativeIdMap`` binds the C++ hash map
+(GIL-free batch resolution over fixed-width numpy ``S`` arrays) and
+``PyIdMap`` keeps plain dicts.  ``create_idmap()`` picks the native one when
+the shared object builds.
+"""
+
+import ctypes
+import logging
+from collections import defaultdict
+from collections.abc import Sequence
+
+import numpy as np
+
+from fastforward_tpu.index.mode import Mode
+from fastforward_tpu.runtime.build import build_idmap
+
+LOGGER = logging.getLogger(__name__)
+
+_MODE_CODE = {Mode.PASSAGE: 0, Mode.MAXP: 1, Mode.AVEP: 1, Mode.FIRSTP: 2}
+
+_lib = None
+_lib_failed = False
+
+
+def _get_lib():
+    global _lib, _lib_failed
+    if _lib is None and not _lib_failed:
+        path = build_idmap()
+        if path is None:
+            _lib_failed = True
+            return None
+        lib = ctypes.CDLL(str(path))
+        lib.idmap_create.restype = ctypes.c_void_p
+        lib.idmap_destroy.argtypes = [ctypes.c_void_p]
+        lib.idmap_add.restype = ctypes.c_int64
+        lib.idmap_add.argtypes = [ctypes.c_void_p] + [ctypes.c_char_p] * 2 + [
+            ctypes.c_int64
+        ] * 3
+        lib.idmap_check_new.restype = ctypes.c_int64
+        lib.idmap_check_new.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+        ]
+        lib.idmap_num_docs.restype = ctypes.c_int64
+        lib.idmap_num_docs.argtypes = [ctypes.c_void_p]
+        lib.idmap_num_psgs.restype = ctypes.c_int64
+        lib.idmap_num_psgs.argtypes = [ctypes.c_void_p]
+        lib.idmap_doc_ids.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+        ]
+        lib.idmap_psg_ids.argtypes = lib.idmap_doc_ids.argtypes
+        lib.idmap_counts.restype = ctypes.c_int64
+        lib.idmap_counts.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.idmap_rows.restype = ctypes.c_int64
+        lib.idmap_rows.argtypes = lib.idmap_counts.argtypes
+        lib.idmap_bulk_load.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+        ]
+        _lib = lib
+    return _lib
+
+
+def _to_fixed_width(
+    ids: Sequence[str | None] | np.ndarray, width: int | None = None
+) -> np.ndarray:
+    """Encode ids as a fixed-width ``S`` array (None -> empty field)."""
+    if isinstance(ids, np.ndarray) and ids.dtype.kind == "S":
+        return ids
+    encoded = [(i or "").encode() for i in ids]
+    width = width or max((len(e) for e in encoded), default=1)
+    return np.array(encoded, dtype=f"S{max(width, 1)}")
+
+
+class NativeIdMap:
+    """C++-backed ID map (see ``idmap.cc``)."""
+
+    def __init__(self) -> None:
+        self._lib = _get_lib()
+        self._handle = ctypes.c_void_p(self._lib.idmap_create())
+        self._max_width = 1
+
+    def __del__(self):
+        if getattr(self, "_handle", None):
+            self._lib.idmap_destroy(self._handle)
+            self._handle = None
+
+    def _buf(self, arr: np.ndarray) -> ctypes.c_char_p:
+        return ctypes.c_char_p(arr.tobytes())
+
+    def add(
+        self,
+        doc_ids: Sequence[str | None] | None,
+        psg_ids: Sequence[str | None] | None,
+        start_row: int,
+    ) -> None:
+        """Register a batch of ids for rows ``start_row..``.
+
+        :raises RuntimeError: When a passage ID already exists.
+        """
+        n = len(doc_ids) if doc_ids is not None else len(psg_ids)
+        width = self._max_width
+        doc_arr = _to_fixed_width(doc_ids) if doc_ids is not None else None
+        psg_arr = _to_fixed_width(psg_ids) if psg_ids is not None else None
+        for arr in (doc_arr, psg_arr):
+            if arr is not None:
+                width = max(width, arr.dtype.itemsize)
+        self._max_width = width
+        doc_buf = (
+            self._buf(doc_arr.astype(f"S{width}")) if doc_arr is not None else None
+        )
+        psg_buf = (
+            self._buf(psg_arr.astype(f"S{width}")) if psg_arr is not None else None
+        )
+        if psg_buf is not None:
+            rc = self._lib.idmap_check_new(self._handle, psg_buf, n, width)
+            if rc < 0:
+                bad = psg_ids[-rc - 1]
+                raise RuntimeError(f"Passage ID {bad} already exists.")
+        rc = self._lib.idmap_add(self._handle, doc_buf, psg_buf, n, width, start_row)
+        if rc < 0:  # pragma: no cover - pre-validated above
+            raise RuntimeError(f"Passage ID {psg_ids[-rc - 1]} already exists.")
+
+    def check_new_psgs(self, psg_ids: Sequence[str | None]) -> None:
+        """Raise ``RuntimeError`` if any passage ID already exists."""
+        width = max(self._max_width, 1)
+        arr = _to_fixed_width(psg_ids)
+        width = max(width, arr.dtype.itemsize)
+        rc = self._lib.idmap_check_new(
+            self._handle, self._buf(arr.astype(f"S{width}")), len(psg_ids), width
+        )
+        if rc < 0:
+            raise RuntimeError(f"Passage ID {psg_ids[-rc - 1]} already exists.")
+
+    def bulk_load(
+        self, doc_ids: np.ndarray | None, psg_ids: np.ndarray | None
+    ) -> None:
+        """Load parallel fixed-width ``S`` arrays (row i -> ids[i])."""
+        n = len(doc_ids) if doc_ids is not None else len(psg_ids)
+        width = max(
+            arr.dtype.itemsize for arr in (doc_ids, psg_ids) if arr is not None
+        )
+        self._max_width = max(self._max_width, width)
+        doc_buf = (
+            self._buf(np.ascontiguousarray(doc_ids.astype(f"S{width}")))
+            if doc_ids is not None
+            else None
+        )
+        psg_buf = (
+            self._buf(np.ascontiguousarray(psg_ids.astype(f"S{width}")))
+            if psg_ids is not None
+            else None
+        )
+        self._lib.idmap_bulk_load(self._handle, doc_buf, psg_buf, n, width)
+
+    @property
+    def num_docs(self) -> int:
+        return self._lib.idmap_num_docs(self._handle)
+
+    @property
+    def num_psgs(self) -> int:
+        return self._lib.idmap_num_psgs(self._handle)
+
+    def _id_array(self, kind: str) -> np.ndarray:
+        count = self.num_docs if kind == "doc" else self.num_psgs
+        width = max(self._max_width, 1)
+        out = np.zeros(count, dtype=f"S{width}")
+        fn = self._lib.idmap_doc_ids if kind == "doc" else self._lib.idmap_psg_ids
+        if count:
+            fn(self._handle, out.ctypes.data_as(ctypes.c_char_p), width)
+        return out
+
+    def doc_id_set(self) -> set[str]:
+        return {i.decode() for i in self._id_array("doc")}
+
+    def psg_id_set(self) -> set[str]:
+        return {i.decode() for i in self._id_array("psg")}
+
+    def resolve(
+        self, ids: Sequence[str], mode: Mode
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Resolve ids to (flat rows, per-id counts).
+
+        :raises IndexError: When an ID is missing.
+        """
+        code = _MODE_CODE[mode]
+        n = len(ids)
+        arr = _to_fixed_width(ids)
+        width = arr.dtype.itemsize
+        buf = self._buf(arr)
+        counts = np.zeros(n, dtype=np.int32)
+        total = self._lib.idmap_counts(
+            self._handle,
+            buf,
+            n,
+            width,
+            code,
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if total < 0:
+            raise IndexError(f"ID {ids[-total - 1]} not found in the index.")
+        rows = np.zeros(int(total), dtype=np.int32)
+        rc = self._lib.idmap_rows(
+            self._handle,
+            buf,
+            n,
+            width,
+            code,
+            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if rc < 0:  # pragma: no cover - consistent with idmap_counts
+            raise IndexError(f"ID {ids[-rc - 1]} not found in the index.")
+        return rows, counts
+
+    def inverse(self, n_rows: int) -> tuple[list[str | None], list[str | None]]:
+        """Row -> (doc id, psg id) lists for rows ``0..n_rows``."""
+        doc_out: list[str | None] = [None] * n_rows
+        psg_out: list[str | None] = [None] * n_rows
+        doc_ids = [i.decode() for i in self._id_array("doc")]
+        if doc_ids:
+            rows, counts = self.resolve(doc_ids, Mode.MAXP)
+            pos = 0
+            for i, c in zip(doc_ids, counts):
+                for r in rows[pos : pos + c]:
+                    if r < n_rows:
+                        doc_out[r] = i
+                pos += c
+        psg_ids = [i.decode() for i in self._id_array("psg")]
+        if psg_ids:
+            rows, _ = self.resolve(psg_ids, Mode.PASSAGE)
+            for i, r in zip(psg_ids, rows):
+                if r < n_rows:
+                    psg_out[r] = i
+        return doc_out, psg_out
+
+
+class PyIdMap:
+    """Pure-python fallback with the same interface."""
+
+    def __init__(self) -> None:
+        self._doc_rows: dict[str, list[int]] = defaultdict(list)
+        self._psg_row: dict[str, int] = {}
+
+    def add(self, doc_ids, psg_ids, start_row: int) -> None:
+        if psg_ids is not None:
+            self.check_new_psgs(psg_ids)
+            for offset, psg_id in enumerate(psg_ids):
+                if psg_id is not None:
+                    self._psg_row[psg_id] = start_row + offset
+        if doc_ids is not None:
+            for offset, doc_id in enumerate(doc_ids):
+                if doc_id is not None:
+                    self._doc_rows[doc_id].append(start_row + offset)
+
+    def check_new_psgs(self, psg_ids) -> None:
+        seen = set()
+        for psg_id in psg_ids:
+            if psg_id is None:
+                continue
+            if psg_id in self._psg_row or psg_id in seen:
+                raise RuntimeError(f"Passage ID {psg_id} already exists.")
+            seen.add(psg_id)
+
+    def bulk_load(self, doc_ids, psg_ids) -> None:
+        n = len(doc_ids) if doc_ids is not None else len(psg_ids)
+        for row in range(n):
+            if doc_ids is not None:
+                d = doc_ids[row].decode() if doc_ids[row] else None
+                if d:
+                    self._doc_rows[d].append(row)
+            if psg_ids is not None:
+                p = psg_ids[row].decode() if psg_ids[row] else None
+                if p:
+                    self._psg_row[p] = row
+
+    @property
+    def num_docs(self) -> int:
+        return len(self._doc_rows)
+
+    @property
+    def num_psgs(self) -> int:
+        return len(self._psg_row)
+
+    def doc_id_set(self) -> set[str]:
+        return set(self._doc_rows.keys())
+
+    def psg_id_set(self) -> set[str]:
+        return set(self._psg_row.keys())
+
+    def resolve(self, ids, mode: Mode) -> tuple[np.ndarray, np.ndarray]:
+        rows: list[int] = []
+        counts = []
+        if mode == Mode.PASSAGE:
+            for i in ids:
+                r = self._psg_row.get(i)
+                if r is None:
+                    raise IndexError(f"ID {i} not found in the index.")
+                rows.append(r)
+                counts.append(1)
+        else:
+            first_only = mode == Mode.FIRSTP
+            for i in ids:
+                r = self._doc_rows.get(i)
+                if not r:
+                    raise IndexError(f"ID {i} not found in the index.")
+                if first_only:
+                    rows.append(r[0])
+                    counts.append(1)
+                else:
+                    rows.extend(r)
+                    counts.append(len(r))
+        return (
+            np.asarray(rows, dtype=np.int32),
+            np.asarray(counts, dtype=np.int32),
+        )
+
+    def inverse(self, n_rows: int):
+        doc_out: list[str | None] = [None] * n_rows
+        psg_out: list[str | None] = [None] * n_rows
+        for doc_id, rows in self._doc_rows.items():
+            for r in rows:
+                if r < n_rows:
+                    doc_out[r] = doc_id
+        for psg_id, r in self._psg_row.items():
+            if r < n_rows:
+                psg_out[r] = psg_id
+        return doc_out, psg_out
+
+
+def create_idmap():
+    """Return a native ID map when available, else the python fallback."""
+    if _get_lib() is not None:
+        return NativeIdMap()
+    return PyIdMap()

@@ -1,0 +1,78 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import unittest
+
+import numpy as np
+
+from fastforward_tpu.encoder import LambdaEncoder
+from fastforward_tpu.index import InMemoryIndex, Mode
+from fastforward_tpu.parallel import MeshConfig
+from fastforward_tpu.ranking import Ranking
+
+RNG = np.random.default_rng(11)
+DIM = 128
+
+
+def _build(mesh_config, mode):
+    qvec = RNG.normal(size=DIM).astype(np.float32)
+    enc = LambdaEncoder(lambda _: qvec)
+    index = InMemoryIndex(enc, mode=mode, mesh_config=mesh_config)
+    n = 200
+    vectors = RNG.normal(size=(n, DIM)).astype(np.float32)
+    doc_ids = [f"d{i // 4}" for i in range(n)]
+    psg_ids = [f"p{i}" for i in range(n)]
+    index.add(vectors, doc_ids=doc_ids, psg_ids=psg_ids)
+    return index, vectors, qvec
+
+
+class TestShardedScoring(unittest.TestCase):
+    def _compare(self, mesh_config):
+        """Sharded scoring must equal single-device scoring for every mode."""
+        run = {
+            "q1": {f"d{i}": float(i) for i in range(40)},
+            "q2": {f"d{i}": float(50 - i) for i in range(10, 50)},
+        }
+        queries = {"q1": "a", "q2": "b"}
+        ranking = Ranking.from_run(run, queries=queries)
+        psg_run = {"q1": {f"p{i}": float(i) for i in range(60)}}
+        psg_ranking = Ranking.from_run(psg_run, queries={"q1": "a"})
+
+        for mode, r in [
+            (Mode.MAXP, ranking),
+            (Mode.AVEP, ranking),
+            (Mode.FIRSTP, ranking),
+            (Mode.PASSAGE, psg_ranking),
+        ]:
+            sharded_index, vectors, qvec = _build(mesh_config, mode)
+            plain_index = InMemoryIndex(
+                sharded_index.query_encoder, mode=mode
+            )
+            plain_index.add(
+                vectors,
+                doc_ids=[f"d{i // 4}" for i in range(len(vectors))],
+                psg_ids=[f"p{i}" for i in range(len(vectors))],
+            )
+            got = sharded_index(r)
+            expected = plain_index(r)
+            for q_id in expected.q_ids:
+                g, e = got[q_id], expected[q_id]
+                self.assertEqual(set(g), set(e))
+                for doc in e:
+                    self.assertAlmostEqual(e[doc], g[doc], places=3, msg=(mode, doc))
+
+    def test_shard_only(self):
+        self._compare(MeshConfig(data=1, shard=8))
+
+    def test_data_and_shard(self):
+        self._compare(MeshConfig(data=2, shard=4))
+
+    def test_data_only(self):
+        self._compare(MeshConfig(data=8, shard=1))
+
+    def test_mesh_config_validation(self):
+        with self.assertRaises(ValueError):
+            MeshConfig(data=16, shard=16).build()
+
+
+if __name__ == "__main__":
+    unittest.main()
