@@ -28,8 +28,8 @@ from tqdm import tqdm
 
 from fastforward_tpu import ops
 from fastforward_tpu.encoder.base import Encoder
-from fastforward_tpu.index.mode import REDUCE_OP, Mode
-from fastforward_tpu.index.util import expand_pairs
+from fastforward_tpu.index.mode import GROUPED_OP, REDUCE_OP, Mode
+from fastforward_tpu.index.util import expand_pairs, expand_pairs_grouped
 from fastforward_tpu.quantizer import Quantizer
 from fastforward_tpu.quantizer.pq import OPQ, PQ
 from fastforward_tpu.quantizer.scalar import ScalarQuantizer
@@ -288,7 +288,46 @@ class Index(abc.ABC):
         table = jnp.asarray(np.asarray(vectors, dtype=np.float32))
         return DeviceView("dense", table), rows, counts
 
-    def _device_score(
+    def _pad_queries(self, query_vectors: np.ndarray, view: DeviceView) -> np.ndarray:
+        q = self._prepare_queries(query_vectors, view)
+        q_bucket = ops.bucket(q.shape[0])
+        q_pad = np.zeros((q_bucket, q.shape[1]), dtype=np.float32)
+        q_pad[: q.shape[0]] = q
+        return q_pad
+
+    def _device_score_grouped(
+        self,
+        view: DeviceView,
+        query_vectors: np.ndarray,
+        rows_mat: np.ndarray,
+        pair_qno: np.ndarray,
+        counts_pp: np.ndarray,
+        k: int,
+    ) -> np.ndarray:
+        """Run the scatter-free grouped scoring program (the default path)."""
+        op = GROUPED_OP[self.mode]
+        n_pairs = rows_mat.shape[0]
+        s_bucket = ops.bucket(n_pairs)
+        # one stacked transfer: K row columns + qno + counts
+        idx = np.zeros((k + 2, s_bucket), dtype=np.int32)
+        idx[:k, :n_pairs] = rows_mat.T
+        idx[k, :n_pairs] = pair_qno
+        idx[k + 1, :n_pairs] = counts_pp
+        q_pad = self._pad_queries(query_vectors, view)
+
+        if view.mesh is not None:
+            from fastforward_tpu.parallel.sharded import score_pairs_sharded
+
+            scores = score_pairs_sharded(view.mesh, view.table, q_pad, idx, op)
+        elif view.kind == "pq":
+            scores = ops.score_pairs_grouped_pq(
+                view.table, view.codebooks, q_pad, idx, op
+            )
+        else:
+            scores = ops.score_pairs_grouped(view.table, q_pad, idx, op)
+        return np.asarray(jax.device_get(scores))[:n_pairs]
+
+    def _device_score_flat(
         self,
         view: DeviceView,
         query_vectors: np.ndarray,
@@ -297,35 +336,28 @@ class Index(abc.ABC):
         seg: np.ndarray,
         n_pairs: int,
     ) -> np.ndarray:
-        """Run the device scoring program over padded, bucketed arrays."""
+        """Segment-reduction fallback for extremely ragged documents."""
         op = REDUCE_OP[self.mode]
         p_bucket = ops.bucket(rows.shape[0])
         s_bucket = ops.bucket(n_pairs)
-        rows_p = jnp.asarray(ops.pad_i32(rows, p_bucket, 0))
-        qno_p = jnp.asarray(ops.pad_i32(qno, p_bucket, 0))
-        seg_p = jnp.asarray(ops.pad_i32(seg, p_bucket, s_bucket))
+        idx = np.zeros((3, p_bucket), dtype=np.int32)
+        idx[0, : rows.shape[0]] = rows
+        idx[1, : qno.shape[0]] = qno
+        idx[2] = s_bucket  # segment sentinel for padding
+        idx[2, : seg.shape[0]] = seg
+        q_pad = self._pad_queries(query_vectors, view)
 
-        q = self._prepare_queries(query_vectors, view)
-        q_bucket = ops.bucket(q.shape[0])
-        q_pad = np.zeros((q_bucket, q.shape[1]), dtype=np.float32)
-        q_pad[: q.shape[0]] = q
-        q_dev = jnp.asarray(q_pad)
-
-        if view.mesh is not None:
-            from fastforward_tpu.parallel.sharded import score_pairs_sharded
-
-            scores = score_pairs_sharded(
-                view.mesh, view.table, q_dev, rows_p, qno_p, seg_p, s_bucket, op
-            )
-        elif view.kind == "pq":
+        if view.kind == "pq":
             scores = ops.score_pairs_pq(
-                view.table, view.codebooks, q_dev, rows_p, qno_p, seg_p, s_bucket, op
+                view.table, view.codebooks, q_pad, idx, s_bucket, op
             )
         else:
-            scores = ops.score_pairs_dense(
-                view.table, q_dev, rows_p, qno_p, seg_p, s_bucket, op
-            )
-        return np.asarray(scores)[:n_pairs]
+            scores = ops.score_pairs_dense(view.table, q_pad, idx, s_bucket, op)
+        return np.asarray(jax.device_get(scores))[:n_pairs]
+
+    # documents with more passages than this use the flat segment path
+    # (grouped K-padding would waste too much gather bandwidth)
+    _MAX_GROUP_K = 64
 
     def _compute_scores(
         self, data: pd.DataFrame, query_vectors: np.ndarray
@@ -336,18 +368,43 @@ class Index(abc.ABC):
         indexed by ``q_no``.  Returns one score per row of ``data``, in row
         order.  The host work is fully vectorized: ``factorize`` maps IDs to
         dense codes, the (native) ID map resolves unique IDs to table rows,
-        and ``expand_pairs`` builds the flat device arrays.
+        and the expansion helpers build the device index arrays.
         """
         if len(data) == 0:
             return np.zeros((0,), dtype=np.float32)
 
         pair_id_pos, ids_unique = pd.factorize(data["id"], sort=False)
-        view, rows_concat, counts = self._gather_view(list(ids_unique))
+        view, rows_concat, counts = self._gather_view(ids_unique)
         pair_qno = data["q_no"].to_numpy(dtype=np.int64)
+
+        k_max = int(counts.max()) if counts.size else 1
+        if k_max <= self._MAX_GROUP_K and view.mesh is None:
+            k = max(1, 1 << (k_max - 1).bit_length())
+            rows_mat, counts_pp = expand_pairs_grouped(
+                pair_id_pos.astype(np.int64), rows_concat, counts, k
+            )
+            return self._device_score_grouped(
+                view, query_vectors, rows_mat, pair_qno, counts_pp, k
+            )
+        if view.mesh is not None:
+            if k_max > self._MAX_GROUP_K:
+                raise ValueError(
+                    f"Sharded scoring supports at most {self._MAX_GROUP_K} "
+                    f"passages per document (got {k_max}); coalesce the index."
+                )
+            k = max(1, 1 << (k_max - 1).bit_length())
+            rows_mat, counts_pp = expand_pairs_grouped(
+                pair_id_pos.astype(np.int64), rows_concat, counts, k
+            )
+            return self._device_score_grouped(
+                view, query_vectors, rows_mat, pair_qno, counts_pp, k
+            )
         rows, qno, seg = expand_pairs(
             pair_id_pos.astype(np.int64), pair_qno, rows_concat, counts
         )
-        return self._device_score(view, query_vectors, rows, qno, seg, len(data))
+        return self._device_score_flat(
+            view, query_vectors, rows, qno, seg, len(data)
+        )
 
     def _early_stopping(
         self,
@@ -434,13 +491,32 @@ class Index(abc.ABC):
             early_stopping_alpha is None or early_stopping_depths is None
         ):
             raise ValueError("Early stopping requires alpha and depths.")
+        from fastforward_tpu.utils.tracing import maybe_trace
+
+        with maybe_trace():
+            return self._call(
+                ranking,
+                early_stopping,
+                early_stopping_alpha,
+                early_stopping_depths,
+                batch_size,
+            )
+
+    def _call(
+        self,
+        ranking: Ranking,
+        early_stopping: int | None,
+        early_stopping_alpha: float | None,
+        early_stopping_depths: Iterable[int] | None,
+        batch_size: int | None,
+    ) -> Ranking:
         t0 = perf_counter()
 
         # unique queries -> dense query numbers (device batch indices),
         # vectorized: factorize numbers queries by first appearance, and the
         # first-occurrence rows carry the matching query strings
         df = ranking._df.copy()
-        q_codes, _ = pd.factorize(df["q_id"], sort=False)
+        q_codes, q_uniques = pd.factorize(df["q_id"], sort=False)
         df["q_no"] = q_codes
         queries = df.loc[~df["q_id"].duplicated(), "query"].tolist()
         # early stopping splits the frame; remember provenance
@@ -474,13 +550,28 @@ class Index(abc.ABC):
             result = pd.concat(parts)
 
         result["score"] = result["ff_score"]
+
+        # order rows by (q_id desc, score desc) with an integer lexsort over
+        # query codes instead of a pandas string sort
+        q_rank = np.empty(len(q_uniques), dtype=np.int64)
+        q_rank[np.argsort(np.asarray(q_uniques, dtype=object))[::-1]] = np.arange(
+            len(q_uniques)
+        )
+        order = np.lexsort(
+            (
+                -result["score"].to_numpy(dtype=np.float64),
+                q_rank[result["q_no"].to_numpy()],
+            )
+        )
+        result = result.iloc[order]
+
         LOGGER.info("computed scores in %s seconds", perf_counter() - t0)
         return Ranking(
             result,
             name="fast-forward",
             dtype=ranking._df.dtypes["score"],
             copy=False,
-            is_sorted=False,
+            is_sorted=True,
         )
 
     # -- iteration -----------------------------------------------------------

@@ -17,10 +17,18 @@ class Mode(Enum):
     AVEP = 4
 
 
-#: Segment-reduction op per mode (see ``fastforward_tpu.ops.scoring``).
+#: Segment-reduction op per mode (flat layout, ``score_pairs_dense``).
 REDUCE_OP = {
     Mode.MAXP: "max",
     Mode.AVEP: "mean",
     Mode.FIRSTP: "sum",
     Mode.PASSAGE: "sum",
+}
+
+#: Masked K-axis reduction per mode (grouped layout, the default path).
+GROUPED_OP = {
+    Mode.MAXP: "max",
+    Mode.AVEP: "mean",
+    Mode.FIRSTP: "first",
+    Mode.PASSAGE: "first",
 }

@@ -91,3 +91,30 @@ def expand_pairs(
     rows = rows_concat[offsets[pair_id_pos][seg] + within].astype(np.int32)
     qno = pair_qno[seg].astype(np.int32)
     return rows, qno, seg
+
+
+def expand_pairs_grouped(
+    pair_id_pos: np.ndarray,
+    rows_concat: np.ndarray,
+    counts: np.ndarray,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Expand pairs into a dense ``(n_pairs, k)`` row matrix + count vector.
+
+    The scatter-free device layout: pair ``p`` scores rows
+    ``rows_mat[p, :counts_per_pair[p]]``; columns beyond the count repeat the
+    last valid row (masked out by the device reduction).
+
+    :param pair_id_pos: Unique-ID position per pair, ``(n_pairs,)``.
+    :param rows_concat: Concatenated row indices per unique ID.
+    :param counts: Rows per unique ID.
+    :param k: Column count (>= ``counts.max()``).
+    :return: ``(rows_mat (n_pairs, k) int32, counts_per_pair (n_pairs,) int32)``.
+    """
+    offsets = np.zeros(counts.shape[0] + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    counts_per_pair = counts[pair_id_pos]
+    col = np.arange(k, dtype=np.int64)[None, :]
+    clamped = np.minimum(col, (counts_per_pair[:, None] - 1).astype(np.int64))
+    rows_mat = rows_concat[offsets[pair_id_pos][:, None] + clamped]
+    return rows_mat.astype(np.int32), counts_per_pair.astype(np.int32)

@@ -34,6 +34,10 @@ class BertConfig:
     max_position_embeddings: int = 512
     type_vocab_size: int = 2  # 0: no token-type embeddings (DistilBERT)
     layer_norm_eps: float = 1e-12
+    # "bfloat16" runs the matmul-heavy blocks in bf16 (fp32 accumulation on
+    # the MXU, layer norms in fp32) for ~2x throughput; "float32" matches
+    # the torch reference bit-for-bit within test tolerances
+    dtype: str = "float32"
 
     @classmethod
     def tiny(cls) -> "BertConfig":
@@ -49,9 +53,15 @@ class BertConfig:
 
 
 def _layer_norm(x: jnp.ndarray, scale, bias, eps: float) -> jnp.ndarray:
+    # always normalize in fp32 (bf16 mean/variance is unstable)
+    dt = x.dtype
+    x = x.astype(jnp.float32)
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    out = (x - mean) * jax.lax.rsqrt(var + eps) * scale.astype(
+        jnp.float32
+    ) + bias.astype(jnp.float32)
+    return out.astype(dt)
 
 
 def _attention(x, mask_bias, p, num_heads: int):
@@ -62,17 +72,17 @@ def _attention(x, mask_bias, p, num_heads: int):
     def split(t):
         return t.reshape(b, l, num_heads, d).transpose(0, 2, 1, 3)
 
-    q = split(x @ p["q_w"] + p["q_b"])
-    k = split(x @ p["k_w"] + p["k_b"])
-    v = split(x @ p["v_w"] + p["v_b"])
+    q = split((x @ p["q_w"] + p["q_b"]).astype(x.dtype))
+    k = split((x @ p["k_w"] + p["k_b"]).astype(x.dtype))
+    v = split((x @ p["v_w"] + p["v_b"]).astype(x.dtype))
 
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
     ) / np.sqrt(d)
-    weights = jax.nn.softmax(logits + mask_bias, axis=-1)
+    weights = jax.nn.softmax(logits + mask_bias, axis=-1).astype(v.dtype)
     ctx = jnp.einsum(
         "bhqk,bhkd->bhqd", weights, v, preferred_element_type=jnp.float32
-    )
+    ).astype(x.dtype)
     ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, h)
     return ctx @ p["o_w"] + p["o_b"]
 
@@ -94,27 +104,36 @@ def encode(
     """
     emb = params["embeddings"]
     b, l = input_ids.shape
-    x = jnp.take(emb["word"], input_ids, axis=0)
-    x = x + emb["position"][None, :l]
+    dt = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+    x = jnp.take(emb["word"], input_ids, axis=0).astype(jnp.float32)
+    x = x + emb["position"][None, :l].astype(jnp.float32)
     if config.type_vocab_size > 0:
         if token_type_ids is None:
             token_type_ids = jnp.zeros_like(input_ids)
-        x = x + jnp.take(emb["token_type"], token_type_ids, axis=0)
-    x = _layer_norm(x, emb["ln_scale"], emb["ln_bias"], config.layer_norm_eps)
+        x = x + jnp.take(emb["token_type"], token_type_ids, axis=0).astype(
+            jnp.float32
+        )
+    x = _layer_norm(
+        x, emb["ln_scale"], emb["ln_bias"], config.layer_norm_eps
+    ).astype(dt)
 
     # additive attention bias, matching the HF convention of
     # (1 - mask) * finfo.min so padded keys get (effectively) -inf logits
-    mask_bias = (1.0 - attention_mask[:, None, None, :].astype(x.dtype)) * (
-        jnp.finfo(x.dtype).min
+    mask_bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * (
+        jnp.finfo(jnp.float32).min
     )
 
     def layer(x, p):
-        attn = _attention(x, mask_bias, p, config.num_heads)
+        p = jax.tree.map(lambda a: a.astype(dt), p)
+        attn = _attention(x, mask_bias, p, config.num_heads).astype(dt)
         x = _layer_norm(
             x + attn, p["attn_ln_s"], p["attn_ln_b"], config.layer_norm_eps
         )
-        ffn = jax.nn.gelu(x @ p["ffn_in_w"] + p["ffn_in_b"], approximate=False)
-        ffn = ffn @ p["ffn_out_w"] + p["ffn_out_b"]
+        ffn = jax.nn.gelu(
+            (x @ p["ffn_in_w"] + p["ffn_in_b"]).astype(jnp.float32),
+            approximate=False,
+        ).astype(dt)
+        ffn = (ffn @ p["ffn_out_w"] + p["ffn_out_b"]).astype(dt)
         x = _layer_norm(
             x + ffn, p["ffn_ln_s"], p["ffn_ln_b"], config.layer_norm_eps
         )
@@ -122,7 +141,7 @@ def encode(
 
     # layers are stacked along a leading axis; scan compiles the body once
     x, _ = jax.lax.scan(layer, x, params["layers"])
-    return x
+    return x.astype(jnp.float32)
 
 
 # -- pooling variants (reference: encoder/transformer.py:62-261) --------------

@@ -5,6 +5,8 @@ from fastforward_tpu.ops.scoring import (
     interpolate_scores,
     pad_i32,
     score_pairs_dense,
+    score_pairs_grouped,
+    score_pairs_grouped_pq,
     score_pairs_pq,
     set_use_pallas,
     use_pallas,
@@ -15,6 +17,8 @@ __all__ = [
     "pad_i32",
     "score_pairs_dense",
     "score_pairs_pq",
+    "score_pairs_grouped",
+    "score_pairs_grouped_pq",
     "interpolate_scores",
     "use_pallas",
     "set_use_pallas",

@@ -89,24 +89,23 @@ def _segment_reduce(
 def score_pairs_dense(
     table: jnp.ndarray,
     qvecs: jnp.ndarray,
-    rows: jnp.ndarray,
-    qno: jnp.ndarray,
-    seg: jnp.ndarray,
+    idx: jnp.ndarray,
     num_out: int,
     op: str,
 ) -> jnp.ndarray:
     """Score (query, doc) pairs against a dense embedding table.
 
-    :param table: Embedding table, shape ``(N, dim)`` (fp32/bf16/int8).
+    :param table: Embedding table, ``(N, dim)`` or ``(N, dim//128, 128)``.
     :param qvecs: Query vectors, shape ``(Q, dim)`` fp32.
-    :param rows: Row index into ``table`` per candidate vector, ``(P,)``.
-    :param qno: Row index into ``qvecs`` per candidate vector, ``(P,)``.
-    :param seg: Output pair id per candidate vector, ``(P,)``; padding rows
-        use ``num_out`` as sentinel.
+    :param idx: Stacked int32 index arrays ``(3, P)``: table row, query row,
+        and output pair id per candidate vector (padding rows use
+        ``num_out`` as segment sentinel).  One array = one host->device
+        transfer per call.
     :param num_out: Number of output pairs (static).
     :param op: Aggregation: ``"max"`` | ``"mean"`` | ``"sum"`` (static).
     :return: Per-pair scores, shape ``(num_out,)`` fp32.
     """
+    rows, qno, seg = idx[0], idx[1], idx[2]
     from fastforward_tpu.ops import gather_dot as gd
 
     if table.ndim == 3:
@@ -134,9 +133,7 @@ def score_pairs_pq(
     codes: jnp.ndarray,
     codebooks: jnp.ndarray,
     qvecs: jnp.ndarray,
-    rows: jnp.ndarray,
-    qno: jnp.ndarray,
-    seg: jnp.ndarray,
+    idx: jnp.ndarray,
     num_out: int,
     op: str,
 ) -> jnp.ndarray:
@@ -152,13 +149,12 @@ def score_pairs_pq(
     :param codebooks: Codebooks, shape ``(M, Ks, Ds)`` fp32.
     :param qvecs: Query vectors (already OPQ-rotated if applicable),
         shape ``(Q, M * Ds)`` fp32.
-    :param rows: Candidate row per entry, ``(P,)``.
-    :param qno: Query per entry, ``(P,)``.
-    :param seg: Output pair per entry, ``(P,)`` (sentinel = ``num_out``).
+    :param idx: Stacked ``(3, P)`` int32 arrays (rows, qno, seg).
     :param num_out: Number of output pairs (static).
     :param op: Aggregation (static).
     :return: Per-pair scores, shape ``(num_out,)`` fp32.
     """
+    rows, qno, seg = idx[0], idx[1], idx[2]
     num_q = qvecs.shape[0]
     m, ks, ds = codebooks.shape
     qsub = qvecs.reshape(num_q, m, ds)
@@ -169,6 +165,111 @@ def score_pairs_pq(
     subspace = jnp.arange(m, dtype=jnp.int32)[None, :]
     row_scores = jnp.sum(lut[qno[:, None], subspace, c], axis=-1)
     return _segment_reduce(row_scores, seg, num_out, op)
+
+
+@partial(jax.jit, static_argnames=("op",))
+def score_pairs_grouped(
+    table: jnp.ndarray,
+    qvecs: jnp.ndarray,
+    idx: jnp.ndarray,
+    op: str,
+) -> jnp.ndarray:
+    """Scatter-free scoring over the dense ``(pairs, K)`` candidate layout.
+
+    Each (query, doc) pair scores up to ``K`` passage rows; the ranking
+    ``Mode`` becomes a masked reduction along the K axis (max / mean /
+    first), entirely dense — no scatter/segment ops, which keeps both the
+    XLA compile and the runtime schedule simple.
+
+    :param table: Embedding table, ``(N, dim)`` or ``(N, dim//128, 128)``.
+    :param qvecs: Query vectors, ``(Q, dim)`` fp32.
+    :param idx: Stacked int32 ``(K + 2, S)``: the row matrix (first ``K``
+        rows, transposed), then ``qno``, then per-pair passage counts
+        (0 for padding pairs).
+    :param op: ``"max"`` | ``"mean"`` | ``"first"`` (static).
+    :return: Per-pair scores, ``(S,)`` fp32.
+    """
+    k = idx.shape[0] - 2
+    s = idx.shape[1]
+    rows_mat = idx[:k].T  # (S, K)
+    qno = idx[k]
+    counts = idx[k + 1]
+
+    d = jnp.take(table, rows_mat.reshape(-1), axis=0).astype(jnp.float32)
+    if table.ndim == 3:
+        q = jnp.take(
+            qvecs.reshape(qvecs.shape[0], table.shape[1], table.shape[2]),
+            qno,
+            axis=0,
+        )
+        scores = jnp.einsum(
+            "skab,sab->sk",
+            d.reshape(s, k, table.shape[1], table.shape[2]),
+            q,
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        q = jnp.take(qvecs, qno, axis=0)
+        scores = jnp.einsum(
+            "skd,sd->sk",
+            d.reshape(s, k, table.shape[1]),
+            q,
+            preferred_element_type=jnp.float32,
+        )
+    return _masked_reduce(scores, counts, op)
+
+
+def _masked_reduce(scores: jnp.ndarray, counts: jnp.ndarray, op: str):
+    """Reduce ``(S, K)`` scores along K, honoring per-pair counts."""
+    k = scores.shape[1]
+    if op == "first" or k == 1:
+        return scores[:, 0]
+    valid = (
+        jnp.arange(k, dtype=jnp.int32)[None, :] < counts[:, None]
+    )
+    if op == "max":
+        return jnp.where(valid, scores, -jnp.inf).max(axis=1)
+    # mean
+    total = jnp.where(valid, scores, 0.0).sum(axis=1)
+    return total / jnp.maximum(counts, 1).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("op",))
+def score_pairs_grouped_pq(
+    codes: jnp.ndarray,
+    codebooks: jnp.ndarray,
+    qvecs: jnp.ndarray,
+    idx: jnp.ndarray,
+    op: str,
+) -> jnp.ndarray:
+    """Grouped-layout ADC scoring against PQ codes (see ``score_pairs_pq``).
+
+    :param codes: PQ codes, ``(N, M)``.
+    :param codebooks: Codebooks, ``(M, Ks, Ds)`` fp32.
+    :param qvecs: (OPQ-rotated) query vectors, ``(Q, M * Ds)``.
+    :param idx: Stacked int32 ``(K + 2, S)`` (row matrix, qno, counts).
+    :param op: ``"max"`` | ``"mean"`` | ``"first"`` (static).
+    :return: Per-pair scores, ``(S,)`` fp32.
+    """
+    k = idx.shape[0] - 2
+    s = idx.shape[1]
+    rows_mat = idx[:k].T
+    qno = idx[k]
+    counts = idx[k + 1]
+
+    num_q = qvecs.shape[0]
+    m, ks, ds = codebooks.shape
+    lut = jnp.einsum(
+        "qmd,mkd->qmk",
+        qvecs.reshape(num_q, m, ds),
+        codebooks,
+        preferred_element_type=jnp.float32,
+    )
+    c = jnp.take(codes, rows_mat.reshape(-1), axis=0).astype(jnp.int32)
+    subspace = jnp.arange(m, dtype=jnp.int32)[None, :]
+    qno_flat = jnp.repeat(qno, k)
+    row_scores = jnp.sum(lut[qno_flat[:, None], subspace, c], axis=-1)
+    return _masked_reduce(row_scores.reshape(s, k), counts, op)
 
 
 def interpolate_scores(

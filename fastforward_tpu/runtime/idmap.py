@@ -81,8 +81,15 @@ def _to_fixed_width(
     ids: Sequence[str | None] | np.ndarray, width: int | None = None
 ) -> np.ndarray:
     """Encode ids as a fixed-width ``S`` array (None -> empty field)."""
-    if isinstance(ids, np.ndarray) and ids.dtype.kind == "S":
-        return ids
+    if isinstance(ids, np.ndarray):
+        if ids.dtype.kind == "S":
+            return ids
+        if ids.dtype.kind == "U":
+            return ids.astype("S")
+        if ids.dtype.kind == "O" and (len(ids) == 0 or isinstance(ids[0], str)):
+            # vectorized C conversion (factorize output: str-only, no Nones;
+            # np.asarray would silently stringify None as b'None')
+            return np.asarray(ids, dtype="S")
     encoded = [(i or "").encode() for i in ids]
     width = width or max((len(e) for e in encoded), default=1)
     return np.array(encoded, dtype=f"S{max(width, 1)}")

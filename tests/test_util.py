@@ -54,30 +54,17 @@ class TestOps(unittest.TestCase):
         expected = expected_rows.reshape(8, 5)
 
         p_bucket = ops.bucket(40)
-        got_max = np.asarray(
-            ops.score_pairs_dense(
-                table,
-                qvecs,
+        idx = np.stack(
+            [
                 ops.pad_i32(rows, p_bucket, 0),
                 ops.pad_i32(qno, p_bucket, 0),
                 ops.pad_i32(seg, p_bucket, 8),
-                8,
-                "max",
-            )
+            ]
         )
+        got_max = np.asarray(ops.score_pairs_dense(table, qvecs, idx, 8, "max"))
         np.testing.assert_allclose(got_max, expected.max(axis=1), rtol=1e-5)
 
-        got_mean = np.asarray(
-            ops.score_pairs_dense(
-                table,
-                qvecs,
-                ops.pad_i32(rows, p_bucket, 0),
-                ops.pad_i32(qno, p_bucket, 0),
-                ops.pad_i32(seg, p_bucket, 8),
-                8,
-                "mean",
-            )
-        )
+        got_mean = np.asarray(ops.score_pairs_dense(table, qvecs, idx, 8, "mean"))
         np.testing.assert_allclose(got_mean, expected.mean(axis=1), rtol=1e-5)
 
 
