@@ -124,15 +124,73 @@ def measure_reference(corpus, qvecs, run, queries, repeats):
         importlib_metadata.version = orig_version
 
 
+def bench_encoder(batch: int, length: int, repeats: int):
+    """Config #2 flavor: query-tower throughput, JAX/TPU vs torch/CPU.
+
+    Uses a randomly initialized BERT-base (identical weights on both sides
+    via the conversion path) so no model download is needed; with real
+    checkpoints the numbers are the same modulo weights.
+    """
+    import torch
+    from transformers import BertConfig as HFBertConfig
+    from transformers import BertModel
+
+    from fastforward_tpu.models import bert
+
+    torch.manual_seed(0)
+    hf_model = BertModel(HFBertConfig())  # BERT-base
+    hf_model.eval()
+    params, config = bert.from_hf_torch(hf_model)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(100, 10_000, size=(batch, length)).astype(np.int32)
+    mask = np.ones((batch, length), dtype=np.int32)
+
+    out = bert.encode_jit(params, ids, mask, config)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = bert.encode_jit(params, ids, mask, config)
+    out.block_until_ready()
+    ours = batch * repeats / (time.perf_counter() - t0)
+    log(f"encoder ours: {ours:.1f} queries/s")
+
+    with torch.no_grad():
+        t_ids = torch.tensor(ids.astype(np.int64))
+        t_mask = torch.tensor(mask.astype(np.int64))
+        hf_model(input_ids=t_ids, attention_mask=t_mask)  # warm-up
+        t0 = time.perf_counter()
+        for _ in range(max(1, repeats // 5)):
+            hf_model(input_ids=t_ids, attention_mask=t_mask)
+        ref = batch * max(1, repeats // 5) / (time.perf_counter() - t0)
+    log(f"encoder reference (torch CPU): {ref:.1f} queries/s")
+    return ours, ref
+
+
 def main():
     parser = argparse.ArgumentParser()
+    parser.add_argument("--config", choices=["rerank", "encoder"], default="rerank")
     parser.add_argument("--n", type=int, default=500_000)
-    parser.add_argument("--queries", type=int, default=32)
+    parser.add_argument("--queries", type=int, default=256)
     parser.add_argument("--depth", type=int, default=1000)
-    parser.add_argument("--repeats", type=int, default=10)
+    parser.add_argument("--repeats", type=int, default=5)
     parser.add_argument("--ref-repeats", type=int, default=2)
     parser.add_argument("--skip-baseline", action="store_true")
     args = parser.parse_args()
+
+    if args.config == "encoder":
+        ours, ref = bench_encoder(batch=32, length=36, repeats=20)
+        print(
+            json.dumps(
+                {
+                    "metric": "query encoding throughput (BERT-base, 32x36 tokens)",
+                    "value": round(ours, 1),
+                    "unit": "queries/s",
+                    "vs_baseline": round(ours / ref, 1),
+                }
+            )
+        )
+        return
 
     config_key = hashlib.sha1(
         f"{args.n}-{args.queries}-{args.depth}-{DIM}".encode()

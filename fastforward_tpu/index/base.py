@@ -303,8 +303,13 @@ class Index(abc.ABC):
         pair_qno: np.ndarray,
         counts_pp: np.ndarray,
         k: int,
-    ) -> np.ndarray:
-        """Run the scatter-free grouped scoring program (the default path)."""
+        fetch: bool = True,
+    ) -> "np.ndarray | jax.Array":
+        """Run the scatter-free grouped scoring program (the default path).
+
+        With ``fetch=False`` the full padded ``(s_bucket,)`` device array is
+        returned (for fusing further device work before the host copy).
+        """
         op = GROUPED_OP[self.mode]
         n_pairs = rows_mat.shape[0]
         s_bucket = ops.bucket(n_pairs)
@@ -325,7 +330,61 @@ class Index(abc.ABC):
             )
         else:
             scores = ops.score_pairs_grouped(view.table, q_pad, idx, op)
+        if not fetch:
+            return scores
         return np.asarray(jax.device_get(scores))[:n_pairs]
+
+    def _score_and_sort(
+        self,
+        df: pd.DataFrame,
+        query_vectors: np.ndarray,
+        q_uniques,
+        score_dtype,
+    ) -> Ranking | None:
+        """Fused fast path: grouped scoring + device-side result ordering.
+
+        Returns ``None`` when the workload needs a fallback path (very
+        ragged documents).
+        """
+        pair_id_pos, ids_unique = pd.factorize(df["id"], sort=False)
+        view, rows_concat, counts = self._gather_view(np.asarray(ids_unique))
+        k_max = int(counts.max()) if counts.size else 1
+        if k_max > self._MAX_GROUP_K:
+            return None
+
+        n_pairs = len(df)
+        pair_qno = df["q_no"].to_numpy(dtype=np.int64)
+        k = max(1, 1 << (k_max - 1).bit_length())
+        rows_mat, counts_pp = expand_pairs_grouped(
+            pair_id_pos.astype(np.int64), rows_concat, counts, k
+        )
+        scores_dev = self._device_score_grouped(
+            view, query_vectors, rows_mat, pair_qno, counts_pp, k, fetch=False
+        )
+
+        # result order: q_id desc (via per-query rank), then score desc —
+        # computed on device while the host assembles nothing
+        n_q = len(q_uniques)
+        q_rank = np.empty(n_q, dtype=np.int32)
+        q_rank[np.argsort(np.asarray(q_uniques, dtype=object))[::-1]] = np.arange(
+            n_q, dtype=np.int32
+        )
+        s_bucket = scores_dev.shape[0]
+        pair_key = np.full(s_bucket, np.iinfo(np.int32).max, dtype=np.int32)
+        pair_key[:n_pairs] = q_rank[pair_qno]
+        order_dev = ops.sort_pairs(scores_dev, pair_key)
+
+        scores_np, order_np = jax.device_get((scores_dev, order_dev))
+        take = order_np[:n_pairs]
+        out = pd.DataFrame(
+            {
+                "q_id": df["q_id"].to_numpy()[take],
+                "id": df["id"].to_numpy()[take],
+                "score": scores_np[take].astype(score_dtype),
+                "query": df["query"].to_numpy()[take],
+            }
+        )
+        return Ranking._from_trusted_frame(out, "fast-forward")
 
     def _device_score_flat(
         self,
@@ -523,6 +582,19 @@ class Index(abc.ABC):
         df["orig_index"] = df.index
 
         query_vectors = self.encode_queries(queries)
+
+        num_queries = len(queries)
+        if early_stopping is None and (
+            batch_size is None or batch_size >= num_queries
+        ):
+            fast = self._score_and_sort(
+                df, query_vectors, q_uniques, ranking._df.dtypes["score"]
+            )
+            if fast is not None:
+                LOGGER.info(
+                    "computed scores in %s seconds", perf_counter() - t0
+                )
+                return fast
 
         def _get_result(frame: pd.DataFrame) -> pd.DataFrame:
             if early_stopping is None:

@@ -9,6 +9,7 @@ from fastforward_tpu.ops.scoring import (
     score_pairs_grouped_pq,
     score_pairs_pq,
     set_use_pallas,
+    sort_pairs,
     use_pallas,
 )
 
@@ -20,6 +21,7 @@ __all__ = [
     "score_pairs_grouped",
     "score_pairs_grouped_pq",
     "interpolate_scores",
+    "sort_pairs",
     "use_pallas",
     "set_use_pallas",
 ]

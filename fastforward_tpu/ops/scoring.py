@@ -191,32 +191,29 @@ def score_pairs_grouped(
     """
     k = idx.shape[0] - 2
     s = idx.shape[1]
-    rows_mat = idx[:k].T  # (S, K)
+    rows_flat = idx[:k].T.reshape(-1)  # (S*K,) row-major per pair
     qno = idx[k]
     counts = idx[k + 1]
 
-    d = jnp.take(table, rows_mat.reshape(-1), axis=0).astype(jnp.float32)
+    # flat elementwise dot (simple XLA program: gather + mul + row reduce),
+    # then a (S, K) reshape for the masked mode reduction
+    d = jnp.take(table, rows_flat, axis=0).astype(jnp.float32)
+    qno_flat = jnp.repeat(qno, k) if k > 1 else qno
     if table.ndim == 3:
         q = jnp.take(
             qvecs.reshape(qvecs.shape[0], table.shape[1], table.shape[2]),
-            qno,
+            qno_flat,
             axis=0,
         )
-        scores = jnp.einsum(
-            "skab,sab->sk",
-            d.reshape(s, k, table.shape[1], table.shape[2]),
-            q,
-            preferred_element_type=jnp.float32,
+        row_scores = jnp.einsum(
+            "pab,pab->p", d, q, preferred_element_type=jnp.float32
         )
     else:
-        q = jnp.take(qvecs, qno, axis=0)
-        scores = jnp.einsum(
-            "skd,sd->sk",
-            d.reshape(s, k, table.shape[1]),
-            q,
-            preferred_element_type=jnp.float32,
+        q = jnp.take(qvecs, qno_flat, axis=0)
+        row_scores = jnp.einsum(
+            "pd,pd->p", d, q, preferred_element_type=jnp.float32
         )
-    return _masked_reduce(scores, counts, op)
+    return _masked_reduce(row_scores.reshape(s, k), counts, op)
 
 
 def _masked_reduce(scores: jnp.ndarray, counts: jnp.ndarray, op: str):
@@ -270,6 +267,32 @@ def score_pairs_grouped_pq(
     qno_flat = jnp.repeat(qno, k)
     row_scores = jnp.sum(lut[qno_flat[:, None], subspace, c], axis=-1)
     return _masked_reduce(row_scores.reshape(s, k), counts, op)
+
+
+@jax.jit
+def sort_pairs(scores: jnp.ndarray, qrank: jnp.ndarray) -> jnp.ndarray:
+    """Order pairs by (query rank asc, score desc) on device.
+
+    Replaces the host-side result sort (the reference re-sorts in the
+    ``Ranking`` constructor, ``ranking.py:115-116``).  The float scores are
+    bit-twiddled into sort-descending uint32 keys and composed with the
+    query rank into one uint64 argsort key.
+
+    :param scores: Per-pair scores, ``(S,)`` fp32.
+    :param qrank: Query order key per pair (padding pairs use a large
+        sentinel so they sort last), ``(S,)`` int32.
+    :return: ``argsort`` permutation, ``(S,)`` int32.
+    """
+    bits = jax.lax.bitcast_convert_type(scores, jnp.uint32)
+    # monotone map: float asc -> uint asc (then inverted for descending)
+    asc = jnp.where(
+        bits >> 31,
+        ~bits,
+        bits | jnp.uint32(0x80000000),
+    )
+    desc = jnp.uint32(0xFFFFFFFF) - asc
+    # two 32-bit keys (uint64 would be truncated without jax x64 mode)
+    return jnp.lexsort((desc, qrank)).astype(jnp.int32)
 
 
 def interpolate_scores(

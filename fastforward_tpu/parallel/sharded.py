@@ -39,36 +39,31 @@ def _sharded_score_fn(mesh: Mesh, op: str):
     def body(table_local, qvecs, idx):
         k = idx.shape[0] - 2
         s = idx.shape[1]
-        rows_mat = idx[:k].T  # (S_local, K)
+        rows_flat = idx[:k].T.reshape(-1)  # (S_local * K,)
         qno = idx[k]
         counts = idx[k + 1]
 
         # chip-local gather: mask rows this shard does not own
         shard = jax.lax.axis_index("shard")
         n_local = table_local.shape[0]
-        local = rows_mat - shard * n_local
+        local = rows_flat - shard * n_local
         owned = (local >= 0) & (local < n_local)
         safe = jnp.where(owned, local, 0)
 
-        d = jnp.take(table_local, safe.reshape(-1), axis=0).astype(jnp.float32)
+        d = jnp.take(table_local, safe, axis=0).astype(jnp.float32)
+        qno_flat = jnp.repeat(qno, k) if k > 1 else qno
         if table_local.ndim == 3:
             a, b = table_local.shape[1], table_local.shape[2]
-            q = jnp.take(qvecs.reshape(qvecs.shape[0], a, b), qno, axis=0)
-            scores = jnp.einsum(
-                "skab,sab->sk",
-                d.reshape(s, k, a, b),
-                q,
-                preferred_element_type=jnp.float32,
+            q = jnp.take(qvecs.reshape(qvecs.shape[0], a, b), qno_flat, axis=0)
+            row_scores = jnp.einsum(
+                "pab,pab->p", d, q, preferred_element_type=jnp.float32
             )
         else:
-            q = jnp.take(qvecs, qno, axis=0)
-            scores = jnp.einsum(
-                "skd,sd->sk",
-                d.reshape(s, k, qvecs.shape[1]),
-                q,
-                preferred_element_type=jnp.float32,
+            q = jnp.take(qvecs, qno_flat, axis=0)
+            row_scores = jnp.einsum(
+                "pd,pd->p", d, q, preferred_element_type=jnp.float32
             )
-        scores = scores * owned.astype(jnp.float32)
+        scores = (row_scores * owned.astype(jnp.float32)).reshape(s, k)
 
         # each element owned by exactly one shard: psum assembles the scores
         scores = jax.lax.psum(scores, "shard")

@@ -101,6 +101,18 @@ class Ranking:
         if queries is not None:
             self._df = self._with_queries(frame, queries)
 
+    @classmethod
+    def _from_trusted_frame(
+        cls, df: pd.DataFrame, name: str | None
+    ) -> "Ranking":
+        """Internal fast path: adopt an already-sorted, typed, deduplicated
+        frame without the constructor's validation scans."""
+        ranking = cls.__new__(cls)
+        ranking.name = name
+        ranking._df = df
+        ranking._q_ids = set(pd.unique(df["q_id"]))
+        return ranking
+
     @staticmethod
     def _with_queries(df: pd.DataFrame, queries: Mapping[str, str]) -> pd.DataFrame:
         """Return ``df`` with a ``query`` column joined in from ``queries``."""

@@ -22,7 +22,7 @@ def build_idmap() -> Path | None:
     cmd = [
         "g++",
         "-O3",
-        "-std=c++17",
+        "-std=c++20",
         "-shared",
         "-fPIC",
         "-o",

@@ -13,26 +13,49 @@
 #include <cstdint>
 #include <cstring>
 #include <string>
+#include <string_view>
 #include <unordered_map>
 #include <vector>
 
 namespace {
 
+// Heterogeneous (allocation-free) lookup for the string-keyed maps.
+struct SvHash {
+  using is_transparent = void;
+  size_t operator()(std::string_view sv) const {
+    return std::hash<std::string_view>{}(sv);
+  }
+  size_t operator()(const std::string& s) const {
+    return std::hash<std::string_view>{}(std::string_view(s));
+  }
+};
+struct SvEq {
+  using is_transparent = void;
+  bool operator()(std::string_view a, std::string_view b) const { return a == b; }
+};
+
+template <typename V>
+using StrMap = std::unordered_map<std::string, V, SvHash, SvEq>;
+
 struct IdMap {
   // doc id -> rows (documents may span multiple passages, in add order)
-  std::unordered_map<std::string, std::vector<int32_t>> doc_rows;
+  StrMap<std::vector<int32_t>> doc_rows;
   // psg id -> unique row
-  std::unordered_map<std::string, int32_t> psg_row;
+  StrMap<int32_t> psg_row;
   // insertion order (needed to enumerate ids deterministically)
   std::vector<const std::string*> doc_order;
   std::vector<const std::string*> psg_order;
 };
 
-inline std::string make_key(const char* data, int64_t width) {
+inline std::string_view make_view(const char* data, int64_t width) {
   // fixed-width field, right-padded with NULs (numpy 'S' layout)
   int64_t len = width;
   while (len > 0 && data[len - 1] == '\0') --len;
-  return std::string(data, static_cast<size_t>(len));
+  return std::string_view(data, static_cast<size_t>(len));
+}
+
+inline std::string make_key(const char* data, int64_t width) {
+  return std::string(make_view(data, width));
 }
 
 }  // namespace
@@ -79,12 +102,12 @@ int64_t idmap_add(void* handle, const char* doc_ids, const char* psg_ids,
 int64_t idmap_check_new(void* handle, const char* psg_ids, int64_t n,
                         int64_t width) {
   IdMap* m = static_cast<IdMap*>(handle);
-  std::unordered_map<std::string, int64_t> batch;
+  StrMap<int64_t> batch;
   for (int64_t i = 0; i < n; ++i) {
-    std::string key = make_key(psg_ids + i * width, width);
+    std::string_view key = make_view(psg_ids + i * width, width);
     if (key.empty()) continue;
-    if (m->psg_row.count(key)) return -(i + 1);
-    auto [it, inserted] = batch.emplace(std::move(key), i);
+    if (m->psg_row.find(key) != m->psg_row.end()) return -(i + 1);
+    auto [it, inserted] = batch.emplace(std::string(key), i);
     if (!inserted) return -(i + 1);
   }
   return 0;
@@ -117,49 +140,50 @@ void idmap_psg_ids(void* handle, char* out, int64_t width) {
   }
 }
 
-// Resolve ids to row counts.  mode: 0 = PASSAGE, 1 = doc all rows
-// (MAXP/AVEP), 2 = doc first row (FIRSTP).  Fills counts[n]; returns the
-// total number of rows, or -(i+1) if id i is missing.
-int64_t idmap_counts(void* handle, const char* ids, int64_t n, int64_t width,
-                     int32_t mode, int32_t* counts) {
+// Resolve ids to row counts, caching the hash-lookup results so the row
+// fill pass needs no second lookup.  mode: 0 = PASSAGE, 1 = doc all rows
+// (MAXP/AVEP), 2 = doc first row (FIRSTP).  Fills counts[n] and cache[n];
+// returns the total number of rows, or -(i+1) if id i is missing.
+int64_t idmap_resolve(void* handle, const char* ids, int64_t n, int64_t width,
+                      int32_t mode, int32_t* counts, const void** cache) {
   IdMap* m = static_cast<IdMap*>(handle);
   int64_t total = 0;
   for (int64_t i = 0; i < n; ++i) {
-    std::string key = make_key(ids + i * width, width);
+    std::string_view key = make_view(ids + i * width, width);
     if (mode == 0) {
       auto it = m->psg_row.find(key);
       if (it == m->psg_row.end()) return -(i + 1);
       counts[i] = 1;
+      // cache the row value itself (avoids any second lookup)
+      cache[i] = reinterpret_cast<const void*>(
+          static_cast<intptr_t>(it->second));
       total += 1;
     } else {
       auto it = m->doc_rows.find(key);
       if (it == m->doc_rows.end() || it->second.empty()) return -(i + 1);
       counts[i] = mode == 2 ? 1 : static_cast<int32_t>(it->second.size());
+      cache[i] = &it->second;
       total += counts[i];
     }
   }
   return total;
 }
 
-// Fill the flat row array (concatenation of each id's rows).  Caller has
-// validated via idmap_counts; missing ids abort with -(i+1).
-int64_t idmap_rows(void* handle, const char* ids, int64_t n, int64_t width,
-                   int32_t mode, int32_t* rows) {
-  IdMap* m = static_cast<IdMap*>(handle);
+// Fill the flat row array from the cache built by idmap_resolve.
+int64_t idmap_fill_cached(void* handle, const void** cache, int64_t n,
+                          int32_t mode, int32_t* rows) {
+  (void)handle;
   int64_t pos = 0;
   for (int64_t i = 0; i < n; ++i) {
-    std::string key = make_key(ids + i * width, width);
     if (mode == 0) {
-      auto it = m->psg_row.find(key);
-      if (it == m->psg_row.end()) return -(i + 1);
-      rows[pos++] = it->second;
+      rows[pos++] =
+          static_cast<int32_t>(reinterpret_cast<intptr_t>(cache[i]));
     } else {
-      auto it = m->doc_rows.find(key);
-      if (it == m->doc_rows.end() || it->second.empty()) return -(i + 1);
+      const auto* vec = static_cast<const std::vector<int32_t>*>(cache[i]);
       if (mode == 2) {
-        rows[pos++] = it->second.front();
+        rows[pos++] = vec->front();
       } else {
-        for (int32_t r : it->second) rows[pos++] = r;
+        for (int32_t r : *vec) rows[pos++] = r;
       }
     }
   }

@@ -55,17 +55,24 @@ def _get_lib():
             ctypes.c_int64,
         ]
         lib.idmap_psg_ids.argtypes = lib.idmap_doc_ids.argtypes
-        lib.idmap_counts.restype = ctypes.c_int64
-        lib.idmap_counts.argtypes = [
+        lib.idmap_resolve.restype = ctypes.c_int64
+        lib.idmap_resolve.argtypes = [
             ctypes.c_void_p,
             ctypes.c_char_p,
             ctypes.c_int64,
             ctypes.c_int64,
             ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_void_p),
         ]
-        lib.idmap_rows.restype = ctypes.c_int64
-        lib.idmap_rows.argtypes = lib.idmap_counts.argtypes
+        lib.idmap_fill_cached.restype = ctypes.c_int64
+        lib.idmap_fill_cached.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         lib.idmap_bulk_load.argtypes = [
             ctypes.c_void_p,
             ctypes.c_char_p,
@@ -81,6 +88,8 @@ def _to_fixed_width(
     ids: Sequence[str | None] | np.ndarray, width: int | None = None
 ) -> np.ndarray:
     """Encode ids as a fixed-width ``S`` array (None -> empty field)."""
+    if hasattr(ids, "to_numpy") and not isinstance(ids, np.ndarray):
+        ids = ids.to_numpy()  # pd.Index from factorize
     if isinstance(ids, np.ndarray):
         if ids.dtype.kind == "S":
             return ids
@@ -208,31 +217,30 @@ class NativeIdMap:
         """
         code = _MODE_CODE[mode]
         n = len(ids)
-        arr = _to_fixed_width(ids)
+        arr = np.ascontiguousarray(_to_fixed_width(ids))
         width = arr.dtype.itemsize
-        buf = self._buf(arr)
+        buf = arr.ctypes.data_as(ctypes.c_char_p)
         counts = np.zeros(n, dtype=np.int32)
-        total = self._lib.idmap_counts(
+        cache = np.zeros(n, dtype=np.uintp)
+        total = self._lib.idmap_resolve(
             self._handle,
             buf,
             n,
             width,
             code,
             counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            cache.ctypes.data_as(ctypes.POINTER(ctypes.c_void_p)),
         )
         if total < 0:
             raise IndexError(f"ID {ids[-total - 1]} not found in the index.")
         rows = np.zeros(int(total), dtype=np.int32)
-        rc = self._lib.idmap_rows(
+        self._lib.idmap_fill_cached(
             self._handle,
-            buf,
+            cache.ctypes.data_as(ctypes.POINTER(ctypes.c_void_p)),
             n,
-            width,
             code,
             rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         )
-        if rc < 0:  # pragma: no cover - consistent with idmap_counts
-            raise IndexError(f"ID {ids[-rc - 1]} not found in the index.")
         return rows, counts
 
     def inverse(self, n_rows: int) -> tuple[list[str | None], list[str | None]]:

@@ -1,0 +1,91 @@
+"""Cross-checks between the grouped, flat, and host scoring paths."""
+
+import unittest
+
+import numpy as np
+
+from fastforward_tpu.encoder import LambdaEncoder
+from fastforward_tpu.index import InMemoryIndex, Mode
+from fastforward_tpu.quantizer import PQ, ScalarQuantizer
+from fastforward_tpu.ranking import Ranking
+
+RNG = np.random.default_rng(31)
+DIM = 32
+
+
+def _index_with(doc_sizes, mode, quantizer=None):
+    """Index where doc i has doc_sizes[i] passages; returns ground truth."""
+    qvec = RNG.normal(size=DIM).astype(np.float32)
+    vectors = []
+    doc_ids = []
+    for d, size in enumerate(doc_sizes):
+        for _ in range(size):
+            vectors.append(RNG.normal(size=DIM).astype(np.float32))
+            doc_ids.append(f"d{d}")
+    vectors = np.stack(vectors)
+    index = InMemoryIndex(
+        LambdaEncoder(lambda _: qvec), mode=mode, quantizer=quantizer
+    )
+    index.add(vectors, doc_ids=doc_ids)
+    if quantizer is not None:
+        vectors = quantizer.decode(quantizer.encode(vectors))
+    per_row = vectors @ qvec
+    truth = {}
+    pos = 0
+    for d, size in enumerate(doc_sizes):
+        rows = per_row[pos : pos + size]
+        pos += size
+        if mode == Mode.MAXP:
+            truth[f"d{d}"] = float(rows.max())
+        elif mode == Mode.AVEP:
+            truth[f"d{d}"] = float(rows.mean())
+        else:
+            truth[f"d{d}"] = float(rows[0])
+    return index, truth
+
+
+class TestRaggedDocs(unittest.TestCase):
+    def _check(self, doc_sizes, mode, places=3, quantizer=None):
+        index, truth = _index_with(doc_sizes, mode, quantizer)
+        run = {"q1": {d: 1.0 for d in truth}}
+        result = index(Ranking.from_run(run, queries={"q1": "x"}))["q1"]
+        for doc, expected in truth.items():
+            self.assertAlmostEqual(expected, result[doc], places=places, msg=doc)
+
+    def test_grouped_path_ragged(self):
+        """Varying passage counts within the grouped-K limit."""
+        for mode in (Mode.MAXP, Mode.AVEP, Mode.FIRSTP):
+            self._check([1, 3, 7, 2, 5, 1, 8], mode)
+
+    def test_flat_fallback_large_doc(self):
+        """A >64-passage document forces the segment fallback path."""
+        for mode in (Mode.MAXP, Mode.AVEP, Mode.FIRSTP):
+            self._check([2, 100, 5], mode)
+
+    def test_grouped_pq_ragged(self):
+        quantizer = PQ(4, 16)
+        quantizer.fit(RNG.normal(size=(64, DIM)).astype(np.float32))
+        for mode in (Mode.MAXP, Mode.AVEP):
+            self._check([1, 3, 6, 2], mode, places=3, quantizer=quantizer)
+
+    def test_scalar_quantizer_scoring(self):
+        quantizer = ScalarQuantizer()
+        quantizer.fit(RNG.normal(size=(64, DIM)).astype(np.float32))
+        self._check([2, 4, 1], Mode.MAXP, places=2, quantizer=quantizer)
+
+
+class TestFlatVsGroupedParity(unittest.TestCase):
+    def test_same_scores(self):
+        """Force the flat path and compare against grouped on the same data."""
+        index, truth = _index_with([1, 3, 7, 2], Mode.MAXP)
+        run = {"q1": {d: 1.0 for d in truth}}
+        ranking = Ranking.from_run(run, queries={"q1": "x"})
+        grouped = index(ranking)["q1"]
+        index._MAX_GROUP_K = 0  # force the segment fallback
+        flat = index(ranking)["q1"]
+        for doc in truth:
+            self.assertAlmostEqual(grouped[doc], flat[doc], places=4)
+
+
+if __name__ == "__main__":
+    unittest.main()
