@@ -363,19 +363,22 @@ class Index(abc.ABC):
         )
 
         # result order: q_id desc (via per-query rank), then score desc —
-        # computed on device while the host assembles nothing
+        # one numpy argsort over a composite uint64 key (query rank in the
+        # high bits, bit-twiddled descending score in the low bits); a
+        # device-side sort costs minutes of TPU sort compilation for no
+        # runtime win at these sizes
         n_q = len(q_uniques)
-        q_rank = np.empty(n_q, dtype=np.int32)
+        q_rank = np.empty(n_q, dtype=np.uint64)
         q_rank[np.argsort(np.asarray(q_uniques, dtype=object))[::-1]] = np.arange(
-            n_q, dtype=np.int32
+            n_q, dtype=np.uint64
         )
-        s_bucket = scores_dev.shape[0]
-        pair_key = np.full(s_bucket, np.iinfo(np.int32).max, dtype=np.int32)
-        pair_key[:n_pairs] = q_rank[pair_qno]
-        order_dev = ops.sort_pairs(scores_dev, pair_key)
-
-        scores_np, order_np = jax.device_get((scores_dev, order_dev))
-        take = order_np[:n_pairs]
+        scores_np = np.asarray(jax.device_get(scores_dev))[:n_pairs]
+        bits = scores_np.view(np.uint32)
+        score_asc = np.where(bits >> 31 != 0, ~bits, bits | np.uint32(0x80000000))
+        key = (q_rank[pair_qno] << np.uint64(32)) | (
+            np.uint32(0xFFFFFFFF) - score_asc
+        ).astype(np.uint64)
+        take = np.argsort(key, kind="stable")
         out = pd.DataFrame(
             {
                 "q_id": df["q_id"].to_numpy()[take],
@@ -488,17 +491,19 @@ class Index(abc.ABC):
             if a == 0:
                 active = list(pd.unique(df["q_id"]))
             else:
+                # vectorized criterion: a query continues while its
+                # cutoff-th best interpolated score could still be beaten by
+                # an unscored doc (lexical bound = last scored lexical score,
+                # semantic bound = best semantic score seen)
                 so_far = pd.concat(scored)
-                active = (
-                    so_far.groupby("q_id")
-                    .filter(
-                        lambda g: g["int_score"].nlargest(cutoff).iat[-1]
-                        < alpha * g["score"].iat[-1]
-                        + (1 - alpha) * g["ff_score"].max()
-                    )["q_id"]
-                    .drop_duplicates()
-                    .to_list()
-                )
+                grouped = so_far.groupby("q_id", sort=False)
+                kth_best = grouped["int_score"].nlargest(cutoff).groupby(
+                    "q_id", sort=False
+                ).min()
+                last_lexical = grouped["score"].last()
+                best_semantic = grouped["ff_score"].max()
+                bound = alpha * last_lexical + (1 - alpha) * best_semantic
+                active = kth_best.index[kth_best < bound].to_list()
             LOGGER.info("depth %s: %s queries left", b, len(active))
 
             chunk = (

@@ -197,14 +197,15 @@ class InMemoryIndex(Index):
             dim = data.shape[1]
             table = np.zeros((n_pad, dim), dtype=np.float32)
             table[: self._num] = data
-            if dim % 128 == 0 and self._device_dtype != "bfloat16":
+            if dim % 128 == 0:
                 # (N, dim//128, 128): row-DMA-friendly layout for the fused
                 # Pallas gather-dot kernel (free reshape on the host side)
-                dev = jnp.asarray(table.reshape(n_pad, dim // 128, 128))
-            else:
-                dev = jnp.asarray(table)
-                if self._device_dtype == "bfloat16":
-                    dev = dev.astype(jnp.bfloat16)
+                table = table.reshape(n_pad, dim // 128, 128)
+            dev = jnp.asarray(table)
+            if self._device_dtype == "bfloat16":
+                # halves HBM footprint and gather bandwidth; dots still
+                # accumulate in fp32
+                dev = dev.astype(jnp.bfloat16)
             self._dev_view = DeviceView(kind="dense", table=dev)
 
         self._dev_rows = self._num

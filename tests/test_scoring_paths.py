@@ -74,6 +74,28 @@ class TestRaggedDocs(unittest.TestCase):
         self._check([2, 4, 1], Mode.MAXP, places=2, quantizer=quantizer)
 
 
+class TestBf16Table(unittest.TestCase):
+    def test_bf16_close_to_fp32(self):
+        qvec = RNG.normal(size=128).astype(np.float32)
+        vectors = RNG.normal(size=(64, 128)).astype(np.float32)
+        run = {"q1": {f"p{i}": 1.0 for i in range(64)}}
+        queries = {"q1": "x"}
+        results = {}
+        for dtype in ("float32", "bfloat16"):
+            index = InMemoryIndex(
+                LambdaEncoder(lambda _: qvec),
+                mode=Mode.PASSAGE,
+                device_dtype=dtype,
+            )
+            index.add(vectors, psg_ids=[f"p{i}" for i in range(64)])
+            results[dtype] = index(Ranking.from_run(run, queries=queries))["q1"]
+        for pid, fp32_score in results["float32"].items():
+            scale = max(1.0, abs(fp32_score))
+            self.assertLess(
+                abs(fp32_score - results["bfloat16"][pid]) / scale, 0.05
+            )
+
+
 class TestFlatVsGroupedParity(unittest.TestCase):
     def test_same_scores(self):
         """Force the flat path and compare against grouped on the same data."""
