@@ -51,6 +51,18 @@ def _query_map(qvecs, queries):
     return lambda text: by_text[text]
 
 
+def _enable_compile_cache():
+    """Persist XLA compilations under the repo (remote TPU compiles are
+    minutes-slow; the cache survives across bench runs)."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # pragma: no cover
+        log(f"compile cache unavailable: {e}")
+
+
 def measure_ours(corpus, qvecs, run, queries, depth, repeats):
     from fastforward_tpu.encoder import LambdaEncoder
     from fastforward_tpu.index import InMemoryIndex, Mode
@@ -58,6 +70,7 @@ def measure_ours(corpus, qvecs, run, queries, depth, repeats):
 
     import jax
 
+    _enable_compile_cache()
     log(f"backend: {jax.default_backend()}")
     index = InMemoryIndex(LambdaEncoder(_query_map(qvecs, queries)), mode=Mode.PASSAGE)
     index.add(corpus, psg_ids=[f"p{i}" for i in range(corpus.shape[0])])
@@ -137,6 +150,7 @@ def bench_encoder(batch: int, length: int, repeats: int):
 
     from fastforward_tpu.models import bert
 
+    _enable_compile_cache()
     torch.manual_seed(0)
     hf_model = BertModel(HFBertConfig())  # BERT-base
     hf_model.eval()

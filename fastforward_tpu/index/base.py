@@ -313,11 +313,10 @@ class Index(abc.ABC):
         op = GROUPED_OP[self.mode]
         n_pairs = rows_mat.shape[0]
         s_bucket = ops.bucket(n_pairs)
-        # one stacked transfer: K row columns + qno + counts
-        idx = np.zeros((k + 2, s_bucket), dtype=np.int32)
+        # one stacked transfer: K row columns + packed (qno, counts) row
+        idx = np.zeros((k + 1, s_bucket), dtype=np.int32)
         idx[:k, :n_pairs] = rows_mat.T
-        idx[k, :n_pairs] = pair_qno
-        idx[k + 1, :n_pairs] = counts_pp
+        idx[k, :n_pairs] = (pair_qno.astype(np.int32) << 8) | counts_pp
         q_pad = self._pad_queries(query_vectors, view)
 
         if view.mesh is not None:

@@ -183,17 +183,18 @@ def score_pairs_grouped(
 
     :param table: Embedding table, ``(N, dim)`` or ``(N, dim//128, 128)``.
     :param qvecs: Query vectors, ``(Q, dim)`` fp32.
-    :param idx: Stacked int32 ``(K + 2, S)``: the row matrix (first ``K``
-        rows, transposed), then ``qno``, then per-pair passage counts
-        (0 for padding pairs).
+    :param idx: Stacked int32 ``(K + 1, S)``: the row matrix (first ``K``
+        rows, transposed) and a packed last row ``qno * 256 + counts``
+        (counts <= 255; 0 for padding pairs).  Packing keeps the per-call
+        host->device transfer to one array of ``K + 1`` rows.
     :param op: ``"max"`` | ``"mean"`` | ``"first"`` (static).
     :return: Per-pair scores, ``(S,)`` fp32.
     """
-    k = idx.shape[0] - 2
+    k = idx.shape[0] - 1
     s = idx.shape[1]
     rows_flat = idx[:k].T.reshape(-1)  # (S*K,) row-major per pair
-    qno = idx[k]
-    counts = idx[k + 1]
+    qno = idx[k] >> 8
+    counts = idx[k] & 0xFF
 
     # flat elementwise dot (simple XLA program: gather + mul + row reduce),
     # then a (S, K) reshape for the masked mode reduction
@@ -244,15 +245,16 @@ def score_pairs_grouped_pq(
     :param codes: PQ codes, ``(N, M)``.
     :param codebooks: Codebooks, ``(M, Ks, Ds)`` fp32.
     :param qvecs: (OPQ-rotated) query vectors, ``(Q, M * Ds)``.
-    :param idx: Stacked int32 ``(K + 2, S)`` (row matrix, qno, counts).
+    :param idx: Stacked int32 ``(K + 1, S)`` (row matrix + packed
+        ``qno * 256 + counts`` row).
     :param op: ``"max"`` | ``"mean"`` | ``"first"`` (static).
     :return: Per-pair scores, ``(S,)`` fp32.
     """
-    k = idx.shape[0] - 2
+    k = idx.shape[0] - 1
     s = idx.shape[1]
     rows_mat = idx[:k].T
-    qno = idx[k]
-    counts = idx[k + 1]
+    qno = idx[k] >> 8
+    counts = idx[k] & 0xFF
 
     num_q = qvecs.shape[0]
     m, ks, ds = codebooks.shape

@@ -37,11 +37,11 @@ def _sharded_score_fn(mesh: Mesh, op: str):
     """Build the shard_map scoring program for one aggregation op."""
 
     def body(table_local, qvecs, idx):
-        k = idx.shape[0] - 2
+        k = idx.shape[0] - 1
         s = idx.shape[1]
         rows_flat = idx[:k].T.reshape(-1)  # (S_local * K,)
-        qno = idx[k]
-        counts = idx[k + 1]
+        qno = idx[k] >> 8
+        counts = idx[k] & 0xFF
 
         # chip-local gather: mask rows this shard does not own
         shard = jax.lax.axis_index("shard")
@@ -101,8 +101,8 @@ def score_pairs_sharded(
     :param table: Row-sharded 3D table ``(N_pad, dim//128, 128)``
         (``N_pad`` divisible by the ``shard`` axis size).
     :param qvecs: Replicated query vectors ``(Qb, dim)``.
-    :param idx: Stacked int32 ``(K + 2, Sb)`` (row matrix, qno, counts);
-        ``Sb`` divisible by the ``data`` axis size.
+    :param idx: Stacked int32 ``(K + 1, Sb)`` (row matrix + packed
+        ``qno * 256 + counts`` row); ``Sb`` divisible by ``data``.
     :param op: ``"max"`` | ``"mean"`` | ``"first"``.
     :return: Per-pair scores, ``(Sb,)``.
     """
