@@ -181,9 +181,73 @@ def bench_encoder(batch: int, length: int, repeats: int):
     return ours, ref
 
 
+def measure_ours_pq(corpus, qvecs, run, queries, repeats):
+    """Config #3: PQ-quantized index with in-kernel ADC scoring."""
+    from fastforward_tpu.encoder import LambdaEncoder
+    from fastforward_tpu.index import InMemoryIndex, Mode
+    from fastforward_tpu.quantizer import PQ
+    from fastforward_tpu.ranking import Ranking
+
+    _enable_compile_cache()
+    quantizer = PQ(96, 256)  # 768 dims -> 96 uint8 codes (32x compression)
+    t0 = time.perf_counter()
+    quantizer.fit(corpus[: 2**16])
+    log(f"PQ fit on {2**16} vectors: {time.perf_counter() - t0:.1f}s")
+
+    index = InMemoryIndex(
+        LambdaEncoder(_query_map(qvecs, queries)),
+        quantizer=quantizer,
+        mode=Mode.PASSAGE,
+    )
+    t0 = time.perf_counter()
+    index.add(corpus, psg_ids=[f"p{i}" for i in range(corpus.shape[0])])
+    log(f"encode+add: {time.perf_counter() - t0:.1f}s")
+    ranking = Ranking.from_run(run, queries=queries)
+
+    t0 = time.perf_counter()
+    index(ranking)
+    log(f"PQ first call (incl. compile): {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        index(ranking)
+    qps = len(queries) * repeats / (time.perf_counter() - t0)
+    log(f"PQ: {qps:.1f} QPS")
+    return qps
+
+
+def measure_ours_early_stopping(corpus, qvecs, run, queries, repeats, cutoff=10):
+    """Config #4: early-stopping approximate scoring."""
+    from fastforward_tpu.encoder import LambdaEncoder
+    from fastforward_tpu.index import InMemoryIndex, Mode
+    from fastforward_tpu.ranking import Ranking
+
+    _enable_compile_cache()
+    index = InMemoryIndex(LambdaEncoder(_query_map(qvecs, queries)), mode=Mode.PASSAGE)
+    index.add(corpus, psg_ids=[f"p{i}" for i in range(corpus.shape[0])])
+    ranking = Ranking.from_run(run, queries=queries)
+    kwargs = dict(
+        early_stopping=cutoff,
+        early_stopping_alpha=0.2,
+        early_stopping_depths=(200, 1000, 5000),
+    )
+    t0 = time.perf_counter()
+    index(ranking, **kwargs)
+    log(f"ES first call (incl. compile): {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        index(ranking, **kwargs)
+    qps = len(queries) * repeats / (time.perf_counter() - t0)
+    log(f"ES: {qps:.1f} QPS")
+    return qps
+
+
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--config", choices=["rerank", "encoder"], default="rerank")
+    parser.add_argument(
+        "--config",
+        choices=["rerank", "encoder", "pq", "early-stopping"],
+        default="rerank",
+    )
     parser.add_argument("--n", type=int, default=500_000)
     parser.add_argument("--queries", type=int, default=256)
     parser.add_argument("--depth", type=int, default=1000)
@@ -212,6 +276,41 @@ def main():
 
     log(f"workload: N={args.n} Q={args.queries} depth={args.depth} dim={DIM}")
     corpus, qvecs, run, queries = make_workload(args.n, args.queries, args.depth)
+
+    if args.config == "pq":
+        qps = measure_ours_pq(corpus, qvecs, run, queries, args.repeats)
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        f"PQ (M=96,Ks=256) re-rank QPS "
+                        f"(depth-{args.depth}, N={args.n})"
+                    ),
+                    "value": round(qps, 1),
+                    "unit": "QPS",
+                    "vs_baseline": None,
+                }
+            )
+        )
+        return
+    if args.config == "early-stopping":
+        qps = measure_ours_early_stopping(
+            corpus, qvecs, run, queries, args.repeats
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        f"early-stopping re-rank QPS "
+                        f"(cutoff-10, depths 200/1000/5000, N={args.n})"
+                    ),
+                    "value": round(qps, 1),
+                    "unit": "QPS",
+                    "vs_baseline": None,
+                }
+            )
+        )
+        return
 
     qps = measure_ours(corpus, qvecs, run, queries, args.depth, args.repeats)
 

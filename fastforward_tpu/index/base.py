@@ -31,7 +31,7 @@ from fastforward_tpu.encoder.base import Encoder
 from fastforward_tpu.index.mode import GROUPED_OP, REDUCE_OP, Mode
 from fastforward_tpu.index.util import expand_pairs, expand_pairs_grouped
 from fastforward_tpu.quantizer import Quantizer
-from fastforward_tpu.quantizer.pq import OPQ, PQ
+from fastforward_tpu.quantizer.pq import OPQ
 from fastforward_tpu.quantizer.scalar import ScalarQuantizer
 from fastforward_tpu.ranking import Ranking
 
@@ -313,11 +313,32 @@ class Index(abc.ABC):
         op = GROUPED_OP[self.mode]
         n_pairs = rows_mat.shape[0]
         s_bucket = ops.bucket(n_pairs)
+        q_pad = self._pad_queries(query_vectors, view)
+
+        if (
+            k == 1
+            and view.mesh is None
+            and view.kind == "dense"
+            and (n_pairs == 0 or (np.diff(pair_qno) >= 0).all())
+        ):
+            # single row per pair, pairs grouped by query: send only the row
+            # array; the device recovers qno from per-query boundaries
+            rows_p = np.zeros(s_bucket, dtype=np.int32)
+            rows_p[:n_pairs] = rows_mat[:, 0]
+            # cumulative end of each query's pair run (padding pairs fall
+            # past the last bound and clip to the zero padding query)
+            bounds = np.searchsorted(
+                pair_qno, np.arange(q_pad.shape[0]), side="right"
+            ).astype(np.int32)
+            scores = ops.score_pairs_bounded(view.table, q_pad, rows_p, bounds)
+            if not fetch:
+                return scores
+            return np.asarray(jax.device_get(scores))[:n_pairs]
+
         # one stacked transfer: K row columns + packed (qno, counts) row
         idx = np.zeros((k + 1, s_bucket), dtype=np.int32)
         idx[:k, :n_pairs] = rows_mat.T
         idx[k, :n_pairs] = (pair_qno.astype(np.int32) << 8) | counts_pp
-        q_pad = self._pad_queries(query_vectors, view)
 
         if view.mesh is not None:
             from fastforward_tpu.parallel.sharded import score_pairs_sharded

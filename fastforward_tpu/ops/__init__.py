@@ -4,6 +4,7 @@ from fastforward_tpu.ops.scoring import (
     bucket,
     interpolate_scores,
     pad_i32,
+    score_pairs_bounded,
     score_pairs_dense,
     score_pairs_grouped,
     score_pairs_grouped_pq,
@@ -16,6 +17,7 @@ from fastforward_tpu.ops.scoring import (
 __all__ = [
     "bucket",
     "pad_i32",
+    "score_pairs_bounded",
     "score_pairs_dense",
     "score_pairs_pq",
     "score_pairs_grouped",

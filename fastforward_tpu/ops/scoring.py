@@ -217,6 +217,45 @@ def score_pairs_grouped(
     return _masked_reduce(row_scores.reshape(s, k), counts, op)
 
 
+@jax.jit
+def score_pairs_bounded(
+    table: jnp.ndarray,
+    qvecs: jnp.ndarray,
+    rows: jnp.ndarray,
+    bounds: jnp.ndarray,
+) -> jnp.ndarray:
+    """Single-row-per-pair scoring with boundary-encoded query assignment.
+
+    The dominant re-ranking case (PASSAGE/FIRSTP, or one stored vector per
+    document) sends only the row array: pairs arrive grouped by query, so
+    the query number is recovered on device from the cumulative per-query
+    pair counts (``qno[i] = searchsorted(bounds, i, 'right')``) — halving
+    the per-call host->device transfer.
+
+    :param table: Embedding table, ``(N, dim)`` or ``(N, dim//128, 128)``.
+    :param qvecs: Query vectors, ``(Q, dim)`` fp32.
+    :param rows: Table row per pair, ``(S,)`` int32.
+    :param bounds: Cumulative pair counts per query (padded with ``S``),
+        ``(Q,)`` int32.
+    :return: Per-pair scores, ``(S,)`` fp32.
+    """
+    s = rows.shape[0]
+    iota = jnp.arange(s, dtype=jnp.int32)
+    qno = jnp.clip(
+        jnp.searchsorted(bounds, iota, side="right"), 0, qvecs.shape[0] - 1
+    ).astype(jnp.int32)
+    d = jnp.take(table, rows, axis=0).astype(jnp.float32)
+    if table.ndim == 3:
+        q = jnp.take(
+            qvecs.reshape(qvecs.shape[0], table.shape[1], table.shape[2]),
+            qno,
+            axis=0,
+        )
+        return jnp.einsum("pab,pab->p", d, q, preferred_element_type=jnp.float32)
+    q = jnp.take(qvecs, qno, axis=0)
+    return jnp.einsum("pd,pd->p", d, q, preferred_element_type=jnp.float32)
+
+
 def _masked_reduce(scores: jnp.ndarray, counts: jnp.ndarray, op: str):
     """Reduce ``(S, K)`` scores along K, honoring per-pair counts."""
     k = scores.shape[1]
