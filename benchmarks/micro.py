@@ -110,5 +110,36 @@ def main():
     )
 
 
+
+
+def n_scaling_probe():
+    """Is gather runtime N-dependent? Same P, two table sizes."""
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(np.zeros((256, 768), np.float32))
+    sb = 262_144
+    for n in (102_400, 503_808):
+        table = jnp.asarray(
+            rng.normal(size=(n, 6, 128)).astype(np.float32)
+        )
+        table.block_until_ready()
+        rows = jnp.asarray(rng.integers(0, n, size=sb).astype(np.int32))
+        bounds = jnp.asarray(
+            np.full(256, sb // 256, np.int32).cumsum().astype(np.int32)
+        )
+        out = ops.score_pairs_bounded(table, q, rows, bounds)
+        np.asarray(out[:8])  # force
+        timeit(
+            f"exec-forced bounded N={n}",
+            lambda: np.asarray(
+                ops.score_pairs_bounded(table, q, rows, bounds)[:8]
+            ),
+            reps=10,
+        )
+        del table
+
+
 if __name__ == "__main__":
-    main()
+    if "--scaling" in sys.argv:
+        n_scaling_probe()
+    else:
+        main()

@@ -7,10 +7,12 @@ batches, switch ranking ``Mode``.
 
 The scoring path is redesigned TPU-first (SURVEY.md §7): instead of
 string-keyed pandas merges and a numpy dot-product loop, the host resolves
-IDs to int32 rows once and builds flat ``(rows, qno, seg)`` arrays; a single
-jitted device program gathers candidate vectors from the HBM table,
-(de)quantizes, computes dot products and applies the mode's segment
-reduction (see ``fastforward_tpu.ops.scoring``).
+IDs to int32 rows (natively) and builds a dense ``(pairs, K)`` candidate
+layout; a single jitted device program gathers candidate vectors from the
+HBM table, (de)quantizes, computes dot products and applies the ranking
+mode as a masked K-axis reduction (see ``fastforward_tpu.ops.scoring``).
+Transfers per call are minimal: one int32 index array down (just the row
+array in the common one-vector-per-pair case), the score vector back.
 """
 
 import abc
@@ -319,6 +321,29 @@ class Index(abc.ABC):
             k == 1
             and view.mesh is None
             and view.kind == "dense"
+            and view.table.ndim == 3
+            and view.table.shape[0] % ops.STREAM_TILE_ROWS == 0
+            and n_pairs * 500 > view.table.shape[0]
+        ):
+            # dense candidate sets: stream the table through the MXU instead
+            # of gathering rows (XLA row gather is ~4us/row on TPU)
+            layout = ops.build_streamed_layout(
+                rows_mat[:, 0].astype(np.int64),
+                pair_qno,
+                view.table.shape[0],
+                q_pad.shape[0],
+            )
+            if layout is not None:
+                cand, tile_idx, slot_of_pair = layout
+                outs = ops.score_pairs_streamed(
+                    view.table, q_pad, cand, tile_idx, ops.STREAM_TILE_ROWS
+                )
+                return np.asarray(jax.device_get(outs))[slot_of_pair]
+
+        if (
+            k == 1
+            and view.mesh is None
+            and view.kind == "dense"
             and (n_pairs == 0 or (np.diff(pair_qno) >= 0).all())
         ):
             # single row per pair, pairs grouped by query: send only the row
@@ -367,7 +392,7 @@ class Index(abc.ABC):
         ragged documents).
         """
         pair_id_pos, ids_unique = pd.factorize(df["id"], sort=False)
-        view, rows_concat, counts = self._gather_view(np.asarray(ids_unique))
+        view, rows_concat, counts = self._gather_view(ids_unique)
         k_max = int(counts.max()) if counts.size else 1
         if k_max > self._MAX_GROUP_K:
             return None
@@ -399,12 +424,14 @@ class Index(abc.ABC):
             np.uint32(0xFFFFFFFF) - score_asc
         ).astype(np.uint64)
         take = np.argsort(key, kind="stable")
+        # ExtensionArray.take keeps arrow-backed string columns arrow-native
+        # (no object round trip when assembling the result frame)
         out = pd.DataFrame(
             {
-                "q_id": df["q_id"].to_numpy()[take],
-                "id": df["id"].to_numpy()[take],
+                "q_id": df["q_id"].array.take(take),
+                "id": df["id"].array.take(take),
                 "score": scores_np[take].astype(score_dtype),
-                "query": df["query"].to_numpy()[take],
+                "query": df["query"].array.take(take),
             }
         )
         return Ranking._from_trusted_frame(out, "fast-forward")

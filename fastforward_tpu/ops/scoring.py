@@ -256,6 +256,127 @@ def score_pairs_bounded(
     return jnp.einsum("pd,pd->p", d, q, preferred_element_type=jnp.float32)
 
 
+@partial(jax.jit, static_argnames=("r",))
+def score_pairs_streamed(
+    table: jnp.ndarray,
+    qvecs: jnp.ndarray,
+    cand: jnp.ndarray,
+    tile_idx: jnp.ndarray,
+    r: int,
+) -> jnp.ndarray:
+    """Streaming matmul-select scoring: no gathers at all.
+
+    XLA's row gather on TPU is per-row-overhead bound (~4us/row measured on
+    v5e — 15 GB/s effective, 2% of HBM bandwidth).  For candidate sets that
+    are dense relative to the corpus, it is *much* faster to stream the
+    table through the MXU instead: ``lax.scan`` over ``r``-row table tiles
+    computes each tile's scores against **all** queries as one matmul, and
+    the per-tile candidates (host-bucketed into ``(T_virtual, CAP)`` slots)
+    are selected with two dense one-hot contractions — every op is a matmul
+    or elementwise, nothing gathers, the compile is seconds not minutes.
+
+    :param table: Embedding table, ``(N_pad, dim//128, 128)``,
+        ``N_pad % r == 0``.
+    :param qvecs: Query vectors, ``(Qb, dim)`` fp32.
+    :param cand: Packed candidates, ``(T_virtual, CAP)`` int32 with value
+        ``local_row * Qb + qno`` (padding slots point at the zero padding
+        query, their output is discarded).
+    :param tile_idx: Base table tile per virtual tile, ``(T_virtual,)``.
+    :param r: Rows per table tile (static).
+    :return: Scores per candidate slot, ``(T_virtual * CAP,)`` fp32.
+    """
+    qb = qvecs.shape[0]
+    k, lanes = table.shape[1], table.shape[2]
+    q3 = qvecs.reshape(qb, k, lanes)
+
+    def step(_, inp):
+        t_idx, cand_t = inp
+        tile = jax.lax.dynamic_slice(
+            table, (t_idx * r, 0, 0), (r, k, lanes)
+        ).astype(jnp.float32)
+        # all-queries scores for this tile: one MXU matmul
+        tile_scores = jnp.einsum(
+            "rkl,qkl->rq", tile, q3, preferred_element_type=jnp.float32
+        )  # (r, Qb)
+        local = cand_t // qb
+        qsel = cand_t % qb
+        # row selection: one-hot (CAP, r) @ (r, Qb) on the MXU
+        row_onehot = (
+            local[:, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (1, r), 1)
+        ).astype(jnp.float32)
+        picked = jnp.dot(
+            row_onehot, tile_scores, preferred_element_type=jnp.float32
+        )  # (CAP, Qb)
+        # query selection: masked row reduction on the VPU
+        q_onehot = (
+            qsel[:, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (1, qb), 1)
+        ).astype(jnp.float32)
+        return None, jnp.sum(picked * q_onehot, axis=1)
+
+    _, outs = jax.lax.scan(step, None, (tile_idx, cand))
+    return outs.reshape(-1)
+
+
+#: streaming tile geometry (rows per tile, candidate slots per virtual tile)
+STREAM_TILE_ROWS = 1024
+STREAM_CAP = 1024
+
+
+def build_streamed_layout(
+    rows: np.ndarray, qno: np.ndarray, n_pad: int, qb: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Bucket candidates into the streamed kernel's (virtual tile, slot) grid.
+
+    Pure numpy, O(P).  Returns ``(cand, tile_idx, slot_of_pair)`` where
+    ``slot_of_pair`` maps each input pair to its flat output position, or
+    ``None`` when the layout doesn't apply (too many queries to pack).
+
+    :param rows: Table row per pair, ``(P,)``.
+    :param qno: Query per pair, ``(P,)``.
+    :param n_pad: Padded table rows (multiple of ``STREAM_TILE_ROWS``).
+    :param qb: Padded query count (pack modulus).
+    """
+    r, cap = STREAM_TILE_ROWS, STREAM_CAP
+    if qb * r > 2**31 - 1:
+        return None
+    num_tiles = n_pad // r
+    p = rows.shape[0]
+
+    tile_of = rows // r
+    order = np.argsort(tile_of, kind="stable")
+    counts = np.bincount(tile_of[order], minlength=num_tiles)
+    starts = np.zeros(num_tiles + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+
+    vt_per_tile = -(-counts // cap)  # ceil; 0 for empty tiles
+    vt_base = np.zeros(num_tiles + 1, dtype=np.int64)
+    np.cumsum(vt_per_tile, out=vt_base[1:])
+    t_virtual = int(vt_base[-1])
+    if t_virtual == 0:
+        return None
+    t_bucket = max(8, 1 << (t_virtual - 1).bit_length())
+
+    within = np.arange(p, dtype=np.int64) - starts[tile_of[order]]
+    vtile = vt_base[tile_of[order]] + within // cap
+    slot = within % cap
+
+    pad_value = qb - 1  # local row 0, zero-padding query
+    cand = np.full((t_bucket, cap), pad_value, dtype=np.int32)
+    local = (rows[order] - tile_of[order] * r).astype(np.int64)
+    cand[vtile, slot] = (local * qb + qno[order]).astype(np.int32)
+
+    tile_idx = np.zeros(t_bucket, dtype=np.int32)
+    tile_idx[:t_virtual] = np.repeat(
+        np.arange(num_tiles, dtype=np.int32), vt_per_tile
+    )
+
+    slot_of_pair = np.empty(p, dtype=np.int64)
+    slot_of_pair[order] = vtile * cap + slot
+    return cand, tile_idx, slot_of_pair
+
+
 def _masked_reduce(scores: jnp.ndarray, counts: jnp.ndarray, op: str):
     """Reduce ``(S, K)`` scores along K, honoring per-pair counts."""
     k = scores.shape[1]

@@ -169,6 +169,64 @@ int64_t idmap_resolve(void* handle, const char* ids, int64_t n, int64_t width,
   return total;
 }
 
+namespace {
+
+// Shared resolve body over any id-view generator.
+template <typename GetView>
+int64_t resolve_views(IdMap* m, GetView get_view, int64_t n, int32_t mode,
+                      int32_t* counts, const void** cache) {
+  int64_t total = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    std::string_view key = get_view(i);
+    if (mode == 0) {
+      auto it = m->psg_row.find(key);
+      if (it == m->psg_row.end()) return -(i + 1);
+      counts[i] = 1;
+      cache[i] = reinterpret_cast<const void*>(
+          static_cast<intptr_t>(it->second));
+      total += 1;
+    } else {
+      auto it = m->doc_rows.find(key);
+      if (it == m->doc_rows.end() || it->second.empty()) return -(i + 1);
+      counts[i] = mode == 2 ? 1 : static_cast<int32_t>(it->second.size());
+      cache[i] = &it->second;
+      total += counts[i];
+    }
+  }
+  return total;
+}
+
+}  // namespace
+
+// Resolve ids given as an Arrow UTF-8 string array (data buffer + int32
+// offsets) — zero-copy from pandas/pyarrow string columns.
+int64_t idmap_resolve_offsets32(void* handle, const char* data,
+                                const int32_t* offsets, int64_t n,
+                                int32_t mode, int32_t* counts,
+                                const void** cache) {
+  return resolve_views(
+      static_cast<IdMap*>(handle),
+      [&](int64_t i) {
+        return std::string_view(
+            data + offsets[i], static_cast<size_t>(offsets[i + 1] - offsets[i]));
+      },
+      n, mode, counts, cache);
+}
+
+// Same for Arrow large_string (int64 offsets).
+int64_t idmap_resolve_offsets64(void* handle, const char* data,
+                                const int64_t* offsets, int64_t n,
+                                int32_t mode, int32_t* counts,
+                                const void** cache) {
+  return resolve_views(
+      static_cast<IdMap*>(handle),
+      [&](int64_t i) {
+        return std::string_view(
+            data + offsets[i], static_cast<size_t>(offsets[i + 1] - offsets[i]));
+      },
+      n, mode, counts, cache);
+}
+
 // Fill the flat row array from the cache built by idmap_resolve.
 int64_t idmap_fill_cached(void* handle, const void** cache, int64_t n,
                           int32_t mode, int32_t* rows) {

@@ -73,6 +73,18 @@ def _get_lib():
             ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32),
         ]
+        for name in ("idmap_resolve_offsets32", "idmap_resolve_offsets64"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_void_p,  # utf8 data buffer
+                ctypes.c_void_p,  # offsets buffer
+                ctypes.c_int64,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_void_p),
+            ]
         lib.idmap_bulk_load.argtypes = [
             ctypes.c_void_p,
             ctypes.c_char_p,
@@ -102,6 +114,36 @@ def _to_fixed_width(
     encoded = [(i or "").encode() for i in ids]
     width = width or max((len(e) for e in encoded), default=1)
     return np.array(encoded, dtype=f"S{max(width, 1)}")
+
+
+def _arrow_view(ids):
+    """Zero-copy (data_addr, offsets_addr, n, is_large) view of an
+    arrow-backed pandas string array/Index, or ``None``."""
+    array = getattr(ids, "array", ids)  # pd.Index / pd.Series -> array
+    chunked = getattr(array, "_pa_array", None)
+    if chunked is None:
+        return None
+    try:
+        import pyarrow as pa
+
+        combined = (
+            chunked.combine_chunks()
+            if isinstance(chunked, pa.ChunkedArray)
+            else chunked
+        )
+        if combined.null_count:
+            return None
+        if pa.types.is_string(combined.type):
+            is_large, width = False, 4
+        elif pa.types.is_large_string(combined.type):
+            is_large, width = True, 8
+        else:
+            return None
+        buffers = combined.buffers()  # [validity, offsets, data]
+        offsets_addr = buffers[1].address + combined.offset * width
+        return combined, buffers[2].address, offsets_addr, len(combined), is_large
+    except Exception:  # pragma: no cover - fall back to the copy path
+        return None
 
 
 class NativeIdMap:
@@ -217,20 +259,30 @@ class NativeIdMap:
         """
         code = _MODE_CODE[mode]
         n = len(ids)
-        arr = np.ascontiguousarray(_to_fixed_width(ids))
-        width = arr.dtype.itemsize
-        buf = arr.ctypes.data_as(ctypes.c_char_p)
         counts = np.zeros(n, dtype=np.int32)
         cache = np.zeros(n, dtype=np.uintp)
-        total = self._lib.idmap_resolve(
-            self._handle,
-            buf,
-            n,
-            width,
-            code,
-            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            cache.ctypes.data_as(ctypes.POINTER(ctypes.c_void_p)),
-        )
+        counts_ptr = counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        cache_ptr = cache.ctypes.data_as(ctypes.POINTER(ctypes.c_void_p))
+
+        arrow = _arrow_view(ids)
+        if arrow is not None:
+            keepalive, data_addr, offsets_addr, n, is_large = arrow
+            fn = (
+                self._lib.idmap_resolve_offsets64
+                if is_large
+                else self._lib.idmap_resolve_offsets32
+            )
+            total = fn(
+                self._handle, data_addr, offsets_addr, n, code, counts_ptr, cache_ptr
+            )
+            del keepalive
+        else:
+            arr = np.ascontiguousarray(_to_fixed_width(ids))
+            width = arr.dtype.itemsize
+            buf = arr.ctypes.data_as(ctypes.c_char_p)
+            total = self._lib.idmap_resolve(
+                self._handle, buf, n, width, code, counts_ptr, cache_ptr
+            )
         if total < 0:
             raise IndexError(f"ID {ids[-total - 1]} not found in the index.")
         rows = np.zeros(int(total), dtype=np.int32)

@@ -74,6 +74,36 @@ class TestRaggedDocs(unittest.TestCase):
         self._check([2, 4, 1], Mode.MAXP, places=2, quantizer=quantizer)
 
 
+class TestStreamedPath(unittest.TestCase):
+    def test_streamed_matches_gather(self):
+        """Dense candidate sets route through the streaming matmul-select
+        kernel and must match the gather path exactly enough."""
+        n, dim, n_q, depth = 2000, 128, 8, 800
+        qvecs = RNG.normal(size=(n_q, dim)).astype(np.float32)
+        by_text = {f"q{i}": qvecs[i] for i in range(n_q)}
+        vectors = RNG.normal(size=(n, dim)).astype(np.float32)
+        index = InMemoryIndex(
+            LambdaEncoder(lambda t: by_text[t]), mode=Mode.PASSAGE
+        )
+        index.add(vectors, psg_ids=[f"p{i}" for i in range(n)])
+
+        run = {}
+        queries = {}
+        for qi in range(n_q):
+            cand = RNG.choice(n, size=depth, replace=False)
+            run[f"q{qi}"] = {f"p{c}": float(i) for i, c in enumerate(cand)}
+            queries[f"q{qi}"] = f"q{qi}"
+        ranking = Ranking.from_run(run, queries=queries)
+
+        # dense: P=6400 * 500 >> 4096 padded rows -> streamed path
+        result = index(ranking)
+        for qi in range(n_q):
+            got = result[f"q{qi}"]
+            for pid in list(got)[:50]:
+                expected = float(vectors[int(pid[1:])] @ qvecs[qi])
+                self.assertAlmostEqual(expected, got[pid], places=3)
+
+
 class TestBf16Table(unittest.TestCase):
     def test_bf16_close_to_fp32(self):
         qvec = RNG.normal(size=128).astype(np.float32)
