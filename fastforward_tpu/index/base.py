@@ -318,27 +318,44 @@ class Index(abc.ABC):
         q_pad = self._pad_queries(query_vectors, view)
 
         if (
-            k == 1
-            and view.mesh is None
+            view.mesh is None
             and view.kind == "dense"
             and view.table.ndim == 3
             and view.table.shape[0] % ops.STREAM_TILE_ROWS == 0
-            and n_pairs * 500 > view.table.shape[0]
+            and n_pairs * k * 500 > view.table.shape[0]
         ):
             # dense candidate sets: stream the table through the MXU instead
             # of gathering rows (XLA row gather is ~4us/row on TPU)
+            if k == 1:
+                rows_flat = rows_mat[:, 0].astype(np.int64)
+                qno_flat = pair_qno
+            else:
+                rows_flat = rows_mat.reshape(-1).astype(np.int64)
+                qno_flat = np.repeat(pair_qno, k)
             layout = ops.build_streamed_layout(
-                rows_mat[:, 0].astype(np.int64),
-                pair_qno,
-                view.table.shape[0],
-                q_pad.shape[0],
+                rows_flat, qno_flat, view.table.shape[0], q_pad.shape[0]
             )
             if layout is not None:
                 cand, tile_idx, slot_of_pair = layout
                 outs = ops.score_pairs_streamed(
                     view.table, q_pad, cand, tile_idx, ops.STREAM_TILE_ROWS
                 )
-                return np.asarray(jax.device_get(outs))[slot_of_pair]
+                row_scores = np.asarray(jax.device_get(outs))[slot_of_pair]
+                if k == 1:
+                    return row_scores
+                # ranking-mode reduction over the K axis on the host
+                mat = row_scores.reshape(n_pairs, k)
+                valid = np.arange(k)[None, :] < counts_pp[:, None]
+                if op == "max":
+                    return np.where(
+                        valid, mat, np.float32(-np.inf)
+                    ).max(axis=1)
+                if op == "mean":
+                    sums = np.where(valid, mat, np.float32(0.0)).sum(axis=1)
+                    return (
+                        sums / np.maximum(counts_pp, 1)
+                    ).astype(np.float32)
+                return mat[:, 0]
 
         if (
             k == 1

@@ -294,9 +294,15 @@ def score_pairs_streamed(
         tile = jax.lax.dynamic_slice(
             table, (t_idx * r, 0, 0), (r, k, lanes)
         ).astype(jnp.float32)
-        # all-queries scores for this tile: one MXU matmul
+        # all-queries scores for this tile: one MXU matmul.  Full fp32
+        # precision — the TPU default truncates matmul inputs to bf16,
+        # which breaks exact-score parity with the reference.
         tile_scores = jnp.einsum(
-            "rkl,qkl->rq", tile, q3, preferred_element_type=jnp.float32
+            "rkl,qkl->rq",
+            tile,
+            q3,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (r, Qb)
         local = cand_t // qb
         qsel = cand_t % qb
@@ -306,7 +312,10 @@ def score_pairs_streamed(
             == jax.lax.broadcasted_iota(jnp.int32, (1, r), 1)
         ).astype(jnp.float32)
         picked = jnp.dot(
-            row_onehot, tile_scores, preferred_element_type=jnp.float32
+            row_onehot,
+            tile_scores,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (CAP, Qb)
         # query selection: masked row reduction on the VPU
         q_onehot = (

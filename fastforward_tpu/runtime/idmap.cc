@@ -169,6 +169,8 @@ int64_t idmap_resolve(void* handle, const char* ids, int64_t n, int64_t width,
   return total;
 }
 
+}  // extern "C"
+
 namespace {
 
 // Shared resolve body over any id-view generator.
@@ -197,6 +199,8 @@ int64_t resolve_views(IdMap* m, GetView get_view, int64_t n, int32_t mode,
 }
 
 }  // namespace
+
+extern "C" {
 
 // Resolve ids given as an Arrow UTF-8 string array (data buffer + int32
 // offsets) — zero-copy from pandas/pyarrow string columns.
