@@ -319,7 +319,7 @@ class Index(abc.ABC):
 
         if (
             view.mesh is None
-            and view.kind == "dense"
+            and view.kind in ("dense", "scalar")
             and view.table.ndim == 3
             and view.table.shape[0] % ops.STREAM_TILE_ROWS == 0
             and n_pairs * k * 500 > view.table.shape[0]
@@ -360,7 +360,7 @@ class Index(abc.ABC):
         if (
             k == 1
             and view.mesh is None
-            and view.kind == "dense"
+            and view.kind in ("dense", "scalar")
             and (n_pairs == 0 or (np.diff(pair_qno) >= 0).all())
         ):
             # single row per pair, pairs grouped by query: send only the row

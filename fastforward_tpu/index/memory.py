@@ -158,8 +158,13 @@ class InMemoryIndex(Index):
                 ),
             )
         elif isinstance(self._quantizer, ScalarQuantizer):
-            codes = np.zeros((n_pad, data.shape[1]), dtype=np.int8)
+            dim = data.shape[1]
+            codes = np.zeros((n_pad, dim), dtype=np.int8)
             codes[: self._num] = data
+            if dim % 128 == 0:
+                # 3D layout: int8 tables stream through the MXU at 4x less
+                # bandwidth than fp32 (scales are folded into the queries)
+                codes = codes.reshape(n_pad, dim // 128, 128)
             self._dev_view = DeviceView(
                 kind="scalar",
                 table=jnp.asarray(codes),

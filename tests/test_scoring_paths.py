@@ -73,6 +73,26 @@ class TestRaggedDocs(unittest.TestCase):
         quantizer.fit(RNG.normal(size=(64, DIM)).astype(np.float32))
         self._check([2, 4, 1], Mode.MAXP, places=2, quantizer=quantizer)
 
+    def test_scalar_quantizer_3d_streamed(self):
+        """128-dim int8 codes use the 3D layout and the streamed path."""
+        dim = 128
+        quantizer = ScalarQuantizer()
+        data = RNG.normal(size=(64, dim)).astype(np.float32)
+        quantizer.fit(data)
+        qvec = RNG.normal(size=dim).astype(np.float32)
+        index = InMemoryIndex(
+            LambdaEncoder(lambda _: qvec), mode=Mode.PASSAGE, quantizer=quantizer
+        )
+        index.add(data, psg_ids=[f"p{i}" for i in range(64)])
+        decoded = quantizer.decode(quantizer.encode(data))
+        run = {"q1": {f"p{i}": 1.0 for i in range(64)}}
+        got = index(Ranking.from_run(run, queries={"q1": "x"}))["q1"]
+        self.assertEqual(3, index._device_view().table.ndim)
+        for i in range(64):
+            self.assertAlmostEqual(
+                float(decoded[i] @ qvec), got[f"p{i}"], places=2
+            )
+
 
 class TestStreamedPath(unittest.TestCase):
     def test_streamed_matches_gather(self):
