@@ -408,18 +408,26 @@ class Index(abc.ABC):
         Returns ``None`` when the workload needs a fallback path (very
         ragged documents).
         """
-        pair_id_pos, ids_unique = pd.factorize(df["id"], sort=False)
-        view, rows_concat, counts = self._gather_view(ids_unique)
-        k_max = int(counts.max()) if counts.size else 1
-        if k_max > self._MAX_GROUP_K:
-            return None
-
         n_pairs = len(df)
         pair_qno = df["q_no"].to_numpy(dtype=np.int64)
-        k = max(1, 1 << (k_max - 1).bit_length())
-        rows_mat, counts_pp = expand_pairs_grouped(
-            pair_id_pos.astype(np.int64), rows_concat, counts, k
-        )
+        view = self._device_view()
+        if view is not None and self.mode in (Mode.PASSAGE, Mode.FIRSTP):
+            # exactly one row per pair: resolve the whole id column directly
+            # (zero-copy from the arrow buffers), skipping factorize+expand
+            rows, _ = self._ids.resolve(df["id"], self.mode)
+            rows_mat = rows[:, None]
+            counts_pp = np.ones(n_pairs, dtype=np.int32)
+            k = 1
+        else:
+            pair_id_pos, ids_unique = pd.factorize(df["id"], sort=False)
+            view, rows_concat, counts = self._gather_view(ids_unique)
+            k_max = int(counts.max()) if counts.size else 1
+            if k_max > self._MAX_GROUP_K:
+                return None
+            k = max(1, 1 << (k_max - 1).bit_length())
+            rows_mat, counts_pp = expand_pairs_grouped(
+                pair_id_pos.astype(np.int64), rows_concat, counts, k
+            )
         scores_dev = self._device_score_grouped(
             view, query_vectors, rows_mat, pair_qno, counts_pp, k, fetch=False
         )

@@ -352,6 +352,15 @@ def build_streamed_layout(
         return None
     num_tiles = n_pad // r
     p = rows.shape[0]
+    if p == 0:
+        return None
+
+    # single-pass native builder (no sorting); numpy fallback below
+    from fastforward_tpu.runtime.idmap import native_stream_layout
+
+    native = native_stream_layout(rows, qno, n_pad, qb, r, cap, qb - 1)
+    if native is not None:
+        return native
 
     tile_of = rows // r
     order = np.argsort(tile_of, kind="stable")

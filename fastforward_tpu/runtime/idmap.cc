@@ -169,6 +169,52 @@ int64_t idmap_resolve(void* handle, const char* ids, int64_t n, int64_t width,
   return total;
 }
 
+// ---- streamed-layout builder (no strings; see ops.build_streamed_layout) --
+//
+// Buckets candidate rows into the streaming kernel's (virtual tile, slot)
+// grid in two O(P) passes with no sorting.
+
+// Pass 1: per-base-tile candidate counts; returns the number of virtual
+// tiles (ceil(count / cap) summed).
+int64_t stream_count(const int32_t* rows, int64_t p, int64_t tile_rows,
+                     int64_t num_tiles, int64_t cap, int64_t* tile_counts) {
+  for (int64_t t = 0; t < num_tiles; ++t) tile_counts[t] = 0;
+  for (int64_t i = 0; i < p; ++i) tile_counts[rows[i] / tile_rows] += 1;
+  int64_t virtual_tiles = 0;
+  for (int64_t t = 0; t < num_tiles; ++t) {
+    virtual_tiles += (tile_counts[t] + cap - 1) / cap;
+  }
+  return virtual_tiles;
+}
+
+// Pass 2: fill cand (pre-initialized to the padding value), tile_idx and
+// the per-pair output slot.
+void stream_fill(const int32_t* rows, const int32_t* qno, int64_t p,
+                 int64_t tile_rows, int64_t num_tiles, int64_t cap,
+                 int64_t qb, const int64_t* tile_counts, int32_t* cand,
+                 int32_t* tile_idx, int64_t* slot_of_pair) {
+  // vt_base[t] = first virtual tile of base tile t; also fill tile_idx
+  std::vector<int64_t> vt_base(static_cast<size_t>(num_tiles) + 1, 0);
+  int64_t vt = 0;
+  for (int64_t t = 0; t < num_tiles; ++t) {
+    vt_base[t] = vt;
+    int64_t n_vt = (tile_counts[t] + cap - 1) / cap;
+    for (int64_t j = 0; j < n_vt; ++j) tile_idx[vt + j] = static_cast<int32_t>(t);
+    vt += n_vt;
+  }
+  vt_base[num_tiles] = vt;
+
+  std::vector<int64_t> cursor(static_cast<size_t>(num_tiles), 0);
+  for (int64_t i = 0; i < p; ++i) {
+    int64_t t = rows[i] / tile_rows;
+    int64_t c = cursor[t]++;
+    int64_t flat = (vt_base[t] + c / cap) * cap + (c % cap);
+    cand[flat] = static_cast<int32_t>(
+        static_cast<int64_t>(rows[i] % tile_rows) * qb + qno[i]);
+    slot_of_pair[i] = flat;
+  }
+}
+
 }  // extern "C"
 
 namespace {

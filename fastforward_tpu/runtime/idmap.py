@@ -73,6 +73,29 @@ def _get_lib():
             ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.stream_count.restype = ctypes.c_int64
+        lib.stream_count.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.stream_fill.restype = None
+        lib.stream_fill.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         for name in ("idmap_resolve_offsets32", "idmap_resolve_offsets64"):
             fn = getattr(lib, name)
             fn.restype = ctypes.c_int64
@@ -284,7 +307,9 @@ class NativeIdMap:
                 self._handle, buf, n, width, code, counts_ptr, cache_ptr
             )
         if total < 0:
-            raise IndexError(f"ID {ids[-total - 1]} not found in the index.")
+            pos = int(-total - 1)
+            bad = ids.iloc[pos] if hasattr(ids, "iloc") else ids[pos]
+            raise IndexError(f"ID {bad} not found in the index.")
         rows = np.zeros(int(total), dtype=np.int32)
         self._lib.idmap_fill_cached(
             self._handle,
@@ -415,3 +440,59 @@ def create_idmap():
     if _get_lib() is not None:
         return NativeIdMap()
     return PyIdMap()
+
+
+def _i32ptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _i64ptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def native_stream_layout(
+    rows: np.ndarray,
+    qno: np.ndarray,
+    n_pad: int,
+    qb: int,
+    tile_rows: int,
+    cap: int,
+    pad_value: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Single-pass C++ builder for the streamed candidate layout.
+
+    Returns ``(cand, tile_idx, slot_of_pair)`` (see
+    ``ops.build_streamed_layout``), or ``None`` when the native runtime is
+    unavailable.
+    """
+    lib = _get_lib()
+    if lib is None:
+        return None
+    num_tiles = n_pad // tile_rows
+    p = rows.shape[0]
+    rows32 = np.ascontiguousarray(rows, dtype=np.int32)
+    qno32 = np.ascontiguousarray(qno, dtype=np.int32)
+    tile_counts = np.empty(num_tiles, dtype=np.int64)
+    t_virtual = lib.stream_count(
+        _i32ptr(rows32), p, tile_rows, num_tiles, cap, _i64ptr(tile_counts)
+    )
+    if t_virtual == 0:
+        return None
+    t_bucket = max(8, 1 << (int(t_virtual) - 1).bit_length())
+    cand = np.full((t_bucket, cap), pad_value, dtype=np.int32)
+    tile_idx = np.zeros(t_bucket, dtype=np.int32)
+    slot_of_pair = np.empty(p, dtype=np.int64)
+    lib.stream_fill(
+        _i32ptr(rows32),
+        _i32ptr(qno32),
+        p,
+        tile_rows,
+        num_tiles,
+        cap,
+        qb,
+        _i64ptr(tile_counts),
+        _i32ptr(cand.reshape(-1)),
+        _i32ptr(tile_idx),
+        _i64ptr(slot_of_pair),
+    )
+    return cand, tile_idx, slot_of_pair

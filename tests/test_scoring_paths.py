@@ -94,6 +94,22 @@ class TestRaggedDocs(unittest.TestCase):
             )
 
 
+class TestMissingIdPassageMode(unittest.TestCase):
+    def test_missing_passage_id_raises(self):
+        index = InMemoryIndex(
+            LambdaEncoder(lambda _: np.ones(DIM, np.float32)), mode=Mode.PASSAGE
+        )
+        index.add(
+            RNG.normal(size=(4, DIM)).astype(np.float32),
+            psg_ids=[f"p{i}" for i in range(4)],
+        )
+        ranking = Ranking.from_run(
+            {"q1": {"p0": 1.0, "missing": 2.0}}, queries={"q1": "x"}
+        )
+        with self.assertRaises(IndexError):
+            index(ranking)
+
+
 class TestStreamedPath(unittest.TestCase):
     def test_streamed_matches_gather(self):
         """Dense candidate sets route through the streaming matmul-select
