@@ -332,15 +332,10 @@ class Index(abc.ABC):
             else:
                 rows_flat = rows_mat.reshape(-1).astype(np.int64)
                 qno_flat = np.repeat(pair_qno, k)
-            layout = ops.build_streamed_layout(
-                rows_flat, qno_flat, view.table.shape[0], q_pad.shape[0]
+            row_scores = ops.streamed_scores(
+                view.table, q_pad, rows_flat, qno_flat
             )
-            if layout is not None:
-                cand, tile_idx, slot_of_pair = layout
-                outs = ops.score_pairs_streamed(
-                    view.table, q_pad, cand, tile_idx, ops.STREAM_TILE_ROWS
-                )
-                row_scores = np.asarray(jax.device_get(outs))[slot_of_pair]
+            if row_scores is not None:
                 if k == 1:
                     return row_scores
                 # ranking-mode reduction over the K axis on the host

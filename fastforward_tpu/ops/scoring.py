@@ -333,8 +333,87 @@ STREAM_TILE_ROWS = 1024
 STREAM_CAP = 1024
 
 
+_pallas_stream: bool | None = None
+
+
+def pallas_stream_enabled() -> bool:
+    """Whether the fused Pallas streaming kernel is used (TPU, default on)."""
+    global _pallas_stream
+    if _pallas_stream is None:
+        import os
+
+        _pallas_stream = (
+            os.environ.get("FFTPU_PALLAS_STREAM", "1") == "1"
+            and jax.default_backend() == "tpu"
+        )
+    return _pallas_stream
+
+
+def set_pallas_stream(value: bool | None) -> None:
+    """Force (or reset, with ``None``) the Pallas streaming kernel."""
+    global _pallas_stream
+    _pallas_stream = value
+
+
+def streamed_scores(
+    table: jnp.ndarray,
+    q_pad: np.ndarray,
+    rows: np.ndarray,
+    qno: np.ndarray,
+) -> np.ndarray | None:
+    """Score ``table[rows[i]] . q_pad[qno[i]]`` via table streaming.
+
+    Dispatches to the fused Pallas kernel on TPU (falling back to the XLA
+    scan formulation on any kernel failure), builds the candidate layout
+    natively, and returns per-row scores in input order (numpy), or ``None``
+    when no layout applies.
+    """
+    n_pad = table.shape[0]
+    qb = q_pad.shape[0]
+
+    if pallas_stream_enabled():
+        from fastforward_tpu.ops import stream_kernel
+
+        r, cap = stream_kernel.KERNEL_TILE_ROWS, stream_kernel.KERNEL_CAP
+        layout = build_streamed_layout(rows, qno, n_pad, qb, r=r, cap=cap)
+        if layout is not None:
+            cand, tile_idx, slot_of_pair = layout
+            try:
+                outs = stream_kernel.stream_select(
+                    table.reshape(n_pad // r, r, table.shape[1], table.shape[2]),
+                    np.ascontiguousarray(
+                        q_pad.T.reshape(-1, qb).astype(np.float32)
+                    ),
+                    cand.reshape(cand.shape[0], cap // 128, 128),
+                    tile_idx,
+                )
+                flat = np.asarray(jax.device_get(outs)).reshape(-1)
+                return flat[slot_of_pair]
+            except Exception as e:  # pragma: no cover - device-specific
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "pallas stream kernel failed (%s); using the XLA path", e
+                )
+                set_pallas_stream(False)
+
+    layout = build_streamed_layout(rows, qno, n_pad, qb)
+    if layout is None:
+        return None
+    cand, tile_idx, slot_of_pair = layout
+    outs = score_pairs_streamed(
+        table, q_pad, cand, tile_idx, STREAM_TILE_ROWS
+    )
+    return np.asarray(jax.device_get(outs))[slot_of_pair]
+
+
 def build_streamed_layout(
-    rows: np.ndarray, qno: np.ndarray, n_pad: int, qb: int
+    rows: np.ndarray,
+    qno: np.ndarray,
+    n_pad: int,
+    qb: int,
+    r: int = STREAM_TILE_ROWS,
+    cap: int = STREAM_CAP,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
     """Bucket candidates into the streamed kernel's (virtual tile, slot) grid.
 
@@ -344,11 +423,12 @@ def build_streamed_layout(
 
     :param rows: Table row per pair, ``(P,)``.
     :param qno: Query per pair, ``(P,)``.
-    :param n_pad: Padded table rows (multiple of ``STREAM_TILE_ROWS``).
+    :param n_pad: Padded table rows (multiple of ``r``).
     :param qb: Padded query count (pack modulus).
+    :param r: Rows per table tile.
+    :param cap: Candidate slots per virtual tile.
     """
-    r, cap = STREAM_TILE_ROWS, STREAM_CAP
-    if qb * r > 2**31 - 1:
+    if qb * r > 2**31 - 1 or n_pad % r != 0:
         return None
     num_tiles = n_pad // r
     p = rows.shape[0]

@@ -1,0 +1,122 @@
+"""Pallas streaming-select kernel: the scoring hot loop, fused in VMEM.
+
+Same algorithm as ``ops.scoring.score_pairs_streamed`` (stream table tiles,
+score against all queries on the MXU, select candidates with one-hot
+contractions) but fused into one Pallas program: the tile DMA is
+double-buffered by the Pallas pipeline, the one-hot and all intermediates
+live in VMEM (the XLA scan version round-trips them through HBM every step),
+and the virtual-tile indirection uses scalar prefetch — the table block
+fetched at step ``t`` is chosen by ``tile_idx[t]`` at runtime.
+
+Layout constraints honored (probed on v5e, see repo verify skill):
+- blocks keep their last two dims either (8,128)-divisible or exactly the
+  full array dims;
+- the table is 4-D ``(T, R, dim//128, 128)`` so each block is a legal
+  leading-dim slice;
+- candidates/outputs are ``(Tv, CAP//128, 128)`` for the same reason.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+#: rows per table tile (VMEM: R * dim * 4B double-buffered)
+KERNEL_TILE_ROWS = 512
+#: candidate slots per virtual tile
+KERNEL_CAP = 512
+
+
+def _select_kernel(tile_idx_ref, table_ref, qt_ref, cand_ref, out_ref):
+    r = table_ref.shape[1]
+    k, lanes = table_ref.shape[2], table_ref.shape[3]
+    qb = qt_ref.shape[1]
+
+    tile = table_ref[0].reshape(r, k * lanes)  # (R, dim)
+    # tile scores against all queries: (R, dim) @ (dim, Qb) on the MXU
+    tile_scores = jax.lax.dot(
+        tile.astype(jnp.float32),
+        qt_ref[...],
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # (R, Qb)
+
+    cand = cand_ref[0]  # (CAP//128, 128) int32, packed local * Qb + qno
+    local = cand // qb
+    qsel = cand % qb
+
+    # row selection: one-hot over R, contracted on the MXU
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, r), 2)
+    row_onehot = (local[:, :, None] == row_iota).astype(jnp.float32)
+    picked = jax.lax.dot_general(
+        row_onehot,
+        tile_scores,
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # (CAP//128, 128, Qb)
+
+    # query selection: masked reduction on the VPU
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, qb), 2)
+    q_onehot = (qsel[:, :, None] == q_iota).astype(jnp.float32)
+    out_ref[0] = jnp.sum(picked * q_onehot, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def stream_select(
+    table4: jax.Array,
+    qvecs_t: jax.Array,
+    cand3: jax.Array,
+    tile_idx: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused streaming matmul-select scoring.
+
+    :param table4: Table tiles, ``(T, R, dim//128, 128)`` fp32.
+    :param qvecs_t: Transposed query vectors, ``(dim, Qb)`` fp32.
+    :param cand3: Packed candidates ``local * Qb + qno``,
+        ``(Tv, CAP//128, 128)`` int32.
+    :param tile_idx: Base tile per virtual tile, ``(Tv,)`` int32.
+    :param interpret: Pallas interpreter mode (CPU tests).
+    :return: Scores per candidate slot, ``(Tv, CAP//128, 128)`` fp32.
+    """
+    t_virtual = cand3.shape[0]
+    _, r, k, lanes = table4.shape
+    capr = cand3.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t_virtual,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, r, k, lanes),
+                lambda t, tidx: (tidx[t], 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # q^T, full
+            pl.BlockSpec(
+                (1, capr, 128),
+                lambda t, tidx: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, capr, 128), lambda t, tidx: (t, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        _select_kernel,
+        out_shape=jax.ShapeDtypeStruct((t_virtual, capr, 128), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t_virtual * (r * k * lanes * qvecs_t.shape[1]),
+            bytes_accessed=t_virtual * r * k * lanes * 4,
+            transcendentals=0,
+        ),
+    )(tile_idx, table4, qvecs_t, cand3)
