@@ -63,7 +63,7 @@ def _enable_compile_cache():
         log(f"compile cache unavailable: {e}")
 
 
-def measure_ours(corpus, qvecs, run, queries, depth, repeats):
+def measure_ours(corpus, qvecs, run, queries, depth, repeats, precision="exact"):
     from fastforward_tpu.encoder import LambdaEncoder
     from fastforward_tpu.index import InMemoryIndex, Mode
     from fastforward_tpu.ranking import Ranking
@@ -71,8 +71,12 @@ def measure_ours(corpus, qvecs, run, queries, depth, repeats):
     import jax
 
     _enable_compile_cache()
-    log(f"backend: {jax.default_backend()}")
-    index = InMemoryIndex(LambdaEncoder(_query_map(qvecs, queries)), mode=Mode.PASSAGE)
+    log(f"backend: {jax.default_backend()} precision: {precision}")
+    index = InMemoryIndex(
+        LambdaEncoder(_query_map(qvecs, queries)),
+        mode=Mode.PASSAGE,
+        precision=precision,
+    )
     index.add(corpus, psg_ids=[f"p{i}" for i in range(corpus.shape[0])])
     ranking = Ranking.from_run(run, queries=queries)
 
@@ -88,10 +92,11 @@ def measure_ours(corpus, qvecs, run, queries, depth, repeats):
     log(f"ours: {repeats} calls in {elapsed:.3f}s -> {qps:.1f} QPS")
 
     # sanity: exact scores on a few entries
+    tolerance = 0.05 if precision == "exact" else 1.0
     q0 = result["q0"]
     for pid in list(q0)[:3]:
         expected = float(corpus[int(pid[1:])] @ qvecs[0])
-        assert abs(expected - q0[pid]) < 0.05, (pid, expected, q0[pid])
+        assert abs(expected - q0[pid]) < tolerance, (pid, expected, q0[pid])
     return qps
 
 
@@ -254,6 +259,7 @@ def main():
     parser.add_argument("--repeats", type=int, default=5)
     parser.add_argument("--ref-repeats", type=int, default=2)
     parser.add_argument("--skip-baseline", action="store_true")
+    parser.add_argument("--precision", choices=["exact", "fast"], default="exact")
     args = parser.parse_args()
 
     if args.config == "encoder":
@@ -312,7 +318,7 @@ def main():
         )
         return
 
-    qps = measure_ours(corpus, qvecs, run, queries, args.depth, args.repeats)
+    qps = measure_ours(corpus, qvecs, run, queries, args.depth, args.repeats, precision=args.precision)
 
     baseline_file = REPO / "BASELINE_MEASURED.json"
     cache = {}

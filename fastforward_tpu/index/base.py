@@ -59,6 +59,7 @@ class DeviceView:
     codebooks: jax.Array | None = None
     scales: np.ndarray | None = None
     mesh: "jax.sharding.Mesh | None" = None
+    precision: str = "exact"
 
 
 class Index(abc.ABC):
@@ -333,7 +334,7 @@ class Index(abc.ABC):
                 rows_flat = rows_mat.reshape(-1).astype(np.int64)
                 qno_flat = np.repeat(pair_qno, k)
             row_scores = ops.streamed_scores(
-                view.table, q_pad, rows_flat, qno_flat
+                view.table, q_pad, rows_flat, qno_flat, precision=view.precision
             )
             if row_scores is not None:
                 if k == 1:

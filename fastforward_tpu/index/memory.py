@@ -46,6 +46,7 @@ class InMemoryIndex(Index):
         alloc_size: int = 2**16,
         device_dtype: str = "float32",
         mesh_config: "MeshConfig | None" = None,
+        precision: str = "exact",
     ) -> None:
         """Create an in-memory index.
 
@@ -59,12 +60,16 @@ class InMemoryIndex(Index):
             (``"float32"`` or ``"bfloat16"``; ignored for quantized indexes).
         :param mesh_config: When set, shard the table row-wise across a
             device mesh and score with the SPMD program (dense tables only).
+        :param precision: Scoring matmul precision: ``"exact"`` (fp32,
+            reference score parity) or ``"fast"`` (bf16 MXU inputs, ~6x
+            matmul throughput, ~0.5% score error).
         """
         self._store: np.ndarray | None = None
         self._num = 0
         self._init_size = init_size
         self._alloc_size = alloc_size
         self._device_dtype = device_dtype
+        self._precision = precision
         self._mesh_config = mesh_config
         self._mesh = None
         self._dev_view: DeviceView | None = None
@@ -211,7 +216,9 @@ class InMemoryIndex(Index):
                 # halves HBM footprint and gather bandwidth; dots still
                 # accumulate in fp32
                 dev = dev.astype(jnp.bfloat16)
-            self._dev_view = DeviceView(kind="dense", table=dev)
+            self._dev_view = DeviceView(
+                kind="dense", table=dev, precision=self._precision
+            )
 
         self._dev_rows = self._num
         return self._dev_view

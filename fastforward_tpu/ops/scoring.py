@@ -360,6 +360,7 @@ def streamed_scores(
     q_pad: np.ndarray,
     rows: np.ndarray,
     qno: np.ndarray,
+    precision: str = "exact",
 ) -> np.ndarray | None:
     """Score ``table[rows[i]] . q_pad[qno[i]]`` via table streaming.
 
@@ -386,6 +387,7 @@ def streamed_scores(
                     ),
                     cand.reshape(cand.shape[0], cap // 128, 128),
                     tile_idx,
+                    precision=precision,
                 )
                 flat = np.asarray(jax.device_get(outs)).reshape(-1)
                 return flat[slot_of_pair]
