@@ -91,12 +91,24 @@ def measure_ours(corpus, qvecs, run, queries, depth, repeats, precision="exact")
     qps = len(queries) * repeats / elapsed
     log(f"ours: {repeats} calls in {elapsed:.3f}s -> {qps:.1f} QPS")
 
-    # sanity: exact scores on a few entries
+    # sanity: scores against host-numpy fp32 ground truth
     tolerance = 0.05 if precision == "exact" else 1.0
     q0 = result["q0"]
     for pid in list(q0)[:3]:
         expected = float(corpus[int(pid[1:])] @ qvecs[0])
         assert abs(expected - q0[pid]) < tolerance, (pid, expected, q0[pid])
+
+    # rank fidelity: top-10 per query must match the exact fp32 ordering
+    # (the north-star metric is nDCG/RR parity, not bitwise scores)
+    agree = 0
+    checked = 8
+    for qi in range(checked):
+        got = result[f"q{qi}"]
+        cand_rows = np.array([int(p[1:]) for p in run[f"q{qi}"]])
+        exact = corpus[cand_rows] @ qvecs[qi]
+        top_exact = [f"p{cand_rows[j]}" for j in np.argsort(-exact)[:10]]
+        agree += int(list(got)[:10] == top_exact)
+    log(f"top-10 rank agreement vs exact fp32: {agree}/{checked} queries")
     return qps
 
 
@@ -259,7 +271,7 @@ def main():
     parser.add_argument("--repeats", type=int, default=5)
     parser.add_argument("--ref-repeats", type=int, default=2)
     parser.add_argument("--skip-baseline", action="store_true")
-    parser.add_argument("--precision", choices=["exact", "fast"], default="exact")
+    parser.add_argument("--precision", choices=["exact", "fast"], default="fast")
     args = parser.parse_args()
 
     if args.config == "encoder":

@@ -11,6 +11,7 @@ from tqdm import tqdm
 
 from fastforward_tpu.index.base import Index
 from fastforward_tpu.ranking import Ranking
+from fastforward_tpu.utils.evaluate import ndcg_at_k, recall_at_k, rr_at_k
 from fastforward_tpu.utils.indexer import Indexer, IndexingDict
 
 __all__ = [
@@ -19,6 +20,9 @@ __all__ = [
     "to_ir_measures",
     "cos_dist",
     "create_coalesced_index",
+    "ndcg_at_k",
+    "rr_at_k",
+    "recall_at_k",
 ]
 
 

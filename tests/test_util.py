@@ -70,3 +70,45 @@ class TestOps(unittest.TestCase):
 
 if __name__ == "__main__":
     unittest.main()
+
+
+class TestEvaluate(unittest.TestCase):
+    def setUp(self):
+        from fastforward_tpu.ranking import Ranking
+
+        self.ranking = Ranking.from_run(
+            {
+                "q1": {"a": 3.0, "b": 2.0, "c": 1.0},
+                "q2": {"a": 3.0, "b": 2.0, "c": 1.0},
+            }
+        )
+        self.qrels = {"q1": {"a": 1}, "q2": {"c": 1}}
+
+    def test_rr(self):
+        from fastforward_tpu.utils.evaluate import rr_at_k
+
+        # q1: relevant at rank 1 -> 1.0; q2: rank 3 -> 1/3
+        self.assertAlmostEqual((1.0 + 1 / 3) / 2, rr_at_k(self.ranking, self.qrels))
+
+    def test_ndcg_perfect(self):
+        from fastforward_tpu.utils.evaluate import ndcg_at_k
+
+        self.assertAlmostEqual(1.0, ndcg_at_k(self.ranking, {"q1": {"a": 2}}))
+
+    def test_ndcg_worst_position(self):
+        import math
+
+        from fastforward_tpu.utils.evaluate import ndcg_at_k
+
+        got = ndcg_at_k(self.ranking, {"q1": {"c": 1}})
+        self.assertAlmostEqual(1.0 / math.log2(4), got)
+
+    def test_recall(self):
+        from fastforward_tpu.utils.evaluate import recall_at_k
+
+        self.assertAlmostEqual(
+            1.0, recall_at_k(self.ranking, self.qrels, k=3)
+        )
+        self.assertAlmostEqual(
+            0.5, recall_at_k(self.ranking, self.qrels, k=1)
+        )
