@@ -92,7 +92,7 @@ def measure_ours(corpus, qvecs, run, queries, depth, repeats, precision="exact")
     log(f"ours: {repeats} calls in {elapsed:.3f}s -> {qps:.1f} QPS")
 
     # sanity: scores against host-numpy fp32 ground truth
-    tolerance = 0.05 if precision == "exact" else 1.0
+    tolerance = {"exact": 0.05, "high": 0.05, "fast": 1.0}[precision]
     q0 = result["q0"]
     for pid in list(q0)[:3]:
         expected = float(corpus[int(pid[1:])] @ qvecs[0])
@@ -271,7 +271,7 @@ def main():
     parser.add_argument("--repeats", type=int, default=5)
     parser.add_argument("--ref-repeats", type=int, default=2)
     parser.add_argument("--skip-baseline", action="store_true")
-    parser.add_argument("--precision", choices=["exact", "fast"], default="fast")
+    parser.add_argument("--precision", choices=["exact", "high", "fast"], default="high")
     args = parser.parse_args()
 
     if args.config == "encoder":

@@ -61,8 +61,9 @@ class InMemoryIndex(Index):
         :param mesh_config: When set, shard the table row-wise across a
             device mesh and score with the SPMD program (dense tables only).
         :param precision: Scoring matmul precision: ``"exact"`` (fp32,
-            reference score parity) or ``"fast"`` (bf16 MXU inputs, ~6x
-            matmul throughput, ~0.5% score error).
+            reference score parity), ``"high"`` (3-pass bf16, ~1e-6
+            relative error, ~2x faster), or ``"fast"`` (bf16 MXU inputs,
+            ~6x matmul throughput, ~0.5% score error).
         """
         self._store: np.ndarray | None = None
         self._num = 0
