@@ -278,28 +278,36 @@ class OnDiskIndex(Index):
         if num == 0:
             return None
         if self._dev_view is None:
+            n_pad = -(-num // 4096) * 4096
             with h5py.File(self._index_file, "r") as fp:
-                data = fp["vectors"][:num]
+                raw = fp["vectors"][:num]
             if isinstance(self._quantizer, PQ):
+                codes = np.zeros((n_pad, raw.shape[1]), dtype=raw.dtype)
+                codes[:num] = raw
                 self._dev_view = DeviceView(
                     kind="pq",
-                    table=jnp.asarray(data),
+                    table=jnp.asarray(codes),
                     codebooks=jnp.asarray(
                         np.asarray(self._quantizer.codewords, dtype=np.float32)
                     ),
                 )
             elif isinstance(self._quantizer, ScalarQuantizer):
+                codes = np.zeros((n_pad, raw.shape[1]), dtype=np.int8)
+                codes[:num] = raw
+                if codes.shape[1] % 128 == 0:
+                    codes = codes.reshape(n_pad, -1, 128)
                 self._dev_view = DeviceView(
                     kind="scalar",
-                    table=jnp.asarray(data),
+                    table=jnp.asarray(codes),
                     scales=self._quantizer.scales,
                 )
             else:
                 if self._quantizer is not None:
-                    data = self._quantizer.decode(data)
-                data = np.asarray(data, dtype=np.float32)
+                    raw = self._quantizer.decode(raw)
+                data = np.zeros((n_pad, raw.shape[1]), dtype=np.float32)
+                data[:num] = raw
                 if data.shape[1] % 128 == 0:
-                    data = data.reshape(data.shape[0], -1, 128)
+                    data = data.reshape(n_pad, -1, 128)
                 self._dev_view = DeviceView(kind="dense", table=jnp.asarray(data))
         return self._dev_view
 
