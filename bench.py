@@ -174,17 +174,23 @@ def bench_encoder(batch: int, length: int, repeats: int):
     params, config = bert.from_hf_torch(hf_model)
 
     rng = np.random.default_rng(0)
-    ids = rng.integers(100, 10_000, size=(batch, length)).astype(np.int32)
+    # distinct inputs per iteration so no caching layer can deduplicate
+    batches = [
+        rng.integers(100, 10_000, size=(batch, length)).astype(np.int32)
+        for _ in range(repeats)
+    ]
     mask = np.ones((batch, length), dtype=np.int32)
 
-    out = bert.encode_jit(params, ids, mask, config)
-    out.block_until_ready()
+    # note: on the dev tunnel, block_until_ready returns before execution
+    # finishes; fetching output bytes is the only reliable sync
+    np.asarray(bert.encode_jit(params, batches[0], mask, config))
     t0 = time.perf_counter()
-    for _ in range(repeats):
-        out = bert.encode_jit(params, ids, mask, config)
-    out.block_until_ready()
+    outs = [bert.encode_jit(params, b, mask, config) for b in batches]
+    for o in outs:
+        np.asarray(o[:1, :8])
     ours = batch * repeats / (time.perf_counter() - t0)
     log(f"encoder ours: {ours:.1f} queries/s")
+    ids = batches[0]
 
     with torch.no_grad():
         t_ids = torch.tensor(ids.astype(np.int64))
