@@ -157,10 +157,20 @@ class PQ(Quantizer):
             return None, self.M
         return self.Ds * self.M, self.M
 
+    #: rows per device batch when encoding (bounds the (M, n, Ks) distance
+    #: tensor to a few hundred MB)
+    _ENCODE_BATCH = 2**15
+
     def _encode(self, vectors: np.ndarray) -> np.ndarray:
         assert self.codewords is not None
-        codes = _assign_codes(_split(vectors, self.M), jnp.asarray(self.codewords))
-        return np.asarray(codes).astype(self._code_dtype())
+        codebooks = jnp.asarray(self.codewords)
+        parts = []
+        for i in range(0, vectors.shape[0], self._ENCODE_BATCH):
+            batch = vectors[i : i + self._ENCODE_BATCH]
+            parts.append(
+                np.asarray(_assign_codes(_split(batch, self.M), codebooks))
+            )
+        return np.concatenate(parts).astype(self._code_dtype())
 
     def _decode(self, codes: np.ndarray) -> np.ndarray:
         assert self.codewords is not None
