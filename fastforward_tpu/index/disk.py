@@ -50,6 +50,7 @@ class OnDiskIndex(Index):
         memory_mapped: bool = False,
         max_indexing_size: int = 2**10,
         hbm_cache: bool = False,
+        precision: str = "exact",
     ) -> None:
         """Create an index on disk.
 
@@ -66,6 +67,7 @@ class OnDiskIndex(Index):
         :param max_indexing_size: Maximum rows per HDF5 fancy-indexing read.
         :param hbm_cache: Upload the full table to device memory on first
             scoring call (invalidated by ``add``).
+        :param precision: Scoring matmul precision (see ``InMemoryIndex``).
         :raises ValueError: When the file exists and ``overwrite=False``.
         """
         if index_file.exists() and not overwrite:
@@ -78,6 +80,7 @@ class OnDiskIndex(Index):
         self._memory_mapped = memory_mapped
         self._max_indexing_size = max_indexing_size
         self._hbm_cache = hbm_cache
+        self._precision = precision
         self._dev_view: DeviceView | None = None
         self._mmap_chunks: list[np.memmap] | None = None
 
@@ -308,7 +311,11 @@ class OnDiskIndex(Index):
                 data[:num] = raw
                 if data.shape[1] % 128 == 0:
                     data = data.reshape(n_pad, -1, 128)
-                self._dev_view = DeviceView(kind="dense", table=jnp.asarray(data))
+                self._dev_view = DeviceView(
+                    kind="dense",
+                    table=jnp.asarray(data),
+                    precision=self._precision,
+                )
         return self._dev_view
 
     # -- conversion / loading ------------------------------------------------
@@ -350,6 +357,7 @@ class OnDiskIndex(Index):
         memory_mapped: bool = False,
         max_indexing_size: int = 2**10,
         hbm_cache: bool = False,
+        precision: str = "exact",
     ) -> "OnDiskIndex":
         """Open an existing index file (reference- or TPU-built).
 
@@ -360,6 +368,7 @@ class OnDiskIndex(Index):
         :param memory_mapped: Read vectors through per-chunk memory maps.
         :param max_indexing_size: Maximum rows per HDF5 fancy-indexing read.
         :param hbm_cache: Upload the table to device memory for scoring.
+        :param precision: Scoring matmul precision (see ``InMemoryIndex``).
         :return: The index.
         """
         LOGGER.debug("reading file %s", index_file)
@@ -374,6 +383,7 @@ class OnDiskIndex(Index):
         index._memory_mapped = memory_mapped
         index._max_indexing_size = max_indexing_size
         index._hbm_cache = hbm_cache
+        index._precision = precision
         index._dev_view = None
         index._mmap_chunks = None
 
