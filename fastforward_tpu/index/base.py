@@ -444,7 +444,11 @@ class Index(abc.ABC):
         key = (q_rank[pair_qno] << np.uint64(32)) | (
             np.uint32(0xFFFFFFFF) - score_asc
         ).astype(np.uint64)
-        take = np.argsort(key, kind="stable")
+        from fastforward_tpu.runtime.idmap import radix_argsort
+
+        take = radix_argsort(key)
+        if take is None:
+            take = np.argsort(key, kind="stable")
         # ExtensionArray.take keeps arrow-backed string columns arrow-native
         # (no object round trip when assembling the result frame)
         out = pd.DataFrame(

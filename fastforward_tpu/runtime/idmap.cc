@@ -10,6 +10,7 @@
 //
 // Build: see build.py (g++ -O3 -shared -fPIC).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -213,6 +214,46 @@ void stream_fill(const int32_t* rows, const int32_t* qno, int64_t p,
         static_cast<int64_t>(rows[i] % tile_rows) * qb + qno[i]);
     slot_of_pair[i] = flat;
   }
+}
+
+// LSD radix argsort over uint64 keys (11-bit digits, 6 passes).  Returns the
+// permutation that sorts `keys` ascending — the result-ordering hot path
+// (numpy's comparison argsort costs ~3x more on one core).
+void radix_argsort_u64(const uint64_t* keys, int64_t n, int64_t* out) {
+  constexpr int kBits = 11;
+  constexpr int kBuckets = 1 << kBits;
+  constexpr uint64_t kMask = kBuckets - 1;
+  std::vector<int64_t> a(static_cast<size_t>(n)), b(static_cast<size_t>(n));
+  for (int64_t i = 0; i < n; ++i) a[static_cast<size_t>(i)] = i;
+  std::vector<int64_t> count(kBuckets);
+  int64_t* src = a.data();
+  int64_t* dst = b.data();
+  for (int shift = 0; shift < 64; shift += kBits) {
+    std::fill(count.begin(), count.end(), 0);
+    for (int64_t i = 0; i < n; ++i) {
+      count[(keys[src[i]] >> shift) & kMask] += 1;
+    }
+    // skip passes where every key shares the digit
+    bool trivial = false;
+    for (int64_t c : count) {
+      if (c == n) {
+        trivial = true;
+        break;
+      }
+    }
+    if (trivial) continue;
+    int64_t total = 0;
+    for (int64_t bkt = 0; bkt < kBuckets; ++bkt) {
+      int64_t c = count[bkt];
+      count[bkt] = total;
+      total += c;
+    }
+    for (int64_t i = 0; i < n; ++i) {
+      dst[count[(keys[src[i]] >> shift) & kMask]++] = src[i];
+    }
+    std::swap(src, dst);
+  }
+  std::memcpy(out, src, static_cast<size_t>(n) * sizeof(int64_t));
 }
 
 }  // extern "C"

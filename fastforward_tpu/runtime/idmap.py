@@ -96,6 +96,12 @@ def _get_lib():
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.radix_argsort_u64.restype = None
+        lib.radix_argsort_u64.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         for name in ("idmap_resolve_offsets32", "idmap_resolve_offsets64"):
             fn = getattr(lib, name)
             fn.restype = ctypes.c_int64
@@ -496,3 +502,18 @@ def native_stream_layout(
         _i64ptr(slot_of_pair),
     )
     return cand, tile_idx, slot_of_pair
+
+
+def radix_argsort(keys: np.ndarray) -> np.ndarray | None:
+    """Native LSD radix argsort over uint64 keys (ascending), or ``None``."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    out = np.empty(keys.shape[0], dtype=np.int64)
+    lib.radix_argsort_u64(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        keys.shape[0],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return out
