@@ -113,7 +113,8 @@ def stream_select(
     )
     lax_precision = {
         "exact": jax.lax.Precision.HIGHEST,  # fp32 (6-pass bf16)
-        "high": jax.lax.Precision.HIGH,  # 3-pass bf16, ~1e-6 rel error
+        # Mosaic only lowers DEFAULT and HIGHEST; "high" gets full precision
+        "high": jax.lax.Precision.HIGHEST,
         "fast": jax.lax.Precision.DEFAULT,  # bf16 inputs
     }[precision]
     import functools as _ft
