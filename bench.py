@@ -271,10 +271,10 @@ def main():
         choices=["rerank", "encoder", "pq", "early-stopping"],
         default="rerank",
     )
-    parser.add_argument("--n", type=int, default=500_000)
+    parser.add_argument("--n", type=int, default=2_000_000)
     parser.add_argument("--queries", type=int, default=512)
     parser.add_argument("--depth", type=int, default=1000)
-    parser.add_argument("--repeats", type=int, default=8)
+    parser.add_argument("--repeats", type=int, default=5)
     parser.add_argument("--ref-repeats", type=int, default=2)
     parser.add_argument("--skip-baseline", action="store_true")
     parser.add_argument("--precision", choices=["exact", "high", "fast"], default="high")
