@@ -34,8 +34,8 @@ def log(*args):
 
 def make_workload(n, num_queries, depth, seed=0):
     rng = np.random.default_rng(seed)
-    corpus = rng.normal(size=(n, DIM)).astype(np.float32)
-    qvecs = rng.normal(size=(num_queries, DIM)).astype(np.float32)
+    corpus = rng.standard_normal(size=(n, DIM), dtype=np.float32)
+    qvecs = rng.standard_normal(size=(num_queries, DIM), dtype=np.float32)
     run = {}
     queries = {}
     for q in range(num_queries):
