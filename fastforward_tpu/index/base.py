@@ -254,6 +254,16 @@ class Index(abc.ABC):
         """
         return None
 
+    def preload(self) -> bool:
+        """Eagerly build/upload the device scoring table.
+
+        Normally the upload happens lazily on the first scoring call; call
+        this to move it off the serving path.
+
+        :return: Whether a device table exists for this backend.
+        """
+        return self._device_view() is not None
+
     def _prepare_queries(self, query_vectors: np.ndarray, view: DeviceView) -> np.ndarray:
         """Fold quantizer-specific transforms into the query vectors."""
         q = np.asarray(query_vectors, dtype=np.float32)
