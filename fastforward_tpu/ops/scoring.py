@@ -333,6 +333,17 @@ STREAM_TILE_ROWS = 1024
 STREAM_CAP = 1024
 
 
+def _adaptive_cap(p: int, num_tiles: int) -> int:
+    """Slot capacity matched to the mean candidates per tile.
+
+    Small caps waste less padding (fetch bytes + one-hot FLOPs) on sparse
+    tiles; skewed tiles spill into extra virtual tiles either way.  Bucketed
+    to powers of two so at most four program variants compile.
+    """
+    mean = max(1, p // max(1, num_tiles))
+    return min(1024, max(128, 1 << (mean - 1).bit_length()))
+
+
 _pallas_stream: bool | None = None
 
 
@@ -375,18 +386,23 @@ def streamed_scores(
     if pallas_stream_enabled():
         from fastforward_tpu.ops import stream_kernel
 
-        r, cap = stream_kernel.KERNEL_TILE_ROWS, stream_kernel.KERNEL_CAP
+        r = stream_kernel.KERNEL_TILE_ROWS
+        cap = _adaptive_cap(rows.shape[0], n_pad // r)
         layout = build_streamed_layout(rows, qno, n_pad, qb, r=r, cap=cap)
+        # scalar-prefetch tile indices live in SMEM; bound the grid size
+        if layout is not None and layout[1].shape[0] > 8192:
+            layout = None
         if layout is not None:
             cand, tile_idx, slot_of_pair = layout
             try:
                 outs = stream_kernel.stream_select(
-                    table.reshape(n_pad // r, r, table.shape[1], table.shape[2]),
+                    table,
                     np.ascontiguousarray(
                         q_pad.T.reshape(-1, qb).astype(np.float32)
                     ),
                     cand.reshape(cand.shape[0], cap // 128, 128),
                     tile_idx,
+                    r=r,
                     precision=precision,
                 )
                 flat = np.asarray(jax.device_get(outs)).reshape(-1)
@@ -399,7 +415,10 @@ def streamed_scores(
                 )
                 set_pallas_stream(False)
 
-    layout = build_streamed_layout(rows, qno, n_pad, qb)
+    cap = _adaptive_cap(rows.shape[0], max(1, n_pad // STREAM_TILE_ROWS))
+    layout = build_streamed_layout(
+        rows, qno, n_pad, qb, r=STREAM_TILE_ROWS, cap=cap
+    )
     if layout is None:
         return None
     cand, tile_idx, slot_of_pair = layout

@@ -64,18 +64,23 @@ def _select_kernel(tile_idx_ref, table_ref, qt_ref, cand_ref, out_ref, *, precis
     out_ref[0] = jnp.sum(picked * q_onehot, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "precision"))
+@functools.partial(
+    jax.jit, static_argnames=("r", "interpret", "precision")
+)
 def stream_select(
-    table4: jax.Array,
+    table: jax.Array,
     qvecs_t: jax.Array,
     cand3: jax.Array,
     tile_idx: jax.Array,
+    r: int = KERNEL_TILE_ROWS,
     interpret: bool = False,
     precision: str = "exact",
 ) -> jax.Array:
     """Fused streaming matmul-select scoring.
 
-    :param table4: Table tiles, ``(T, R, dim//128, 128)`` fp32.
+    :param table: Embedding table, ``(N_pad, dim//128, 128)``
+        (``N_pad % r == 0``); reshaped to tiles inside the jit so no device
+        copy is materialized.
     :param qvecs_t: Transposed query vectors, ``(dim, Qb)`` fp32.
     :param cand3: Packed candidates ``local * Qb + qno``,
         ``(Tv, CAP//128, 128)`` int32.
@@ -88,7 +93,8 @@ def stream_select(
     :return: Scores per candidate slot, ``(Tv, CAP//128, 128)`` fp32.
     """
     t_virtual = cand3.shape[0]
-    _, r, k, lanes = table4.shape
+    n_pad, k, lanes = table.shape
+    table4 = table.reshape(n_pad // r, r, k, lanes)
     capr = cand3.shape[1]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -20,10 +20,11 @@ class TestStreamKernelInterpret(unittest.TestCase):
             rows, qno, n_pad, qb, r=r, cap=cap
         )
         outs = stream_kernel.stream_select(
-            table.reshape(n_pad // r, r, dim // 128, 128),
+            table,
             np.ascontiguousarray(q.T.astype(np.float32)),
             cand.reshape(cand.shape[0], cap // 128, 128),
             tile_idx,
+            r=r,
             interpret=True,
         )
         got = np.asarray(outs).reshape(-1)[slot]
