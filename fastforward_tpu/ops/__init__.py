@@ -15,10 +15,8 @@ from fastforward_tpu.ops.scoring import (
     score_pairs_streamed,
     pallas_stream_enabled,
     set_pallas_stream,
-    set_use_pallas,
     streamed_scores,
     sort_pairs,
-    use_pallas,
 )
 
 __all__ = [
@@ -35,8 +33,6 @@ __all__ = [
     "score_pairs_grouped_pq",
     "interpolate_scores",
     "sort_pairs",
-    "use_pallas",
-    "set_use_pallas",
     "streamed_scores",
     "pallas_stream_enabled",
     "set_pallas_stream",

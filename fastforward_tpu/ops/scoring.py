@@ -12,11 +12,10 @@ over integer row/segment ids:
   ``Mode`` becomes a segment reduction (max / mean / sum-of-one).
 
 All shapes are padded to power-of-two buckets by the host so XLA compiles a
-small, stable set of programs.  On TPU the dense path dispatches to a fused
-Pallas gather-dot kernel (``fastforward_tpu.ops.gather_dot``) that streams
-table rows HBM -> VMEM and never materializes the gathered matrix; the lax
-path below is the portable reference implementation used on CPU and for
-parity tests.
+small, stable set of programs.  Dense candidate sets bypass gathering
+entirely via the streaming matmul-select formulation (``streamed_scores`` /
+``fastforward_tpu.ops.stream_kernel``); the gather programs below serve
+sparse candidate sets and quantized codes.
 """
 
 from functools import partial
@@ -26,31 +25,6 @@ import jax.numpy as jnp
 import numpy as np
 
 _BUCKET_MIN = 256
-
-#: When True, the dense path uses the fused Pallas gather-dot kernel (TPU
-#: only).  Off by default pending validation that it beats the XLA gather
-#: path — enable with ``set_use_pallas(True)`` or ``FFTPU_USE_PALLAS=1``.
-_use_pallas: bool | None = None
-
-
-def use_pallas() -> bool:
-    """Whether the fused Pallas kernels should be used (TPU backend only)."""
-    global _use_pallas
-    if _use_pallas is None:
-        import os
-
-        _use_pallas = (
-            os.environ.get("FFTPU_USE_PALLAS", "0") == "1"
-            and jax.default_backend() == "tpu"
-        )
-    return _use_pallas
-
-
-def set_use_pallas(value: bool | None) -> None:
-    """Force (or reset, with ``None``) Pallas kernel dispatch."""
-    global _use_pallas
-    _use_pallas = value
-
 
 def bucket(n: int) -> int:
     """Round up to the next power of two (>= 256) to stabilize jit shapes."""
@@ -106,19 +80,13 @@ def score_pairs_dense(
     :return: Per-pair scores, shape ``(num_out,)`` fp32.
     """
     rows, qno, seg = idx[0], idx[1], idx[2]
-    from fastforward_tpu.ops import gather_dot as gd
-
     if table.ndim == 3:
-        # row-DMA-friendly (N, dim//128, 128) layout (see gather_dot)
         q3 = qvecs.reshape(qvecs.shape[0], table.shape[1], table.shape[2])
-        if use_pallas() and gd.supports(table, rows):
-            row_scores = gd.gather_dot(table, q3, rows, qno)
-        else:
-            d = jnp.take(table, rows, axis=0).astype(jnp.float32)
-            q = jnp.take(q3, qno, axis=0)
-            row_scores = jnp.einsum(
-                "pkl,pkl->p", q, d, preferred_element_type=jnp.float32
-            )
+        d = jnp.take(table, rows, axis=0).astype(jnp.float32)
+        q = jnp.take(q3, qno, axis=0)
+        row_scores = jnp.einsum(
+            "pkl,pkl->p", q, d, preferred_element_type=jnp.float32
+        )
     else:
         d = jnp.take(table, rows, axis=0).astype(jnp.float32)
         q = jnp.take(qvecs, qno, axis=0)
