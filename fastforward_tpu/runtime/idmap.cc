@@ -38,11 +38,79 @@ struct SvEq {
 template <typename V>
 using StrMap = std::unordered_map<std::string, V, SvHash, SvEq>;
 
+// IDs of <= 8 bytes (the common IR case) pack into a uint64 key; lookups
+// then skip string hashing/allocation entirely.
+inline uint64_t mix_u64(uint64_t k) {
+  // splitmix64 finalizer
+  k += 0x9e3779b97f4a7c15ULL;
+  k = (k ^ (k >> 30)) * 0xbf58476d1ce4e5b9ULL;
+  k = (k ^ (k >> 27)) * 0x94d049bb133111ebULL;
+  return k ^ (k >> 31);
+}
+
+inline bool pack_u64(std::string_view key, uint64_t* out) {
+  if (key.size() > 8 || key.empty()) return false;
+  uint64_t v = 0;
+  std::memcpy(&v, key.data(), key.size());
+  *out = v;
+  return true;
+}
+
+// Open-addressing u64 -> value table with linear probing.  Lookup batches
+// software-prefetch the probe slot ~16 keys ahead, hiding the DRAM latency
+// that dominates std::unordered_map on large maps.
+template <typename V>
+struct FlatU64Map {
+  struct Slot {
+    uint64_t key;  // 0 = empty (packed keys of non-empty ids are never 0)
+    V value;
+  };
+  std::vector<Slot> slots;
+  size_t mask = 0;
+  size_t count = 0;
+
+  FlatU64Map() { resize(1 << 12); }
+
+  void resize(size_t cap) {
+    std::vector<Slot> old = std::move(slots);
+    slots.assign(cap, Slot{0, V{}});
+    mask = cap - 1;
+    count = 0;
+    for (const Slot& s : old) {
+      if (s.key) insert(s.key, s.value);
+    }
+  }
+
+  void insert(uint64_t key, V value) {
+    if ((count + 1) * 10 > slots.size() * 7) resize(slots.size() * 2);
+    size_t i = mix_u64(key) & mask;
+    while (slots[i].key && slots[i].key != key) i = (i + 1) & mask;
+    if (!slots[i].key) ++count;
+    slots[i] = Slot{key, value};
+  }
+
+  void prefetch(uint64_t key) const {
+    __builtin_prefetch(&slots[mix_u64(key) & mask]);
+  }
+
+  const V* find(uint64_t key) const {
+    size_t i = mix_u64(key) & mask;
+    while (slots[i].key) {
+      if (slots[i].key == key) return &slots[i].value;
+      i = (i + 1) & mask;
+    }
+    return nullptr;
+  }
+};
+
 struct IdMap {
   // doc id -> rows (documents may span multiple passages, in add order)
   StrMap<std::vector<int32_t>> doc_rows;
   // psg id -> unique row
   StrMap<int32_t> psg_row;
+  // u64 shadow maps for short ids (mirrors of the string maps)
+  FlatU64Map<const std::vector<int32_t>*> doc_rows64;
+  FlatU64Map<int32_t> psg_row64;
   // insertion order (needed to enumerate ids deterministically)
   std::vector<const std::string*> doc_order;
   std::vector<const std::string*> psg_order;
@@ -83,6 +151,8 @@ int64_t idmap_add(void* handle, const char* doc_ids, const char* psg_ids,
             m->psg_row.emplace(std::move(key), static_cast<int32_t>(start_row + i));
         if (!inserted) return -(i + 1);
         m->psg_order.push_back(&it->first);
+        uint64_t k64;
+        if (pack_u64(it->first, &k64)) m->psg_row64.insert(k64, it->second);
       }
     }
     if (doc_ids != nullptr) {
@@ -92,6 +162,10 @@ int64_t idmap_add(void* handle, const char* doc_ids, const char* psg_ids,
             std::move(key), std::vector<int32_t>{});
         if (inserted) m->doc_order.push_back(&it->first);
         it->second.push_back(static_cast<int32_t>(start_row + i));
+        uint64_t k64;
+        if (inserted && pack_u64(it->first, &k64)) {
+          m->doc_rows64.insert(k64, &it->second);
+        }
       }
     }
   }
@@ -146,29 +220,7 @@ void idmap_psg_ids(void* handle, char* out, int64_t width) {
 // (MAXP/AVEP), 2 = doc first row (FIRSTP).  Fills counts[n] and cache[n];
 // returns the total number of rows, or -(i+1) if id i is missing.
 int64_t idmap_resolve(void* handle, const char* ids, int64_t n, int64_t width,
-                      int32_t mode, int32_t* counts, const void** cache) {
-  IdMap* m = static_cast<IdMap*>(handle);
-  int64_t total = 0;
-  for (int64_t i = 0; i < n; ++i) {
-    std::string_view key = make_view(ids + i * width, width);
-    if (mode == 0) {
-      auto it = m->psg_row.find(key);
-      if (it == m->psg_row.end()) return -(i + 1);
-      counts[i] = 1;
-      // cache the row value itself (avoids any second lookup)
-      cache[i] = reinterpret_cast<const void*>(
-          static_cast<intptr_t>(it->second));
-      total += 1;
-    } else {
-      auto it = m->doc_rows.find(key);
-      if (it == m->doc_rows.end() || it->second.empty()) return -(i + 1);
-      counts[i] = mode == 2 ? 1 : static_cast<int32_t>(it->second.size());
-      cache[i] = &it->second;
-      total += counts[i];
-    }
-  }
-  return total;
-}
+                      int32_t mode, int32_t* counts, const void** cache);
 
 // ---- streamed-layout builder (no strings; see ops.build_streamed_layout) --
 //
@@ -264,21 +316,50 @@ namespace {
 template <typename GetView>
 int64_t resolve_views(IdMap* m, GetView get_view, int64_t n, int32_t mode,
                       int32_t* counts, const void** cache) {
+  constexpr int64_t kPrefetch = 16;
   int64_t total = 0;
   for (int64_t i = 0; i < n; ++i) {
+    if (i + kPrefetch < n) {
+      uint64_t ahead;
+      if (pack_u64(get_view(i + kPrefetch), &ahead)) {
+        if (mode == 0) {
+          m->psg_row64.prefetch(ahead);
+        } else {
+          m->doc_rows64.prefetch(ahead);
+        }
+      }
+    }
     std::string_view key = get_view(i);
+    uint64_t k64;
+    const bool short_key = pack_u64(key, &k64);
     if (mode == 0) {
-      auto it = m->psg_row.find(key);
-      if (it == m->psg_row.end()) return -(i + 1);
+      int32_t row;
+      if (short_key) {
+        const int32_t* found = m->psg_row64.find(k64);
+        if (found == nullptr) return -(i + 1);
+        row = *found;
+      } else {
+        auto it = m->psg_row.find(key);
+        if (it == m->psg_row.end()) return -(i + 1);
+        row = it->second;
+      }
       counts[i] = 1;
-      cache[i] = reinterpret_cast<const void*>(
-          static_cast<intptr_t>(it->second));
+      cache[i] = reinterpret_cast<const void*>(static_cast<intptr_t>(row));
       total += 1;
     } else {
-      auto it = m->doc_rows.find(key);
-      if (it == m->doc_rows.end() || it->second.empty()) return -(i + 1);
-      counts[i] = mode == 2 ? 1 : static_cast<int32_t>(it->second.size());
-      cache[i] = &it->second;
+      const std::vector<int32_t>* rows;
+      if (short_key) {
+        auto found = m->doc_rows64.find(k64);
+        if (found == nullptr) return -(i + 1);
+        rows = *found;
+      } else {
+        auto it = m->doc_rows.find(key);
+        if (it == m->doc_rows.end()) return -(i + 1);
+        rows = &it->second;
+      }
+      if (rows->empty()) return -(i + 1);
+      counts[i] = mode == 2 ? 1 : static_cast<int32_t>(rows->size());
+      cache[i] = rows;
       total += counts[i];
     }
   }
@@ -288,6 +369,15 @@ int64_t resolve_views(IdMap* m, GetView get_view, int64_t n, int32_t mode,
 }  // namespace
 
 extern "C" {
+
+// Definition of the fixed-width resolve declared above.
+int64_t idmap_resolve(void* handle, const char* ids, int64_t n, int64_t width,
+                      int32_t mode, int32_t* counts, const void** cache) {
+  return resolve_views(
+      static_cast<IdMap*>(handle),
+      [&](int64_t i) { return make_view(ids + i * width, width); }, n, mode,
+      counts, cache);
+}
 
 // Resolve ids given as an Arrow UTF-8 string array (data buffer + int32
 // offsets) — zero-copy from pandas/pyarrow string columns.
@@ -355,6 +445,10 @@ void idmap_bulk_load(void* handle, const char* doc_ids, const char* psg_ids,
             m->doc_rows.emplace(std::move(key), std::vector<int32_t>{});
         if (inserted) m->doc_order.push_back(&it->first);
         it->second.push_back(static_cast<int32_t>(i));
+        uint64_t k64;
+        if (inserted && pack_u64(it->first, &k64)) {
+          m->doc_rows64.insert(k64, &it->second);
+        }
       }
     }
     if (psg_ids != nullptr) {
@@ -367,6 +461,8 @@ void idmap_bulk_load(void* handle, const char* doc_ids, const char* psg_ids,
         } else {
           it->second = static_cast<int32_t>(i);
         }
+        uint64_t k64;
+        if (pack_u64(it->first, &k64)) m->psg_row64.insert(k64, it->second);
       }
     }
   }
