@@ -329,8 +329,7 @@ class Index(abc.ABC):
         q_pad = self._pad_queries(query_vectors, view)
 
         if (
-            view.mesh is None
-            and view.kind in ("dense", "scalar")
+            view.kind in ("dense", "scalar")
             and view.table.ndim == 3
             and view.table.shape[0] % ops.STREAM_TILE_ROWS == 0
             and n_pairs * k * 500 > view.table.shape[0]
@@ -343,9 +342,22 @@ class Index(abc.ABC):
             else:
                 rows_flat = rows_mat.reshape(-1).astype(np.int64)
                 qno_flat = np.repeat(pair_qno, k)
-            row_scores = ops.streamed_scores(
-                view.table, q_pad, rows_flat, qno_flat, precision=view.precision
-            )
+            if view.mesh is not None:
+                from fastforward_tpu.parallel.sharded import (
+                    streamed_scores_sharded,
+                )
+
+                row_scores = streamed_scores_sharded(
+                    view.mesh, view.table, q_pad, rows_flat, qno_flat
+                )
+            else:
+                row_scores = ops.streamed_scores(
+                    view.table,
+                    q_pad,
+                    rows_flat,
+                    qno_flat,
+                    precision=view.precision,
+                )
             if row_scores is not None:
                 if k == 1:
                     return row_scores

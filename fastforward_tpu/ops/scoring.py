@@ -253,6 +253,18 @@ def score_pairs_streamed(
     :param r: Rows per table tile (static).
     :return: Scores per candidate slot, ``(T_virtual * CAP,)`` fp32.
     """
+    return stream_scan(table, qvecs, cand, tile_idx, r)
+
+
+def stream_scan(
+    table: jnp.ndarray,
+    qvecs: jnp.ndarray,
+    cand: jnp.ndarray,
+    tile_idx: jnp.ndarray,
+    r: int,
+) -> jnp.ndarray:
+    """Traceable scan body of :func:`score_pairs_streamed` (also used inside
+    the sharded SPMD program)."""
     qb = qvecs.shape[0]
     k, lanes = table.shape[1], table.shape[2]
     q3 = qvecs.reshape(qb, k, lanes)

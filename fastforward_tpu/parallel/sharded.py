@@ -88,6 +88,100 @@ def _cached_scorer(mesh: Mesh, op: str):
     return _sharded_score_fn(mesh, op)
 
 
+def _sharded_stream_fn(mesh: Mesh, r: int):
+    """Per-shard streaming program: each chip streams only its own table
+    shard through the MXU (see ``ops.scoring.stream_scan``); candidates are
+    pre-partitioned by owning shard on the host, so no collective is needed
+    at all — outputs concatenate along the ``shard`` axis."""
+    from fastforward_tpu.ops.scoring import stream_scan
+
+    def body(table_local, qvecs, cand, tile_idx):
+        return stream_scan(table_local, qvecs, cand[0], tile_idx[0], r)
+
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P("shard", None, None),  # table rows sharded
+            P(),  # qvecs replicated
+            P("shard", None, None),  # per-shard candidate grids
+            P("shard", None),  # per-shard tile indices
+        ),
+        out_specs=P("shard"),
+        check_vma=False,
+    )
+    return jax.jit(mapped, static_argnames=())
+
+
+@lru_cache(maxsize=16)
+def _cached_stream_scorer(mesh: Mesh, r: int):
+    return _sharded_stream_fn(mesh, r)
+
+
+def streamed_scores_sharded(
+    mesh: Mesh,
+    table: jax.Array,
+    q_pad: "np.ndarray",
+    rows: "np.ndarray",
+    qno: "np.ndarray",
+) -> "np.ndarray | None":
+    """Sharded equivalent of ``ops.streamed_scores``.
+
+    Partitions candidates by their owning shard on the host, builds one
+    streamed layout per shard (padded to a common virtual-tile count), and
+    runs the per-shard streaming program.  Returns per-row scores in input
+    order, or ``None`` when the layout doesn't apply.
+    """
+    import numpy as np
+
+    from fastforward_tpu.ops import scoring
+
+    num_shards = mesh.shape["shard"]
+    n_pad = table.shape[0]
+    if n_pad % num_shards:
+        return None
+    n_local = n_pad // num_shards
+    r = scoring.STREAM_TILE_ROWS
+    if n_local % r or rows.shape[0] == 0:
+        return None
+    qb = q_pad.shape[0]
+    cap = scoring._adaptive_cap(
+        max(1, rows.shape[0] // num_shards), max(1, n_local // r)
+    )
+
+    shard_of = rows // n_local
+    layouts = []
+    masks = []
+    t_virtual = 1
+    for shard in range(num_shards):
+        mask = shard_of == shard
+        masks.append(mask)
+        local = (rows[mask] - shard * n_local).astype(np.int64)
+        layout = scoring.build_streamed_layout(
+            local, qno[mask], n_local, qb, r=r, cap=cap
+        )
+        layouts.append(layout)
+        if layout is not None:
+            t_virtual = max(t_virtual, layout[1].shape[0])
+
+    pad_value = qb - 1
+    cand_all = np.full((num_shards, t_virtual, cap), pad_value, dtype=np.int32)
+    tile_idx_all = np.zeros((num_shards, t_virtual), dtype=np.int32)
+    slot_of_pair = np.empty(rows.shape[0], dtype=np.int64)
+    for shard, (layout, mask) in enumerate(zip(layouts, masks)):
+        if layout is None:
+            continue
+        cand, tile_idx, slots = layout
+        cand_all[shard, : cand.shape[0]] = cand
+        tile_idx_all[shard, : tile_idx.shape[0]] = tile_idx
+        slot_of_pair[mask] = shard * (t_virtual * cap) + slots
+
+    outs = _cached_stream_scorer(mesh, r)(
+        table, q_pad.astype(np.float32), cand_all, tile_idx_all
+    )
+    return np.asarray(jax.device_get(outs))[slot_of_pair]
+
+
 def score_pairs_sharded(
     mesh: Mesh,
     table: jax.Array,
