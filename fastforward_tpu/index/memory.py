@@ -74,7 +74,6 @@ class InMemoryIndex(Index):
         self._mesh_config = mesh_config
         self._mesh = None
         self._dev_view: DeviceView | None = None
-        self._dev_rows = 0  # rows captured in the current device view
         super().__init__(
             query_encoder=query_encoder,
             quantizer=quantizer,
@@ -221,5 +220,4 @@ class InMemoryIndex(Index):
                 kind="dense", table=dev, precision=self._precision
             )
 
-        self._dev_rows = self._num
         return self._dev_view

@@ -16,7 +16,6 @@ from fastforward_tpu.ops.scoring import (
     pallas_stream_enabled,
     set_pallas_stream,
     streamed_scores,
-    sort_pairs,
 )
 
 __all__ = [
@@ -32,7 +31,6 @@ __all__ = [
     "score_pairs_grouped",
     "score_pairs_grouped_pq",
     "interpolate_scores",
-    "sort_pairs",
     "streamed_scores",
     "pallas_stream_enabled",
     "set_pallas_stream",

@@ -530,32 +530,6 @@ def score_pairs_grouped_pq(
     return _masked_reduce(row_scores.reshape(s, k), counts, op)
 
 
-@jax.jit
-def sort_pairs(scores: jnp.ndarray, qrank: jnp.ndarray) -> jnp.ndarray:
-    """Order pairs by (query rank asc, score desc) on device.
-
-    Replaces the host-side result sort (the reference re-sorts in the
-    ``Ranking`` constructor, ``ranking.py:115-116``).  The float scores are
-    bit-twiddled into sort-descending uint32 keys and composed with the
-    query rank into one uint64 argsort key.
-
-    :param scores: Per-pair scores, ``(S,)`` fp32.
-    :param qrank: Query order key per pair (padding pairs use a large
-        sentinel so they sort last), ``(S,)`` int32.
-    :return: ``argsort`` permutation, ``(S,)`` int32.
-    """
-    bits = jax.lax.bitcast_convert_type(scores, jnp.uint32)
-    # monotone map: float asc -> uint asc (then inverted for descending)
-    asc = jnp.where(
-        bits >> 31,
-        ~bits,
-        bits | jnp.uint32(0x80000000),
-    )
-    desc = jnp.uint32(0xFFFFFFFF) - asc
-    # two 32-bit keys (uint64 would be truncated without jax x64 mode)
-    return jnp.lexsort((desc, qrank)).astype(jnp.int32)
-
-
 def interpolate_scores(
     lexical: jnp.ndarray, semantic: jnp.ndarray, alpha: float
 ) -> jnp.ndarray:
