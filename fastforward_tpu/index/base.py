@@ -327,6 +327,18 @@ class Index(abc.ABC):
         n_pairs = rows_mat.shape[0]
         s_bucket = ops.bucket(n_pairs)
         q_pad = self._pad_queries(query_vectors, view)
+        if q_pad.shape[0] > (1 << 22):
+            # qno packing uses 22 bits; fall back to the flat segment path
+            valid = np.arange(k)[None, :] < counts_pp[:, None]
+            rows, qno, seg = expand_pairs(
+                np.arange(n_pairs, dtype=np.int64),
+                pair_qno,
+                rows_mat[valid].astype(np.int64),
+                counts_pp,
+            )
+            return self._device_score_flat(
+                view, query_vectors, rows, qno, seg, n_pairs
+            )
 
         if (
             view.kind in ("dense", "scalar")
