@@ -29,6 +29,30 @@ KERNEL_TILE_ROWS = 512
 KERNEL_CAP = 512
 
 
+def _split_bf16(x):
+    """Split fp32 into (hi, lo) bf16 parts with x ~= hi + lo."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot_bf16x3(a, b):
+    """~fp32-accurate matmul from three native-bf16 MXU passes.
+
+    Mosaic only lowers DEFAULT/HIGHEST dot precision; this implements the
+    missing HIGH (bf16x3) tier manually: a@b ~= ah@bh + ah@bl + al@bh
+    (the lo*lo term is below fp32 rounding).  2x cheaper than HIGHEST's
+    six passes.
+    """
+    ah, al = _split_bf16(a)
+    bh, bl = _split_bf16(b)
+
+    def dot(x, y):
+        return jax.lax.dot(x, y, preferred_element_type=jnp.float32)
+
+    return dot(ah, bh) + dot(ah, bl) + dot(al, bh)
+
+
 def _select_kernel(tile_idx_ref, table_ref, qt_ref, cand_ref, out_ref, *, precision):
     r = table_ref.shape[1]
     k, lanes = table_ref.shape[2], table_ref.shape[3]
@@ -36,12 +60,15 @@ def _select_kernel(tile_idx_ref, table_ref, qt_ref, cand_ref, out_ref, *, precis
 
     tile = table_ref[0].reshape(r, k * lanes)  # (R, dim)
     # tile scores against all queries: (R, dim) @ (dim, Qb) on the MXU
-    tile_scores = jax.lax.dot(
-        tile.astype(jnp.float32),
-        qt_ref[...],
-        precision=precision,
-        preferred_element_type=jnp.float32,
-    )  # (R, Qb)
+    if precision == "high":
+        tile_scores = _dot_bf16x3(tile.astype(jnp.float32), qt_ref[...])
+    else:
+        tile_scores = jax.lax.dot(
+            tile.astype(jnp.float32),
+            qt_ref[...],
+            precision=precision,
+            preferred_element_type=jnp.float32,
+        )  # (R, Qb)
 
     cand = cand_ref[0]  # (CAP//128, 128) int32, packed local * Qb + qno
     local = cand // qb
@@ -49,14 +76,26 @@ def _select_kernel(tile_idx_ref, table_ref, qt_ref, cand_ref, out_ref, *, precis
 
     # row selection: one-hot over R, contracted on the MXU
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, r), 2)
-    row_onehot = (local[:, :, None] == row_iota).astype(jnp.float32)
-    picked = jax.lax.dot_general(
-        row_onehot,
-        tile_scores,
-        dimension_numbers=(((2,), (0,)), ((), ())),
-        precision=precision,
-        preferred_element_type=jnp.float32,
-    )  # (CAP//128, 128, Qb)
+
+    def select(scores, onehot_dtype, dot_precision):
+        onehot = (local[:, :, None] == row_iota).astype(onehot_dtype)
+        return jax.lax.dot_general(
+            onehot,
+            scores,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            precision=dot_precision,
+            preferred_element_type=jnp.float32,
+        )  # (CAP//128, 128, Qb)
+
+    if precision == "high":
+        # selection copies single values: split the scores into bf16 parts
+        # and select each with native-bf16 passes (exact one-hot products)
+        s_hi, s_lo = _split_bf16(tile_scores)
+        picked = select(
+            s_hi, jnp.bfloat16, jax.lax.Precision.DEFAULT
+        ) + select(s_lo, jnp.bfloat16, jax.lax.Precision.DEFAULT)
+    else:
+        picked = select(tile_scores, jnp.float32, precision)
 
     # query selection: masked reduction on the VPU
     q_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, qb), 2)
@@ -119,8 +158,7 @@ def stream_select(
     )
     lax_precision = {
         "exact": jax.lax.Precision.HIGHEST,  # fp32 (6-pass bf16)
-        # Mosaic only lowers DEFAULT and HIGHEST; "high" gets full precision
-        "high": jax.lax.Precision.HIGHEST,
+        "high": "high",  # manual bf16x3 (see _dot_bf16x3)
         "fast": jax.lax.Precision.DEFAULT,  # bf16 inputs
     }[precision]
     import functools as _ft
