@@ -174,6 +174,44 @@ class TestFlatVsGroupedParity(unittest.TestCase):
         for doc in truth:
             self.assertAlmostEqual(grouped[doc], flat[doc], places=4)
 
+class TestDiskHbmCacheQuantized(unittest.TestCase):
+    def test_pq_and_scalar_hbm_cache(self):
+        import shutil
+        import tempfile
+        from pathlib import Path
+
+        from fastforward_tpu.index import OnDiskIndex
+
+        tmp = Path(tempfile.mkdtemp())
+        try:
+            dim = 128
+            data = RNG.normal(size=(40, dim)).astype(np.float32)
+            qvec = RNG.normal(size=dim).astype(np.float32)
+            run = {"q1": {f"p{i}": 1.0 for i in range(40)}}
+            queries = {"q1": "x"}
+
+            for name, quantizer in [
+                ("pq", PQ(8, 16)),
+                ("scalar", ScalarQuantizer()),
+            ]:
+                quantizer.fit(data)
+                decoded = quantizer.decode(quantizer.encode(data))
+                index = OnDiskIndex(
+                    tmp / f"{name}.h5",
+                    LambdaEncoder(lambda _: qvec),
+                    quantizer=quantizer,
+                    mode=Mode.PASSAGE,
+                    hbm_cache=True,
+                )
+                index.add(data, psg_ids=[f"p{i}" for i in range(40)])
+                got = index(Ranking.from_run(run, queries=queries))["q1"]
+                self.assertIsNotNone(index._device_view())
+                for i in range(40):
+                    self.assertAlmostEqual(
+                        float(decoded[i] @ qvec), got[f"p{i}"], places=2, msg=name
+                    )
+        finally:
+            shutil.rmtree(tmp)
 
 if __name__ == "__main__":
     unittest.main()
