@@ -59,7 +59,8 @@ class InMemoryIndex(Index):
         :param device_dtype: Dtype of the device scoring table
             (``"float32"`` or ``"bfloat16"``; ignored for quantized indexes).
         :param mesh_config: When set, shard the table row-wise across a
-            device mesh and score with the SPMD program (dense tables only).
+            device mesh and score with the SPMD program (dense or
+            scalar-quantized tables; PQ/OPQ is single-chip).
         :param precision: Scoring matmul precision: ``"exact"`` (fp32,
             reference score parity), ``"high"`` (3-pass bf16, ~1e-6
             relative error, ~2x faster), or ``"fast"`` (bf16 MXU inputs,
@@ -153,6 +154,12 @@ class InMemoryIndex(Index):
         data = self._store[: self._num]
 
         if isinstance(self._quantizer, PQ):
+            if self._mesh_config is not None:
+                raise ValueError(
+                    "mesh_config is not supported with PQ/OPQ quantizers "
+                    "(the ADC scoring program is single-chip); use a "
+                    "ScalarQuantizer or a dense table for sharded scoring."
+                )
             codes = np.zeros((n_pad, data.shape[1]), dtype=data.dtype)
             codes[: self._num] = data
             self._dev_view = DeviceView(
@@ -170,11 +177,35 @@ class InMemoryIndex(Index):
                 # 3D layout: int8 tables stream through the MXU at 4x less
                 # bandwidth than fp32 (scales are folded into the queries)
                 codes = codes.reshape(n_pad, dim // 128, 128)
-            self._dev_view = DeviceView(
-                kind="scalar",
-                table=jnp.asarray(codes),
-                scales=self._quantizer.scales,
-            )
+            if self._mesh_config is not None:
+                # int8 codes shard row-wise like dense tables; the scales
+                # are folded into the (replicated) query vectors
+                import jax
+
+                from fastforward_tpu.parallel.sharded import table_sharding
+
+                if dim % 128 != 0:
+                    raise ValueError(
+                        "Sharded tables require dim % 128 == 0 "
+                        f"(got {dim}); pad the embeddings."
+                    )
+                if self._mesh is None:
+                    self._mesh = self._mesh_config.build()
+                codes_dev = jax.device_put(
+                    codes, table_sharding(self._mesh)
+                )
+                self._dev_view = DeviceView(
+                    kind="scalar",
+                    table=codes_dev,
+                    scales=self._quantizer.scales,
+                    mesh=self._mesh,
+                )
+            else:
+                self._dev_view = DeviceView(
+                    kind="scalar",
+                    table=jnp.asarray(codes),
+                    scales=self._quantizer.scales,
+                )
         elif self._quantizer is not None:
             # unknown quantizer: decode on host, score dense
             table = np.zeros(

@@ -265,11 +265,12 @@ class Ranking:
 
     # -- I/O -----------------------------------------------------------------
 
-    def save(self, target: Path) -> None:
+    def save(self, target: Path | str) -> None:
         """Write the ranking as a TREC runfile.
 
         :param target: Output path (parent dirs are created).
         """
+        target = Path(target)
         out = self._df.copy()
         out["rank"] = _ranks_within_query(out)
         out["name"] = str(self.name)

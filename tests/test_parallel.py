@@ -74,5 +74,59 @@ class TestShardedScoring(unittest.TestCase):
             MeshConfig(data=16, shard=16).build()
 
 
+class TestShardedQuantized(unittest.TestCase):
+    def test_scalar_quantizer_sharded_parity(self):
+        """int8 codes shard row-wise; scores match the unsharded index."""
+        from fastforward_tpu.quantizer import ScalarQuantizer
+
+        data = RNG.normal(size=(200, DIM)).astype(np.float32)
+        qvec = RNG.normal(size=DIM).astype(np.float32)
+        enc = LambdaEncoder(lambda _: qvec)
+        run = {"q1": {f"p{i}": float(i) for i in range(120)}}
+        ranking = Ranking.from_run(run, queries={"q1": "a"})
+
+        results = []
+        for mesh_config in (None, MeshConfig(data=2, shard=4)):
+            quantizer = ScalarQuantizer()
+            quantizer.fit(data)
+            index = InMemoryIndex(
+                enc,
+                quantizer=quantizer,
+                mode=Mode.PASSAGE,
+                mesh_config=mesh_config,
+            )
+            index.add(data, psg_ids=[f"p{i}" for i in range(200)])
+            results.append(index(ranking)["q1"])
+            if mesh_config is not None:
+                self.assertIsNotNone(index._device_view().mesh)
+        plain, sharded = results
+        self.assertEqual(set(plain), set(sharded))
+        for pid in plain:
+            self.assertAlmostEqual(plain[pid], sharded[pid], places=3, msg=pid)
+
+    def test_pq_with_mesh_raises(self):
+        """PQ + mesh_config is unsupported and must fail loudly, not
+        silently drop the mesh."""
+        from fastforward_tpu.quantizer import PQ
+
+        quantizer = PQ(8, 16)
+        quantizer.fit(RNG.normal(size=(64, DIM)).astype(np.float32))
+        index = InMemoryIndex(
+            LambdaEncoder(lambda _: np.ones(DIM, np.float32)),
+            quantizer=quantizer,
+            mode=Mode.PASSAGE,
+            mesh_config=MeshConfig(data=1, shard=8),
+        )
+        index.add(
+            RNG.normal(size=(16, DIM)).astype(np.float32),
+            psg_ids=[f"p{i}" for i in range(16)],
+        )
+        ranking = Ranking.from_run(
+            {"q1": {"p0": 1.0}}, queries={"q1": "a"}
+        )
+        with self.assertRaises(ValueError):
+            index(ranking)
+
+
 if __name__ == "__main__":
     unittest.main()
