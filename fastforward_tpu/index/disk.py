@@ -51,6 +51,7 @@ class OnDiskIndex(Index):
         max_indexing_size: int = 2**10,
         hbm_cache: bool = False,
         precision: str = "exact",
+        mesh_config=None,
     ) -> None:
         """Create an index on disk.
 
@@ -68,8 +69,11 @@ class OnDiskIndex(Index):
         :param hbm_cache: Upload the full table to device memory on first
             scoring call (invalidated by ``add``).
         :param precision: Scoring matmul precision (see ``InMemoryIndex``).
+        :param mesh_config: With ``hbm_cache``, shard the cached table
+            row-wise across a device mesh (see ``InMemoryIndex``).
         :raises ValueError: When the file exists and ``overwrite=False``.
         """
+        index_file = Path(index_file)
         if index_file.exists() and not overwrite:
             raise ValueError(f"File {index_file} exists.")
 
@@ -81,6 +85,8 @@ class OnDiskIndex(Index):
         self._max_indexing_size = max_indexing_size
         self._hbm_cache = hbm_cache
         self._precision = precision
+        self._mesh_config = mesh_config
+        self._mesh = None
         self._dev_view: DeviceView | None = None
         self._mmap_chunks: list[np.memmap] | None = None
 
@@ -274,6 +280,24 @@ class OnDiskIndex(Index):
 
     # -- device cache --------------------------------------------------------
 
+    def _upload(self, table: np.ndarray):
+        """Place a padded table on device: replicated, or row-sharded when a
+        mesh is configured (requires the 3D ``(N, dim//128, 128)`` layout)."""
+        if self._mesh_config is None:
+            return jnp.asarray(table), None
+        if table.ndim != 3:
+            raise ValueError(
+                "Sharded tables require dim % 128 == 0 "
+                f"(table shape {table.shape}); pad the embeddings."
+            )
+        import jax
+
+        from fastforward_tpu.parallel.sharded import table_sharding
+
+        if self._mesh is None:
+            self._mesh = self._mesh_config.build()
+        return jax.device_put(table, table_sharding(self._mesh)), self._mesh
+
     def _device_view(self) -> DeviceView | None:
         if not self._hbm_cache:
             return None
@@ -285,6 +309,12 @@ class OnDiskIndex(Index):
             with h5py.File(self._index_file, "r") as fp:
                 raw = fp["vectors"][:num]
             if isinstance(self._quantizer, PQ):
+                if self._mesh_config is not None:
+                    raise ValueError(
+                        "mesh_config is not supported with PQ/OPQ quantizers "
+                        "(the ADC scoring program is single-chip); use a "
+                        "ScalarQuantizer or a dense table for sharded scoring."
+                    )
                 codes = np.zeros((n_pad, raw.shape[1]), dtype=raw.dtype)
                 codes[:num] = raw
                 self._dev_view = DeviceView(
@@ -299,10 +329,12 @@ class OnDiskIndex(Index):
                 codes[:num] = raw
                 if codes.shape[1] % 128 == 0:
                     codes = codes.reshape(n_pad, -1, 128)
+                dev, mesh = self._upload(codes)
                 self._dev_view = DeviceView(
                     kind="scalar",
-                    table=jnp.asarray(codes),
+                    table=dev,
                     scales=self._quantizer.scales,
+                    mesh=mesh,
                 )
             else:
                 if self._quantizer is not None:
@@ -311,10 +343,12 @@ class OnDiskIndex(Index):
                 data[:num] = raw
                 if data.shape[1] % 128 == 0:
                     data = data.reshape(n_pad, -1, 128)
+                dev, mesh = self._upload(data)
                 self._dev_view = DeviceView(
                     kind="dense",
-                    table=jnp.asarray(data),
+                    table=dev,
                     precision=self._precision,
+                    mesh=mesh,
                 )
         return self._dev_view
 
@@ -332,6 +366,8 @@ class OnDiskIndex(Index):
             mode=self.mode,
             encoder_batch_size=self._encoder_batch_size,
             init_size=max(len(self), 1),
+            precision=self._precision,
+            mesh_config=self._mesh_config,
         )
         with h5py.File(self._index_file, "r") as fp:
             num_vectors = int(fp.attrs["num_vectors"])
@@ -358,6 +394,7 @@ class OnDiskIndex(Index):
         max_indexing_size: int = 2**10,
         hbm_cache: bool = False,
         precision: str = "exact",
+        mesh_config=None,
     ) -> "OnDiskIndex":
         """Open an existing index file (reference- or TPU-built).
 
@@ -369,8 +406,11 @@ class OnDiskIndex(Index):
         :param max_indexing_size: Maximum rows per HDF5 fancy-indexing read.
         :param hbm_cache: Upload the table to device memory for scoring.
         :param precision: Scoring matmul precision (see ``InMemoryIndex``).
+        :param mesh_config: With ``hbm_cache``, shard the cached table
+            row-wise across a device mesh (see ``InMemoryIndex``).
         :return: The index.
         """
+        index_file = Path(index_file)
         LOGGER.debug("reading file %s", index_file)
         index = cls.__new__(cls)
         super(OnDiskIndex, index).__init__(
@@ -384,6 +424,8 @@ class OnDiskIndex(Index):
         index._max_indexing_size = max_indexing_size
         index._hbm_cache = hbm_cache
         index._precision = precision
+        index._mesh_config = mesh_config
+        index._mesh = None
         index._dev_view = None
         index._mmap_chunks = None
 

@@ -104,6 +104,49 @@ class TestShardedQuantized(unittest.TestCase):
         for pid in plain:
             self.assertAlmostEqual(plain[pid], sharded[pid], places=3, msg=pid)
 
+    def test_disk_hbm_cache_sharded(self):
+        """OnDiskIndex(hbm_cache, mesh_config) shards the cached table and
+        matches the unsharded on-disk scores (dense and scalar-quantized);
+        str paths are accepted."""
+        import shutil
+        import tempfile
+
+        from fastforward_tpu.index import OnDiskIndex
+        from fastforward_tpu.quantizer import ScalarQuantizer
+
+        tmp = tempfile.mkdtemp()
+        try:
+            data = RNG.normal(size=(150, DIM)).astype(np.float32)
+            qvec = RNG.normal(size=DIM).astype(np.float32)
+            enc = LambdaEncoder(lambda _: qvec)
+            run = {"q1": {f"p{i}": float(i) for i in range(100)}}
+            ranking = Ranking.from_run(run, queries={"q1": "a"})
+
+            for tag, quantizer in [("dense", None), ("scalar", ScalarQuantizer())]:
+                if quantizer is not None:
+                    quantizer.fit(data)
+                results = []
+                for mesh_config in (None, MeshConfig(data=1, shard=8)):
+                    index = OnDiskIndex(
+                        f"{tmp}/{tag}_{mesh_config is not None}.h5",
+                        enc,
+                        quantizer=quantizer,
+                        mode=Mode.PASSAGE,
+                        hbm_cache=True,
+                        mesh_config=mesh_config,
+                    )
+                    index.add(data, psg_ids=[f"p{i}" for i in range(150)])
+                    results.append(index(ranking)["q1"])
+                    if mesh_config is not None:
+                        self.assertIsNotNone(index._device_view().mesh, tag)
+                plain, sharded = results
+                for pid in plain:
+                    self.assertAlmostEqual(
+                        plain[pid], sharded[pid], places=3, msg=(tag, pid)
+                    )
+        finally:
+            shutil.rmtree(tmp)
+
     def test_pq_with_mesh_raises(self):
         """PQ + mesh_config is unsupported and must fail loudly, not
         silently drop the mesh."""
