@@ -126,8 +126,14 @@ def score_pairs_pq(
     num_q = qvecs.shape[0]
     m, ks, ds = codebooks.shape
     qsub = qvecs.reshape(num_q, m, ds)
+    # HIGHEST: the LUT is tiny (Q x M x K) but feeds every ADC score; the
+    # TPU default would truncate the subvectors to bf16 (~0.03 abs error)
     lut = jnp.einsum(
-        "qmd,mkd->qmk", qsub, codebooks, preferred_element_type=jnp.float32
+        "qmd,mkd->qmk",
+        qsub,
+        codebooks,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
     )
     c = jnp.take(codes, rows, axis=0).astype(jnp.int32)  # (P, M)
     subspace = jnp.arange(m, dtype=jnp.int32)[None, :]
@@ -521,6 +527,7 @@ def score_pairs_grouped_pq(
         "qmd,mkd->qmk",
         qvecs.reshape(num_q, m, ds),
         codebooks,
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
     c = jnp.take(codes, rows_mat.reshape(-1), axis=0).astype(jnp.int32)
