@@ -340,11 +340,23 @@ class Index(abc.ABC):
                 view, query_vectors, rows, qno, seg, n_pairs
             )
 
-        if (
+        streamable_dense = (
             view.kind in ("dense", "scalar")
             and view.table.ndim == 3
-            and view.table.shape[0] % ops.STREAM_TILE_ROWS == 0
             and n_pairs * k * 500 > view.table.shape[0]
+        )
+        # PQ code tiles are M bytes/row (vs 3072 dense) while the per-row
+        # gather overhead is the same, so streaming pays off at lower
+        # candidate density
+        streamable_pq = (
+            view.kind == "pq"
+            and view.mesh is None
+            and view.table.ndim == 2
+            and n_pairs * k * 200 > view.table.shape[0]
+        )
+        if (
+            (streamable_dense or streamable_pq)
+            and view.table.shape[0] % ops.STREAM_TILE_ROWS == 0
         ):
             # dense candidate sets: stream the table through the MXU instead
             # of gathering rows (XLA row gather is ~4us/row on TPU)
@@ -354,7 +366,11 @@ class Index(abc.ABC):
             else:
                 rows_flat = rows_mat.reshape(-1).astype(np.int64)
                 qno_flat = np.repeat(pair_qno, k)
-            if view.mesh is not None:
+            if streamable_pq:
+                row_scores = ops.streamed_scores_pq(
+                    view.table, view.codebooks, q_pad, rows_flat, qno_flat
+                )
+            elif view.mesh is not None:
                 from fastforward_tpu.parallel.sharded import (
                     streamed_scores_sharded,
                 )

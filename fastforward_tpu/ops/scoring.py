@@ -314,6 +314,92 @@ def stream_scan(
     return outs.reshape(-1)
 
 
+@partial(jax.jit, static_argnames=("r",))
+def score_pairs_streamed_pq(
+    codes: jnp.ndarray,
+    codebooks: jnp.ndarray,
+    qvecs: jnp.ndarray,
+    cand: jnp.ndarray,
+    tile_idx: jnp.ndarray,
+    r: int,
+) -> jnp.ndarray:
+    """Streaming ADC scoring: dequantize PQ code tiles on the MXU, no gathers.
+
+    The grouped ADC path (:func:`score_pairs_grouped_pq`) gathers one code
+    row per candidate — per-row-overhead bound on TPU exactly like dense
+    gathers.  For dense candidate sets this streams the code table instead:
+    each ``r``-row tile of codes is dequantized with one fp32-exact one-hot
+    contraction against the codebooks on the MXU, scored against all
+    queries as one matmul, and candidates are selected exactly as in
+    :func:`stream_scan`.  HBM traffic is ``N * M`` bytes — 32x less than
+    streaming the fp32 table at M=96, dim=768.
+
+    :param codes: PQ codes, ``(N_pad, M)`` uint8/int8, ``N_pad % r == 0``.
+    :param codebooks: PQ codebooks, ``(M, K, ds)`` fp32 (rotated space for
+        OPQ; queries must be pre-rotated by the caller).
+    :param qvecs: Query vectors, ``(Qb, M * ds)`` fp32.
+    :param cand: Packed candidates ``local_row * Qb + qno``,
+        ``(T_virtual, CAP)`` int32.
+    :param tile_idx: Base table tile per virtual tile, ``(T_virtual,)``.
+    :param r: Rows per code tile (static).
+    :return: Scores per candidate slot, ``(T_virtual * CAP,)`` fp32.
+    """
+    qb = qvecs.shape[0]
+    m, ks, _ = codebooks.shape
+    cb = codebooks.astype(jnp.float32)
+    q = qvecs.astype(jnp.float32)
+
+    def step(_, inp):
+        t_idx, cand_t = inp
+        code_tile = jax.lax.dynamic_slice(
+            codes, (t_idx * r, 0), (r, m)
+        ).astype(jnp.int32)
+        onehot = (
+            code_tile[:, :, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (1, 1, ks), 2)
+        ).astype(jnp.float32)
+        # HIGHEST: fp32-exact codeword selection (verified 0.0 error on
+        # v5e).  A manual bf16 hi/lo split is NOT salvageable here — XLA
+        # rewrites dot(a,hi)+dot(a,lo) into dot(a,hi+lo) with the sum
+        # recombined in bf16, silently dropping the lo part, and the
+        # rewrite survives optimization_barrier on either the inputs or
+        # the first dot's result.
+        deq = jnp.einsum(
+            "rmk,mkd->rmd",
+            onehot,
+            cb,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        tile_scores = jnp.einsum(
+            "rd,qd->rq",
+            deq.reshape(r, -1),
+            q,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (r, Qb)
+        local = cand_t // qb
+        qsel = cand_t % qb
+        row_onehot = (
+            local[:, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (1, r), 1)
+        ).astype(jnp.float32)
+        picked = jnp.dot(
+            row_onehot,
+            tile_scores,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (CAP, Qb)
+        q_onehot = (
+            qsel[:, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (1, qb), 1)
+        ).astype(jnp.float32)
+        return None, jnp.sum(picked * q_onehot, axis=1)
+
+    _, outs = jax.lax.scan(step, None, (tile_idx, cand))
+    return outs.reshape(-1)
+
+
 #: streaming tile geometry (rows per tile, candidate slots per virtual tile)
 STREAM_TILE_ROWS = 1024
 STREAM_CAP = 1024
@@ -410,6 +496,39 @@ def streamed_scores(
     cand, tile_idx, slot_of_pair = layout
     outs = score_pairs_streamed(
         table, q_pad, cand, tile_idx, STREAM_TILE_ROWS
+    )
+    return np.asarray(jax.device_get(outs))[slot_of_pair]
+
+
+def streamed_scores_pq(
+    codes: jnp.ndarray,
+    codebooks: jnp.ndarray,
+    q_pad: np.ndarray,
+    rows: np.ndarray,
+    qno: np.ndarray,
+) -> np.ndarray | None:
+    """ADC-score ``codes[rows[i]] . q_pad[qno[i]]`` via code-table streaming.
+
+    Same candidate bucketing as :func:`streamed_scores`; scores are exact
+    decode-then-dot (see :func:`score_pairs_streamed_pq`).  Returns per-row
+    scores in input order, or ``None`` when the layout doesn't apply.
+    """
+    n_pad = codes.shape[0]
+    qb = q_pad.shape[0]
+    cap = _adaptive_cap(rows.shape[0], max(1, n_pad // STREAM_TILE_ROWS))
+    layout = build_streamed_layout(
+        rows, qno, n_pad, qb, r=STREAM_TILE_ROWS, cap=cap
+    )
+    if layout is None:
+        return None
+    cand, tile_idx, slot_of_pair = layout
+    outs = score_pairs_streamed_pq(
+        codes,
+        codebooks,
+        jnp.asarray(q_pad, dtype=jnp.float32),
+        cand,
+        tile_idx,
+        STREAM_TILE_ROWS,
     )
     return np.asarray(jax.device_get(outs))[slot_of_pair]
 

@@ -174,6 +174,59 @@ class TestFlatVsGroupedParity(unittest.TestCase):
         for doc in truth:
             self.assertAlmostEqual(grouped[doc], flat[doc], places=4)
 
+class TestStreamedPQ(unittest.TestCase):
+    def test_streamed_pq_matches_decode_dot(self):
+        """Dense PQ candidate sets stream the code table; scores must equal
+        decode-then-dot like the gather ADC path does."""
+        n, dim, n_q, depth = 3000, 128, 4, 1000
+        data = RNG.normal(size=(n, dim)).astype(np.float32)
+        quantizer = PQ(8, 16)
+        quantizer.fit(data[:1024])
+        qvecs = RNG.normal(size=(n_q, dim)).astype(np.float32)
+        by_text = {f"q{i}": qvecs[i] for i in range(n_q)}
+        index = InMemoryIndex(
+            LambdaEncoder(lambda t: by_text[t]),
+            quantizer=quantizer,
+            mode=Mode.PASSAGE,
+        )
+        index.add(data, psg_ids=[f"p{i}" for i in range(n)])
+        decoded = quantizer.decode(quantizer.encode(data))
+
+        run, queries = {}, {}
+        for qi in range(n_q):
+            cand = RNG.choice(n, size=depth, replace=False)
+            run[f"q{qi}"] = {f"p{c}": float(i) for i, c in enumerate(cand)}
+            queries[f"q{qi}"] = f"q{qi}"
+        # P*k*200 = 4000*200 >> 4096 padded rows -> streamed PQ path
+        result = index(Ranking.from_run(run, queries=queries))
+        for qi in range(n_q):
+            got = result[f"q{qi}"]
+            for pid in list(got)[:100]:
+                expected = float(decoded[int(pid[1:])] @ qvecs[qi])
+                self.assertAlmostEqual(expected, got[pid], places=3, msg=pid)
+
+    def test_streamed_pq_sparse_uses_gather(self):
+        """Sparse candidates stay on the gather ADC path (same scores)."""
+        from fastforward_tpu import ops
+
+        n, dim = 5000, 64
+        data = RNG.normal(size=(n, dim)).astype(np.float32)
+        quantizer = PQ(4, 16)
+        quantizer.fit(data[:512])
+        qvec = RNG.normal(size=dim).astype(np.float32)
+        index = InMemoryIndex(
+            LambdaEncoder(lambda _: qvec), quantizer=quantizer, mode=Mode.PASSAGE
+        )
+        index.add(data, psg_ids=[f"p{i}" for i in range(n)])
+        decoded = quantizer.decode(quantizer.encode(data))
+        # 20 pairs * 200 = 4000 < 8192 padded rows -> grouped gather path
+        run = {"q1": {f"p{i * 200}": 1.0 for i in range(20)}}
+        got = index(Ranking.from_run(run, queries={"q1": "x"}))["q1"]
+        for pid in got:
+            expected = float(decoded[int(pid[1:])] @ qvec)
+            self.assertAlmostEqual(expected, got[pid], places=3, msg=pid)
+
+
 class TestDiskHbmCacheQuantized(unittest.TestCase):
     def test_pq_and_scalar_hbm_cache(self):
         import shutil
