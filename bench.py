@@ -238,6 +238,41 @@ def measure_ours_pq(corpus, qvecs, run, queries, repeats):
     return qps
 
 
+def measure_ours_int8(corpus, qvecs, run, queries, repeats, precision):
+    """Config #5: int8 scalar-quantized index (4x less HBM than fp32).
+
+    ``precision="high"`` is lossless on the table side (int8 values are
+    exactly representable in bf16), so this is the natural pairing.
+    """
+    from fastforward_tpu.encoder import LambdaEncoder
+    from fastforward_tpu.index import InMemoryIndex, Mode
+    from fastforward_tpu.quantizer import ScalarQuantizer
+    from fastforward_tpu.ranking import Ranking
+
+    _enable_compile_cache()
+    quantizer = ScalarQuantizer()
+    quantizer.fit(corpus[: 2**16])
+    index = InMemoryIndex(
+        LambdaEncoder(_query_map(qvecs, queries)),
+        quantizer=quantizer,
+        mode=Mode.PASSAGE,
+        precision=precision,
+    )
+    t0 = time.perf_counter()
+    index.add(corpus, psg_ids=[f"p{i}" for i in range(corpus.shape[0])])
+    log(f"encode+add: {time.perf_counter() - t0:.1f}s")
+    ranking = Ranking.from_run(run, queries=queries)
+    t0 = time.perf_counter()
+    index(ranking)
+    log(f"int8 first call (incl. compile): {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        index(ranking)
+    qps = len(queries) * repeats / (time.perf_counter() - t0)
+    log(f"int8: {qps:.1f} QPS")
+    return qps
+
+
 def measure_ours_early_stopping(corpus, qvecs, run, queries, repeats, cutoff=10):
     """Config #4: early-stopping approximate scoring."""
     from fastforward_tpu.encoder import LambdaEncoder
@@ -268,7 +303,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--config",
-        choices=["rerank", "encoder", "pq", "early-stopping"],
+        choices=["rerank", "encoder", "pq", "int8", "early-stopping"],
         default="rerank",
     )
     parser.add_argument("--n", type=int, default=2_000_000)
@@ -308,6 +343,24 @@ def main():
                 {
                     "metric": (
                         f"PQ (M=96,Ks=256) re-rank QPS "
+                        f"(depth-{args.depth}, N={args.n})"
+                    ),
+                    "value": round(qps, 1),
+                    "unit": "QPS",
+                    "vs_baseline": None,
+                }
+            )
+        )
+        return
+    if args.config == "int8":
+        qps = measure_ours_int8(
+            corpus, qvecs, run, queries, args.repeats, args.precision
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        f"int8 scalar-quantized re-rank QPS "
                         f"(depth-{args.depth}, N={args.n})"
                     ),
                     "value": round(qps, 1),

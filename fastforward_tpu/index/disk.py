@@ -335,6 +335,7 @@ class OnDiskIndex(Index):
                     table=dev,
                     scales=self._quantizer.scales,
                     mesh=mesh,
+                    precision=self._precision,
                 )
             else:
                 if self._quantizer is not None:

@@ -201,10 +201,14 @@ class InMemoryIndex(Index):
                     mesh=self._mesh,
                 )
             else:
+                # 'high' is lossless for the int8 table side (int8 values
+                # are exactly representable in bf16); only the query hi/lo
+                # split matters
                 self._dev_view = DeviceView(
                     kind="scalar",
                     table=jnp.asarray(codes),
                     scales=self._quantizer.scales,
+                    precision=self._precision,
                 )
         elif self._quantizer is not None:
             # unknown quantizer: decode on host, score dense
