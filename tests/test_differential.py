@@ -29,6 +29,50 @@ def _oracle(mode, vectors, doc_rows, qvec, candidate_ids):
     return out
 
 
+class TestDifferentialQuantized(unittest.TestCase):
+    def test_random_quantized_configs(self):
+        """Random PQ/scalar configs across both the gather and streamed
+        paths; scores must match decode-then-dot + per-mode aggregation."""
+        from fastforward_tpu.quantizer import PQ, ScalarQuantizer
+
+        rng = np.random.default_rng(77)
+        for trial in range(6):
+            dim = int(rng.choice([64, 128, 256]))
+            mode = rng.choice([Mode.MAXP, Mode.AVEP, Mode.PASSAGE])
+            # dense candidate sets force the streamed paths; sparse the
+            # gather paths
+            dense = bool(rng.integers(0, 2))
+            num_docs = 400 if dense else 60
+            if trial % 2 == 0:
+                quantizer = PQ(dim // 16, 16)
+            else:
+                quantizer = ScalarQuantizer()
+            vectors = rng.standard_normal((num_docs, dim), dtype=np.float32)
+            quantizer.fit(vectors)
+            decoded = quantizer.decode(quantizer.encode(vectors))
+
+            qvec = rng.standard_normal(dim).astype(np.float32)
+            index = InMemoryIndex(
+                LambdaEncoder(lambda _, q=qvec: q),
+                quantizer=quantizer,
+                mode=mode,
+            )
+            ids = [f"d{i}" for i in range(num_docs)]
+            index.add(vectors, doc_ids=ids, psg_ids=ids)
+            depth = num_docs if dense else 10
+            cand = rng.choice(ids, size=depth, replace=False)
+            run = {"q1": {c: float(i) for i, c in enumerate(cand)}}
+            got = index(Ranking.from_run(run, queries={"q1": "x"}))["q1"]
+            per_row = decoded @ qvec
+            for cid in cand:
+                self.assertAlmostEqual(
+                    float(per_row[int(cid[1:])]),
+                    got[cid],
+                    places=3,
+                    msg=(trial, mode, dense, type(quantizer).__name__, cid),
+                )
+
+
 class TestDifferential(unittest.TestCase):
     def test_random_configs(self):
         rng = np.random.default_rng(123)
