@@ -299,7 +299,13 @@ class Index(abc.ABC):
         )
         counts = np.asarray([len(by_id[i]) for i in ids], dtype=np.int32)
         table = jnp.asarray(np.asarray(vectors, dtype=np.float32))
-        return DeviceView("dense", table), rows, counts
+        return (
+            DeviceView(
+                "dense", table, precision=getattr(self, "_precision", "exact")
+            ),
+            rows,
+            counts,
+        )
 
     def _pad_queries(self, query_vectors: np.ndarray, view: DeviceView) -> np.ndarray:
         q = self._prepare_queries(query_vectors, view)
@@ -376,7 +382,12 @@ class Index(abc.ABC):
                 )
 
                 row_scores = streamed_scores_sharded(
-                    view.mesh, view.table, q_pad, rows_flat, qno_flat
+                    view.mesh,
+                    view.table,
+                    q_pad,
+                    rows_flat,
+                    qno_flat,
+                    precision=view.precision,
                 )
             else:
                 row_scores = ops.streamed_scores(
@@ -418,7 +429,9 @@ class Index(abc.ABC):
             bounds = np.searchsorted(
                 pair_qno, np.arange(q_pad.shape[0]), side="right"
             ).astype(np.int32)
-            scores = ops.score_pairs_bounded(view.table, q_pad, rows_p, bounds)
+            scores = ops.score_pairs_bounded(
+                view.table, q_pad, rows_p, bounds, precision=view.precision
+            )
             if not fetch:
                 return scores
             return np.asarray(jax.device_get(scores))[:n_pairs]
@@ -431,13 +444,17 @@ class Index(abc.ABC):
         if view.mesh is not None:
             from fastforward_tpu.parallel.sharded import score_pairs_sharded
 
-            scores = score_pairs_sharded(view.mesh, view.table, q_pad, idx, op)
+            scores = score_pairs_sharded(
+                view.mesh, view.table, q_pad, idx, op, precision=view.precision
+            )
         elif view.kind == "pq":
             scores = ops.score_pairs_grouped_pq(
                 view.table, view.codebooks, q_pad, idx, op
             )
         else:
-            scores = ops.score_pairs_grouped(view.table, q_pad, idx, op)
+            scores = ops.score_pairs_grouped(
+                view.table, q_pad, idx, op, precision=view.precision
+            )
         if not fetch:
             return scores
         return np.asarray(jax.device_get(scores))[:n_pairs]
@@ -536,7 +553,9 @@ class Index(abc.ABC):
                 view.table, view.codebooks, q_pad, idx, s_bucket, op
             )
         else:
-            scores = ops.score_pairs_dense(view.table, q_pad, idx, s_bucket, op)
+            scores = ops.score_pairs_dense(
+                view.table, q_pad, idx, s_bucket, op, precision=view.precision
+            )
         return np.asarray(jax.device_get(scores))[:n_pairs]
 
     # documents with more passages than this use the flat segment path

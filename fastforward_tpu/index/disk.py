@@ -151,21 +151,24 @@ class OnDiskIndex(Index):
         """Check lengths and uniqueness of all IDs before mutating anything.
 
         A failed add leaves the index unchanged (reference contract:
-        ``disk.py:254-260``).
+        ``disk.py:254-260``).  Lengths are checked in encoded *bytes* — the
+        file stores fixed-width ``S{max_id_length}`` byte strings, and numpy
+        would otherwise silently truncate a multi-byte UTF-8 ID mid-sequence,
+        corrupting the file (it then fails to decode on reload).
         """
         for doc_id in doc_ids:
-            if doc_id is not None and len(doc_id) > self._max_id_length:
+            if doc_id is not None and len(doc_id.encode()) > self._max_id_length:
                 raise RuntimeError(
                     f"Document ID {doc_id} is longer than the maximum "
-                    f"({self._max_id_length} characters)."
+                    f"({self._max_id_length} bytes encoded)."
                 )
         for psg_id in psg_ids:
             if psg_id is None:
                 continue
-            if len(psg_id) > self._max_id_length:
+            if len(psg_id.encode()) > self._max_id_length:
                 raise RuntimeError(
                     f"Passage ID {psg_id} is longer than the maximum "
-                    f"({self._max_id_length} characters)."
+                    f"({self._max_id_length} bytes encoded)."
                 )
         self._ids.check_new_psgs(psg_ids)
 

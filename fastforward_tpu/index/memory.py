@@ -199,6 +199,7 @@ class InMemoryIndex(Index):
                     table=codes_dev,
                     scales=self._quantizer.scales,
                     mesh=self._mesh,
+                    precision=self._precision,
                 )
             else:
                 # 'high' is lossless for the int8 table side (int8 values
@@ -216,7 +217,9 @@ class InMemoryIndex(Index):
                 (n_pad, self._quantizer.dims[0]), dtype=np.float32
             )
             table[: self._num] = self._quantizer.decode(data)
-            self._dev_view = DeviceView(kind="dense", table=jnp.asarray(table))
+            self._dev_view = DeviceView(
+                kind="dense", table=jnp.asarray(table), precision=self._precision
+            )
         elif self._mesh_config is not None:
             # multi-chip: row-sharded 3D table over the mesh's shard axis
             import jax
@@ -237,7 +240,9 @@ class InMemoryIndex(Index):
                 table.reshape(n_pad, dim // 128, 128),
                 table_sharding(self._mesh),
             )
-            self._dev_view = DeviceView(kind="dense", table=dev, mesh=self._mesh)
+            self._dev_view = DeviceView(
+                kind="dense", table=dev, mesh=self._mesh, precision=self._precision
+            )
         else:
             dim = data.shape[1]
             table = np.zeros((n_pad, dim), dtype=np.float32)

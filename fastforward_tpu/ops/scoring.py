@@ -26,6 +26,18 @@ import numpy as np
 
 _BUCKET_MIN = 256
 
+#: str precision tier -> lax dot precision.  TPU matmuls DEFAULT to bf16
+#: inputs; every scoring dot takes a tier so ``"exact"`` is actually fp32
+#: (``Precision.HIGHEST``) on TPU, not silently truncated.  ``"high"`` is
+#: XLA's native 3-pass bf16 algorithm (do NOT hand-roll the hi/lo split in
+#: plain XLA — the simplifier merges the dots and drops the lo term).
+LAX_PRECISION = {
+    "exact": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "fast": jax.lax.Precision.DEFAULT,
+}
+
+
 def bucket(n: int) -> int:
     """Round up to the next power of two (>= 256) to stabilize jit shapes."""
     return max(_BUCKET_MIN, 1 << max(0, int(n - 1)).bit_length())
@@ -59,13 +71,14 @@ def _segment_reduce(
     return out[:num_out]
 
 
-@partial(jax.jit, static_argnames=("num_out", "op"))
+@partial(jax.jit, static_argnames=("num_out", "op", "precision"))
 def score_pairs_dense(
     table: jnp.ndarray,
     qvecs: jnp.ndarray,
     idx: jnp.ndarray,
     num_out: int,
     op: str,
+    precision: str = "exact",
 ) -> jnp.ndarray:
     """Score (query, doc) pairs against a dense embedding table.
 
@@ -77,21 +90,31 @@ def score_pairs_dense(
         transfer per call.
     :param num_out: Number of output pairs (static).
     :param op: Aggregation: ``"max"`` | ``"mean"`` | ``"sum"`` (static).
+    :param precision: Dot precision tier (static, see ``LAX_PRECISION``).
     :return: Per-pair scores, shape ``(num_out,)`` fp32.
     """
+    prec = LAX_PRECISION[precision]
     rows, qno, seg = idx[0], idx[1], idx[2]
     if table.ndim == 3:
         q3 = qvecs.reshape(qvecs.shape[0], table.shape[1], table.shape[2])
         d = jnp.take(table, rows, axis=0).astype(jnp.float32)
         q = jnp.take(q3, qno, axis=0)
         row_scores = jnp.einsum(
-            "pkl,pkl->p", q, d, preferred_element_type=jnp.float32
+            "pkl,pkl->p",
+            q,
+            d,
+            preferred_element_type=jnp.float32,
+            precision=prec,
         )
     else:
         d = jnp.take(table, rows, axis=0).astype(jnp.float32)
         q = jnp.take(qvecs, qno, axis=0)
         row_scores = jnp.einsum(
-            "pd,pd->p", q, d, preferred_element_type=jnp.float32
+            "pd,pd->p",
+            q,
+            d,
+            preferred_element_type=jnp.float32,
+            precision=prec,
         )
     return _segment_reduce(row_scores, seg, num_out, op)
 
@@ -141,12 +164,13 @@ def score_pairs_pq(
     return _segment_reduce(row_scores, seg, num_out, op)
 
 
-@partial(jax.jit, static_argnames=("op",))
+@partial(jax.jit, static_argnames=("op", "precision"))
 def score_pairs_grouped(
     table: jnp.ndarray,
     qvecs: jnp.ndarray,
     idx: jnp.ndarray,
     op: str,
+    precision: str = "exact",
 ) -> jnp.ndarray:
     """Scatter-free scoring over the dense ``(pairs, K)`` candidate layout.
 
@@ -162,8 +186,10 @@ def score_pairs_grouped(
         (counts <= 255; 0 for padding pairs).  Packing keeps the per-call
         host->device transfer to one array of ``K + 1`` rows.
     :param op: ``"max"`` | ``"mean"`` | ``"first"`` (static).
+    :param precision: Dot precision tier (static, see ``LAX_PRECISION``).
     :return: Per-pair scores, ``(S,)`` fp32.
     """
+    prec = LAX_PRECISION[precision]
     k = idx.shape[0] - 1
     s = idx.shape[1]
     rows_flat = idx[:k].T.reshape(-1)  # (S*K,) row-major per pair
@@ -181,22 +207,31 @@ def score_pairs_grouped(
             axis=0,
         )
         row_scores = jnp.einsum(
-            "pab,pab->p", d, q, preferred_element_type=jnp.float32
+            "pab,pab->p",
+            d,
+            q,
+            preferred_element_type=jnp.float32,
+            precision=prec,
         )
     else:
         q = jnp.take(qvecs, qno_flat, axis=0)
         row_scores = jnp.einsum(
-            "pd,pd->p", d, q, preferred_element_type=jnp.float32
+            "pd,pd->p",
+            d,
+            q,
+            preferred_element_type=jnp.float32,
+            precision=prec,
         )
     return _masked_reduce(row_scores.reshape(s, k), counts, op)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("precision",))
 def score_pairs_bounded(
     table: jnp.ndarray,
     qvecs: jnp.ndarray,
     rows: jnp.ndarray,
     bounds: jnp.ndarray,
+    precision: str = "exact",
 ) -> jnp.ndarray:
     """Single-row-per-pair scoring with boundary-encoded query assignment.
 
@@ -211,8 +246,10 @@ def score_pairs_bounded(
     :param rows: Table row per pair, ``(S,)`` int32.
     :param bounds: Cumulative pair counts per query (padded with ``S``),
         ``(Q,)`` int32.
+    :param precision: Dot precision tier (static, see ``LAX_PRECISION``).
     :return: Per-pair scores, ``(S,)`` fp32.
     """
+    prec = LAX_PRECISION[precision]
     s = rows.shape[0]
     iota = jnp.arange(s, dtype=jnp.int32)
     qno = jnp.clip(
@@ -225,18 +262,27 @@ def score_pairs_bounded(
             qno,
             axis=0,
         )
-        return jnp.einsum("pab,pab->p", d, q, preferred_element_type=jnp.float32)
+        return jnp.einsum(
+            "pab,pab->p",
+            d,
+            q,
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
     q = jnp.take(qvecs, qno, axis=0)
-    return jnp.einsum("pd,pd->p", d, q, preferred_element_type=jnp.float32)
+    return jnp.einsum(
+        "pd,pd->p", d, q, preferred_element_type=jnp.float32, precision=prec
+    )
 
 
-@partial(jax.jit, static_argnames=("r",))
+@partial(jax.jit, static_argnames=("r", "precision"))
 def score_pairs_streamed(
     table: jnp.ndarray,
     qvecs: jnp.ndarray,
     cand: jnp.ndarray,
     tile_idx: jnp.ndarray,
     r: int,
+    precision: str = "exact",
 ) -> jnp.ndarray:
     """Streaming matmul-select scoring: no gathers at all.
 
@@ -257,9 +303,11 @@ def score_pairs_streamed(
         query, their output is discarded).
     :param tile_idx: Base table tile per virtual tile, ``(T_virtual,)``.
     :param r: Rows per table tile (static).
+    :param precision: Tile-matmul precision tier (static); candidate
+        selection always runs HIGHEST (one-hot picks must copy exactly).
     :return: Scores per candidate slot, ``(T_virtual * CAP,)`` fp32.
     """
-    return stream_scan(table, qvecs, cand, tile_idx, r)
+    return stream_scan(table, qvecs, cand, tile_idx, r, precision)
 
 
 def stream_scan(
@@ -268,27 +316,29 @@ def stream_scan(
     cand: jnp.ndarray,
     tile_idx: jnp.ndarray,
     r: int,
+    precision: str = "exact",
 ) -> jnp.ndarray:
     """Traceable scan body of :func:`score_pairs_streamed` (also used inside
     the sharded SPMD program)."""
     qb = qvecs.shape[0]
     k, lanes = table.shape[1], table.shape[2]
     q3 = qvecs.reshape(qb, k, lanes)
+    prec = LAX_PRECISION[precision]
 
     def step(_, inp):
         t_idx, cand_t = inp
         tile = jax.lax.dynamic_slice(
             table, (t_idx * r, 0, 0), (r, k, lanes)
         ).astype(jnp.float32)
-        # all-queries scores for this tile: one MXU matmul.  Full fp32
-        # precision — the TPU default truncates matmul inputs to bf16,
-        # which breaks exact-score parity with the reference.
+        # all-queries scores for this tile: one MXU matmul.  "exact" is full
+        # fp32 — the TPU default truncates matmul inputs to bf16, which
+        # breaks exact-score parity with the reference.
         tile_scores = jnp.einsum(
             "rkl,qkl->rq",
             tile,
             q3,
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )  # (r, Qb)
         local = cand_t // qb
         qsel = cand_t % qb
@@ -495,7 +545,7 @@ def streamed_scores(
         return None
     cand, tile_idx, slot_of_pair = layout
     outs = score_pairs_streamed(
-        table, q_pad, cand, tile_idx, STREAM_TILE_ROWS
+        table, q_pad, cand, tile_idx, STREAM_TILE_ROWS, precision
     )
     return np.asarray(jax.device_get(outs))[slot_of_pair]
 

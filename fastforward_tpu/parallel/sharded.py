@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
-from fastforward_tpu.ops.scoring import _masked_reduce
+from fastforward_tpu.ops.scoring import LAX_PRECISION, _masked_reduce
 
 
 def table_sharding(mesh: Mesh, ndim: int = 3) -> NamedSharding:
@@ -33,8 +33,9 @@ def table_sharding(mesh: Mesh, ndim: int = 3) -> NamedSharding:
     return NamedSharding(mesh, P("shard", *([None] * (ndim - 1))))
 
 
-def _sharded_score_fn(mesh: Mesh, op: str):
+def _sharded_score_fn(mesh: Mesh, op: str, precision: str):
     """Build the shard_map scoring program for one aggregation op."""
+    prec = LAX_PRECISION[precision]
 
     def body(table_local, qvecs, idx):
         k = idx.shape[0] - 1
@@ -56,12 +57,20 @@ def _sharded_score_fn(mesh: Mesh, op: str):
             a, b = table_local.shape[1], table_local.shape[2]
             q = jnp.take(qvecs.reshape(qvecs.shape[0], a, b), qno_flat, axis=0)
             row_scores = jnp.einsum(
-                "pab,pab->p", d, q, preferred_element_type=jnp.float32
+                "pab,pab->p",
+                d,
+                q,
+                preferred_element_type=jnp.float32,
+                precision=prec,
             )
         else:
             q = jnp.take(qvecs, qno_flat, axis=0)
             row_scores = jnp.einsum(
-                "pd,pd->p", d, q, preferred_element_type=jnp.float32
+                "pd,pd->p",
+                d,
+                q,
+                preferred_element_type=jnp.float32,
+                precision=prec,
             )
         scores = (row_scores * owned.astype(jnp.float32)).reshape(s, k)
 
@@ -84,11 +93,11 @@ def _sharded_score_fn(mesh: Mesh, op: str):
 
 
 @lru_cache(maxsize=16)
-def _cached_scorer(mesh: Mesh, op: str):
-    return _sharded_score_fn(mesh, op)
+def _cached_scorer(mesh: Mesh, op: str, precision: str = "exact"):
+    return _sharded_score_fn(mesh, op, precision)
 
 
-def _sharded_stream_fn(mesh: Mesh, r: int):
+def _sharded_stream_fn(mesh: Mesh, r: int, precision: str):
     """Per-shard streaming program: each chip streams only its own table
     shard through the MXU (see ``ops.scoring.stream_scan``); candidates are
     pre-partitioned by owning shard on the host, so no collective is needed
@@ -96,7 +105,7 @@ def _sharded_stream_fn(mesh: Mesh, r: int):
     from fastforward_tpu.ops.scoring import stream_scan
 
     def body(table_local, qvecs, cand, tile_idx):
-        return stream_scan(table_local, qvecs, cand[0], tile_idx[0], r)
+        return stream_scan(table_local, qvecs, cand[0], tile_idx[0], r, precision)
 
     mapped = jax.shard_map(
         body,
@@ -114,8 +123,8 @@ def _sharded_stream_fn(mesh: Mesh, r: int):
 
 
 @lru_cache(maxsize=16)
-def _cached_stream_scorer(mesh: Mesh, r: int):
-    return _sharded_stream_fn(mesh, r)
+def _cached_stream_scorer(mesh: Mesh, r: int, precision: str = "exact"):
+    return _sharded_stream_fn(mesh, r, precision)
 
 
 def streamed_scores_sharded(
@@ -124,6 +133,7 @@ def streamed_scores_sharded(
     q_pad: "np.ndarray",
     rows: "np.ndarray",
     qno: "np.ndarray",
+    precision: str = "exact",
 ) -> "np.ndarray | None":
     """Sharded equivalent of ``ops.streamed_scores``.
 
@@ -176,7 +186,7 @@ def streamed_scores_sharded(
         tile_idx_all[shard, : tile_idx.shape[0]] = tile_idx
         slot_of_pair[mask] = shard * (t_virtual * cap) + slots
 
-    outs = _cached_stream_scorer(mesh, r)(
+    outs = _cached_stream_scorer(mesh, r, precision)(
         table, q_pad.astype(np.float32), cand_all, tile_idx_all
     )
     return np.asarray(jax.device_get(outs))[slot_of_pair]
@@ -188,6 +198,7 @@ def score_pairs_sharded(
     qvecs: jax.Array,
     idx: jax.Array,
     op: str,
+    precision: str = "exact",
 ) -> jax.Array:
     """Sharded equivalent of ``ops.score_pairs_grouped``.
 
@@ -198,6 +209,7 @@ def score_pairs_sharded(
     :param idx: Stacked int32 ``(K + 1, Sb)`` (row matrix + packed
         ``qno * 256 + counts`` row); ``Sb`` divisible by ``data``.
     :param op: ``"max"`` | ``"mean"`` | ``"first"``.
+    :param precision: Dot precision tier (see ``ops.scoring.LAX_PRECISION``).
     :return: Per-pair scores, ``(Sb,)``.
     """
-    return _cached_scorer(mesh, op)(table, qvecs, idx)
+    return _cached_scorer(mesh, op, precision)(table, qvecs, idx)

@@ -43,6 +43,12 @@ class Quantizer(abc.ABC):
 
     _attached: bool = False
     _trained: bool = False
+    #: reference-package (module, class) to emit in serialized meta when this
+    #: quantizer's state is representable in the reference schema — making
+    #: index files written here loadable by the reference implementation.
+    #: Only honored when declared directly on the concrete class (a subclass
+    #: with extra state must opt in itself).
+    _compat_name: tuple[str, str] | None = None
 
     def __eq__(self, o: object) -> bool:
         """Deep state comparison via the serialized representation."""
@@ -150,9 +156,13 @@ class Quantizer(abc.ABC):
 
         :return: The serialized quantizer.
         """
+        module, name = type(self).__module__, type(self).__name__
+        compat = type(self).__dict__.get("_compat_name")
+        if compat is not None:
+            module, name = compat
         meta = {
-            "__module__": type(self).__module__,
-            "__name__": type(self).__name__,
+            "__module__": module,
+            "__name__": name,
             "_trained": self._trained,
         }
         attributes, data = self._get_state()

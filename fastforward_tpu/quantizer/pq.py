@@ -91,6 +91,10 @@ def _split(vectors: np.ndarray, m: int) -> jnp.ndarray:
 class PQ(Quantizer):
     """Product quantizer: M subspaces x Ks codewords, trained on device."""
 
+    # serialized state matches the reference's nanopq schema exactly, so
+    # emit its class names — files written here load in the reference too
+    _compat_name = ("fast_forward.quantizer.nanopq", "NanoPQ")
+
     def __init__(
         self,
         M: int,
@@ -217,6 +221,8 @@ class OPQ(PQ):
     the *query* vectors, so stored codes and the ADC scoring path are
     identical to plain PQ: ``q . (dec @ R^T) == (q @ R) . dec``.
     """
+
+    _compat_name = ("fast_forward.quantizer.nanopq", "NanoOPQ")
 
     def __init__(
         self,

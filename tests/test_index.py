@@ -570,6 +570,27 @@ class TestOnDiskIndex(TestIndex):
         self.assertEqual(index.psg_ids, set(psg_ids_ok))
         self.assertEqual(16, len(index))
 
+    def test_max_id_length_bytes(self):
+        """IDs are bounded by encoded UTF-8 *bytes*, not characters.
+
+        A multi-byte ID that fits in characters but not bytes must be
+        rejected up front — numpy would otherwise truncate mid-sequence,
+        corrupting the file so it cannot be reloaded at all.
+        """
+        index = OnDiskIndex(self.temp_dir / "max_id_bytes_index.h5", max_id_length=4)
+        vectors = np.zeros(shape=(2, 16))
+        # "docé" is 4 characters but 5 UTF-8 bytes
+        with self.assertRaises(RuntimeError):
+            index.add(vectors, doc_ids=["docé", "d2"])
+        with self.assertRaises(RuntimeError):
+            index.add(vectors, psg_ids=["pé1é", "p2"])
+        self.assertEqual(0, len(index))
+
+        # exactly-fitting multi-byte IDs round-trip
+        index.add(vectors, doc_ids=["dé1", "d2"], psg_ids=["p1", "p2"])
+        reloaded = OnDiskIndex.load(self.temp_dir / "max_id_bytes_index.h5")
+        self.assertEqual({"dé1", "d2"}, reloaded.doc_ids)
+
     def test_max_indexing_size(self):
         index = OnDiskIndex(
             self.temp_dir / "max_indexing_size_index.h5",

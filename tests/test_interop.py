@@ -94,6 +94,35 @@ class TestFormatInterop(unittest.TestCase):
                 vec, self.vectors[self.psg_ids.index(psg_id)], rtol=1e-6
             )
 
+    def test_our_quantized_file_loads_in_reference(self):
+        """PQ meta is serialized under the reference's class names, so a
+        quantized index written here deserializes in a reference-only env."""
+        ff = _import_reference()
+        from fastforward_tpu.index import OnDiskIndex
+        from fastforward_tpu.quantizer import PQ
+
+        pq = PQ(M=4, Ks=8)
+        pq.fit(self.rng.normal(size=(64, 16)).astype(np.float32))
+        path = self.tmp / "ours_quantized.h5"
+        ours = OnDiskIndex(path, quantizer=pq)
+        ours.add(self.vectors, doc_ids=self.doc_ids, psg_ids=self.psg_ids)
+
+        meta, _, _ = pq.serialize()
+        self.assertEqual("fast_forward.quantizer.nanopq", meta["__module__"])
+        self.assertEqual("NanoPQ", meta["__name__"])
+
+        from fast_forward.index.disk import OnDiskIndex as RefOnDiskIndex
+        from fast_forward.quantizer.nanopq import NanoPQ as RefNanoPQ
+
+        ref_index = RefOnDiskIndex.load(path)
+        self.assertIsInstance(ref_index.quantizer, RefNanoPQ)
+        np.testing.assert_array_equal(
+            ref_index.quantizer._pq.codewords, pq.codewords
+        )
+        # and the file still round-trips back into this implementation
+        reloaded = OnDiskIndex.load(path)
+        self.assertEqual(reloaded.quantizer, pq)
+
     def test_scoring_parity_with_reference(self):
         """Identical scores (to fp32 tolerance) on the same workload."""
         ff = _import_reference()

@@ -268,3 +268,98 @@ class TestDiskHbmCacheQuantized(unittest.TestCase):
 
 if __name__ == "__main__":
     unittest.main()
+
+
+class TestPrecisionTiers(unittest.TestCase):
+    """Precision plumbs through every scoring program (ADVICE r1).
+
+    On CPU all tiers compute in fp32, so each tier must agree with "exact";
+    the point is exercising the precision-parameterized program variants
+    (gather, grouped, bounded, streamed) end-to-end.
+    """
+
+    def test_gather_programs_accept_precision(self):
+        import jax.numpy as jnp
+
+        from fastforward_tpu import ops
+
+        table = jnp.asarray(RNG.normal(size=(64, DIM)).astype(np.float32))
+        qvecs = jnp.asarray(RNG.normal(size=(4, DIM)).astype(np.float32))
+        idx = np.zeros((3, 256), dtype=np.int32)
+        idx[0, :16] = np.arange(16)
+        idx[1, :16] = np.arange(16) % 4
+        idx[2] = 16
+        idx[2, :16] = np.arange(16)
+        exact = ops.score_pairs_dense(table, qvecs, jnp.asarray(idx), 16, "max")
+        for tier in ("high", "fast"):
+            out = ops.score_pairs_dense(
+                table, qvecs, jnp.asarray(idx), 16, "max", precision=tier
+            )
+            np.testing.assert_allclose(np.asarray(out), np.asarray(exact), rtol=1e-5)
+
+        gidx = np.zeros((2, 256), dtype=np.int32)
+        gidx[0, :16] = np.arange(16)
+        gidx[1, :16] = ((np.arange(16) % 4) << 8) | 1
+        for tier in ("exact", "high", "fast"):
+            ops.score_pairs_grouped(
+                table, qvecs, jnp.asarray(gidx), "max", precision=tier
+            )
+        rows = np.zeros(256, dtype=np.int32)
+        bounds = np.asarray([4, 8, 12, 16], dtype=np.int32)
+        for tier in ("exact", "high", "fast"):
+            ops.score_pairs_bounded(
+                table, qvecs, jnp.asarray(rows), jnp.asarray(bounds), precision=tier
+            )
+
+    def test_index_precision_reaches_device_view(self):
+        """The ctor knob lands on the DeviceView for every table kind."""
+        qvec = RNG.normal(size=128).astype(np.float32)
+        vectors = RNG.normal(size=(8, 128)).astype(np.float32)
+
+        for precision in ("high", "fast"):
+            index = InMemoryIndex(
+                LambdaEncoder(lambda _: qvec),
+                mode=Mode.PASSAGE,
+                precision=precision,
+            )
+            index.add(vectors, psg_ids=[f"p{i}" for i in range(8)])
+            self.assertEqual(precision, index._device_view().precision)
+
+        sq = ScalarQuantizer()
+        sq.fit(vectors)
+        index = InMemoryIndex(
+            LambdaEncoder(lambda _: qvec),
+            mode=Mode.PASSAGE,
+            quantizer=sq,
+            precision="high",
+        )
+        index.add(vectors, psg_ids=[f"p{i}" for i in range(8)])
+        self.assertEqual("high", index._device_view().precision)
+
+    def test_sharded_views_carry_precision(self):
+        from fastforward_tpu.parallel import MeshConfig
+
+        qvec = RNG.normal(size=128).astype(np.float32)
+        vectors = RNG.normal(size=(8, 128)).astype(np.float32)
+        for quantizer in (None, "scalar"):
+            q = None
+            if quantizer == "scalar":
+                q = ScalarQuantizer()
+                q.fit(vectors)
+            index = InMemoryIndex(
+                LambdaEncoder(lambda _: qvec),
+                mode=Mode.PASSAGE,
+                quantizer=q,
+                mesh_config=MeshConfig(data=1, shard=8),
+                precision="high",
+            )
+            index.add(vectors, psg_ids=[f"p{i}" for i in range(8)])
+            view = index._device_view()
+            self.assertEqual("high", view.precision)
+            # and sharded scoring still matches ground truth
+            run = {"q1": {f"p{i}": 1.0 for i in range(8)}}
+            result = index(Ranking.from_run(run, queries={"q1": "x"}))["q1"]
+            dec = vectors if q is None else q.decode(q.encode(vectors))
+            truth = dec @ qvec
+            for i in range(8):
+                self.assertAlmostEqual(float(truth[i]), result[f"p{i}"], places=3)
