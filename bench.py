@@ -417,11 +417,16 @@ def main():
         }
         baseline_file.write_text(json.dumps(cache, indent=2))
 
+    tier_label = {
+        "exact": "fp32-exact scoring",
+        "high": "fp32 table, bf16x3 'high' scoring",
+        "fast": "bf16 'fast' scoring",
+    }[args.precision]
     print(
         json.dumps(
             {
                 "metric": (
-                    f"re-rank QPS (depth-{args.depth}, {DIM}d fp32, "
+                    f"re-rank QPS (depth-{args.depth}, {DIM}d, {tier_label}, "
                     f"N={args.n}, PASSAGE, incl. host orchestration)"
                 ),
                 "value": round(qps, 1),

@@ -467,6 +467,11 @@ def _adaptive_cap(p: int, num_tiles: int) -> int:
 
 
 _pallas_stream: bool | None = None
+_pallas_failures: int = 0
+#: consecutive kernel failures before the Pallas path is disabled for the
+#: process; below this, each failure falls back to XLA *for that call only*
+#: (a transient tunnel/compile hiccup must not degrade every later call)
+_PALLAS_MAX_FAILURES = 3
 
 
 def pallas_stream_enabled() -> bool:
@@ -484,8 +489,39 @@ def pallas_stream_enabled() -> bool:
 
 def set_pallas_stream(value: bool | None) -> None:
     """Force (or reset, with ``None``) the Pallas streaming kernel."""
-    global _pallas_stream
+    global _pallas_stream, _pallas_failures
     _pallas_stream = value
+    _pallas_failures = 0
+
+
+def _pallas_success() -> None:
+    """A kernel call completed: reset the consecutive-failure counter."""
+    global _pallas_failures
+    _pallas_failures = 0
+
+
+def _note_pallas_failure(exc: Exception) -> None:
+    """Record a kernel failure; disable the kernel only when persistent."""
+    global _pallas_failures, _pallas_stream
+    import logging
+
+    _pallas_failures += 1
+    if _pallas_failures >= _PALLAS_MAX_FAILURES:
+        logging.getLogger(__name__).error(
+            "pallas stream kernel failed %d times (%s); disabling it for "
+            "this process — set_pallas_stream(None) to re-enable",
+            _pallas_failures,
+            exc,
+        )
+        _pallas_stream = False
+    else:
+        logging.getLogger(__name__).warning(
+            "pallas stream kernel failed (%s); using the XLA path for this "
+            "call (failure %d/%d before disabling)",
+            exc,
+            _pallas_failures,
+            _PALLAS_MAX_FAILURES,
+        )
 
 
 def streamed_scores(
@@ -494,6 +530,7 @@ def streamed_scores(
     rows: np.ndarray,
     qno: np.ndarray,
     precision: str = "exact",
+    plan: dict | None = None,
 ) -> np.ndarray | None:
     """Score ``table[rows[i]] . q_pad[qno[i]]`` via table streaming.
 
@@ -501,6 +538,12 @@ def streamed_scores(
     scan formulation on any kernel failure), builds the candidate layout
     natively, and returns per-row scores in input order (numpy), or ``None``
     when no layout applies.
+
+    ``plan`` is an optional per-workload cache dict: the candidate layout
+    (including its *device-resident* grid arrays) is stored there on first
+    use and reused on later calls with the same (rows, qno) — the repeated
+    re-ranking pattern then pays neither the layout build nor the candidate
+    upload, only the query transfer and the kernel.
     """
     n_pad = table.shape[0]
     qb = q_pad.shape[0]
@@ -509,43 +552,58 @@ def streamed_scores(
         from fastforward_tpu.ops import stream_kernel
 
         r = stream_kernel.KERNEL_TILE_ROWS
-        cap = _adaptive_cap(rows.shape[0], n_pad // r)
-        layout = build_streamed_layout(rows, qno, n_pad, qb, r=r, cap=cap)
-        # scalar-prefetch tile indices live in SMEM; bound the grid size
-        if layout is not None and layout[1].shape[0] > 8192:
-            layout = None
-        if layout is not None:
-            cand, tile_idx, slot_of_pair = layout
+        cached = plan.get("stream_pallas") if plan is not None else None
+        if cached is None:
+            cap = _adaptive_cap(rows.shape[0], n_pad // r)
+            layout = build_streamed_layout(rows, qno, n_pad, qb, r=r, cap=cap)
+            # scalar-prefetch tile indices live in SMEM; bound the grid size
+            if layout is not None and layout[1].shape[0] > 8192:
+                layout = None
+            if layout is not None:
+                cand, tile_idx, slot_of_pair = layout
+                cached = (
+                    jnp.asarray(cand.reshape(cand.shape[0], cap // 128, 128)),
+                    jnp.asarray(tile_idx),
+                    slot_of_pair,
+                )
+                if plan is not None:
+                    plan["stream_pallas"] = cached
+        if cached is not None:
+            cand_dev, tile_dev, slot_of_pair = cached
             try:
                 outs = stream_kernel.stream_select(
                     table,
                     np.ascontiguousarray(
                         q_pad.T.reshape(-1, qb).astype(np.float32)
                     ),
-                    cand.reshape(cand.shape[0], cap // 128, 128),
-                    tile_idx,
+                    cand_dev,
+                    tile_dev,
                     r=r,
                     precision=precision,
                 )
                 flat = np.asarray(jax.device_get(outs)).reshape(-1)
+                _pallas_success()
                 return flat[slot_of_pair]
             except Exception as e:  # pragma: no cover - device-specific
-                import logging
+                _note_pallas_failure(e)
+                if plan is not None:
+                    plan.pop("stream_pallas", None)
 
-                logging.getLogger(__name__).warning(
-                    "pallas stream kernel failed (%s); using the XLA path", e
-                )
-                set_pallas_stream(False)
-
-    cap = _adaptive_cap(rows.shape[0], max(1, n_pad // STREAM_TILE_ROWS))
-    layout = build_streamed_layout(
-        rows, qno, n_pad, qb, r=STREAM_TILE_ROWS, cap=cap
-    )
-    if layout is None:
-        return None
-    cand, tile_idx, slot_of_pair = layout
+    cached = plan.get("stream_xla") if plan is not None else None
+    if cached is None:
+        cap = _adaptive_cap(rows.shape[0], max(1, n_pad // STREAM_TILE_ROWS))
+        layout = build_streamed_layout(
+            rows, qno, n_pad, qb, r=STREAM_TILE_ROWS, cap=cap
+        )
+        if layout is None:
+            return None
+        cand, tile_idx, slot_of_pair = layout
+        cached = (jnp.asarray(cand), jnp.asarray(tile_idx), slot_of_pair)
+        if plan is not None:
+            plan["stream_xla"] = cached
+    cand_dev, tile_dev, slot_of_pair = cached
     outs = score_pairs_streamed(
-        table, q_pad, cand, tile_idx, STREAM_TILE_ROWS, precision
+        table, q_pad, cand_dev, tile_dev, STREAM_TILE_ROWS, precision
     )
     return np.asarray(jax.device_get(outs))[slot_of_pair]
 
@@ -556,28 +614,36 @@ def streamed_scores_pq(
     q_pad: np.ndarray,
     rows: np.ndarray,
     qno: np.ndarray,
+    plan: dict | None = None,
 ) -> np.ndarray | None:
     """ADC-score ``codes[rows[i]] . q_pad[qno[i]]`` via code-table streaming.
 
-    Same candidate bucketing as :func:`streamed_scores`; scores are exact
-    decode-then-dot (see :func:`score_pairs_streamed_pq`).  Returns per-row
-    scores in input order, or ``None`` when the layout doesn't apply.
+    Same candidate bucketing (and optional layout ``plan`` cache) as
+    :func:`streamed_scores`; scores are exact decode-then-dot (see
+    :func:`score_pairs_streamed_pq`).  Returns per-row scores in input
+    order, or ``None`` when the layout doesn't apply.
     """
     n_pad = codes.shape[0]
     qb = q_pad.shape[0]
-    cap = _adaptive_cap(rows.shape[0], max(1, n_pad // STREAM_TILE_ROWS))
-    layout = build_streamed_layout(
-        rows, qno, n_pad, qb, r=STREAM_TILE_ROWS, cap=cap
-    )
-    if layout is None:
-        return None
-    cand, tile_idx, slot_of_pair = layout
+    cached = plan.get("stream_pq") if plan is not None else None
+    if cached is None:
+        cap = _adaptive_cap(rows.shape[0], max(1, n_pad // STREAM_TILE_ROWS))
+        layout = build_streamed_layout(
+            rows, qno, n_pad, qb, r=STREAM_TILE_ROWS, cap=cap
+        )
+        if layout is None:
+            return None
+        cand, tile_idx, slot_of_pair = layout
+        cached = (jnp.asarray(cand), jnp.asarray(tile_idx), slot_of_pair)
+        if plan is not None:
+            plan["stream_pq"] = cached
+    cand_dev, tile_dev, slot_of_pair = cached
     outs = score_pairs_streamed_pq(
         codes,
         codebooks,
         jnp.asarray(q_pad, dtype=jnp.float32),
-        cand,
-        tile_idx,
+        cand_dev,
+        tile_dev,
         STREAM_TILE_ROWS,
     )
     return np.asarray(jax.device_get(outs))[slot_of_pair]

@@ -134,58 +134,68 @@ def streamed_scores_sharded(
     rows: "np.ndarray",
     qno: "np.ndarray",
     precision: str = "exact",
+    plan: dict | None = None,
 ) -> "np.ndarray | None":
     """Sharded equivalent of ``ops.streamed_scores``.
 
     Partitions candidates by their owning shard on the host, builds one
     streamed layout per shard (padded to a common virtual-tile count), and
     runs the per-shard streaming program.  Returns per-row scores in input
-    order, or ``None`` when the layout doesn't apply.
+    order, or ``None`` when the layout doesn't apply.  ``plan`` optionally
+    caches the per-shard grids (see ``ops.scoring.streamed_scores``).
     """
     import numpy as np
 
     from fastforward_tpu.ops import scoring
 
-    num_shards = mesh.shape["shard"]
-    n_pad = table.shape[0]
-    if n_pad % num_shards:
-        return None
-    n_local = n_pad // num_shards
-    r = scoring.STREAM_TILE_ROWS
-    if n_local % r or rows.shape[0] == 0:
-        return None
-    qb = q_pad.shape[0]
-    cap = scoring._adaptive_cap(
-        max(1, rows.shape[0] // num_shards), max(1, n_local // r)
-    )
-
-    shard_of = rows // n_local
-    layouts = []
-    masks = []
-    t_virtual = 1
-    for shard in range(num_shards):
-        mask = shard_of == shard
-        masks.append(mask)
-        local = (rows[mask] - shard * n_local).astype(np.int64)
-        layout = scoring.build_streamed_layout(
-            local, qno[mask], n_local, qb, r=r, cap=cap
+    cached = plan.get("stream_sharded") if plan is not None else None
+    if cached is None:
+        num_shards = mesh.shape["shard"]
+        n_pad = table.shape[0]
+        if n_pad % num_shards:
+            return None
+        n_local = n_pad // num_shards
+        r = scoring.STREAM_TILE_ROWS
+        if n_local % r or rows.shape[0] == 0:
+            return None
+        qb = q_pad.shape[0]
+        cap = scoring._adaptive_cap(
+            max(1, rows.shape[0] // num_shards), max(1, n_local // r)
         )
-        layouts.append(layout)
-        if layout is not None:
-            t_virtual = max(t_virtual, layout[1].shape[0])
 
-    pad_value = qb - 1
-    cand_all = np.full((num_shards, t_virtual, cap), pad_value, dtype=np.int32)
-    tile_idx_all = np.zeros((num_shards, t_virtual), dtype=np.int32)
-    slot_of_pair = np.empty(rows.shape[0], dtype=np.int64)
-    for shard, (layout, mask) in enumerate(zip(layouts, masks)):
-        if layout is None:
-            continue
-        cand, tile_idx, slots = layout
-        cand_all[shard, : cand.shape[0]] = cand
-        tile_idx_all[shard, : tile_idx.shape[0]] = tile_idx
-        slot_of_pair[mask] = shard * (t_virtual * cap) + slots
+        shard_of = rows // n_local
+        layouts = []
+        masks = []
+        t_virtual = 1
+        for shard in range(num_shards):
+            mask = shard_of == shard
+            masks.append(mask)
+            local = (rows[mask] - shard * n_local).astype(np.int64)
+            layout = scoring.build_streamed_layout(
+                local, qno[mask], n_local, qb, r=r, cap=cap
+            )
+            layouts.append(layout)
+            if layout is not None:
+                t_virtual = max(t_virtual, layout[1].shape[0])
 
+        pad_value = qb - 1
+        cand_all = np.full(
+            (num_shards, t_virtual, cap), pad_value, dtype=np.int32
+        )
+        tile_idx_all = np.zeros((num_shards, t_virtual), dtype=np.int32)
+        slot_of_pair = np.empty(rows.shape[0], dtype=np.int64)
+        for shard, (layout, mask) in enumerate(zip(layouts, masks)):
+            if layout is None:
+                continue
+            cand, tile_idx, slots = layout
+            cand_all[shard, : cand.shape[0]] = cand
+            tile_idx_all[shard, : tile_idx.shape[0]] = tile_idx
+            slot_of_pair[mask] = shard * (t_virtual * cap) + slots
+        cached = (cand_all, tile_idx_all, slot_of_pair, r)
+        if plan is not None:
+            plan["stream_sharded"] = cached
+
+    cand_all, tile_idx_all, slot_of_pair, r = cached
     outs = _cached_stream_scorer(mesh, r, precision)(
         table, q_pad.astype(np.float32), cand_all, tile_idx_all
     )
