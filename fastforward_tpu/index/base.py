@@ -395,7 +395,6 @@ class Index(abc.ABC):
         # candidate density
         streamable_pq = (
             view.kind == "pq"
-            and view.mesh is None
             and view.table.ndim == 2
             and n_pairs * k * 200 > view.table.shape[0]
         )
@@ -411,7 +410,21 @@ class Index(abc.ABC):
             else:
                 rows_flat = rows_mat.reshape(-1).astype(np.int64)
                 qno_flat = np.repeat(pair_qno, k)
-            if streamable_pq:
+            if streamable_pq and view.mesh is not None:
+                from fastforward_tpu.parallel.sharded import (
+                    streamed_scores_sharded_pq,
+                )
+
+                row_scores = streamed_scores_sharded_pq(
+                    view.mesh,
+                    view.table,
+                    view.codebooks,
+                    q_pad,
+                    rows_flat,
+                    qno_flat,
+                    plan=plan,
+                )
+            elif streamable_pq:
                 row_scores = ops.streamed_scores_pq(
                     view.table,
                     view.codebooks,
@@ -503,7 +516,13 @@ class Index(abc.ABC):
         else:
             idx = cached_idx
 
-        if view.mesh is not None:
+        if view.mesh is not None and view.kind == "pq":
+            from fastforward_tpu.parallel.sharded import score_pairs_sharded_pq
+
+            scores = score_pairs_sharded_pq(
+                view.mesh, view.table, view.codebooks, q_pad, idx, op
+            )
+        elif view.mesh is not None:
             from fastforward_tpu.parallel.sharded import score_pairs_sharded
 
             scores = score_pairs_sharded(

@@ -312,21 +312,37 @@ class OnDiskIndex(Index):
             with h5py.File(self._index_file, "r") as fp:
                 raw = fp["vectors"][:num]
             if isinstance(self._quantizer, PQ):
-                if self._mesh_config is not None:
-                    raise ValueError(
-                        "mesh_config is not supported with PQ/OPQ quantizers "
-                        "(the ADC scoring program is single-chip); use a "
-                        "ScalarQuantizer or a dense table for sharded scoring."
-                    )
                 codes = np.zeros((n_pad, raw.shape[1]), dtype=raw.dtype)
                 codes[:num] = raw
-                self._dev_view = DeviceView(
-                    kind="pq",
-                    table=jnp.asarray(codes),
-                    codebooks=jnp.asarray(
-                        np.asarray(self._quantizer.codewords, dtype=np.float32)
-                    ),
+                codebooks = np.asarray(
+                    self._quantizer.codewords, dtype=np.float32
                 )
+                if self._mesh_config is not None:
+                    # code rows shard like dense tables; codebooks replicate
+                    import jax
+                    from jax.sharding import NamedSharding
+                    from jax.sharding import PartitionSpec as P
+
+                    from fastforward_tpu.parallel.sharded import table_sharding
+
+                    if self._mesh is None:
+                        self._mesh = self._mesh_config.build()
+                    self._dev_view = DeviceView(
+                        kind="pq",
+                        table=jax.device_put(
+                            codes, table_sharding(self._mesh, ndim=2)
+                        ),
+                        codebooks=jax.device_put(
+                            codebooks, NamedSharding(self._mesh, P())
+                        ),
+                        mesh=self._mesh,
+                    )
+                else:
+                    self._dev_view = DeviceView(
+                        kind="pq",
+                        table=jnp.asarray(codes),
+                        codebooks=jnp.asarray(codebooks),
+                    )
             elif isinstance(self._quantizer, ScalarQuantizer):
                 codes = np.zeros((n_pad, raw.shape[1]), dtype=np.int8)
                 codes[:num] = raw

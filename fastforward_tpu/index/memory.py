@@ -59,8 +59,9 @@ class InMemoryIndex(Index):
         :param device_dtype: Dtype of the device scoring table
             (``"float32"`` or ``"bfloat16"``; ignored for quantized indexes).
         :param mesh_config: When set, shard the table row-wise across a
-            device mesh and score with the SPMD program (dense or
-            scalar-quantized tables; PQ/OPQ is single-chip).
+            device mesh and score with the SPMD program (dense,
+            scalar-quantized, or PQ/OPQ code tables; PQ codebooks are
+            replicated onto every chip).
         :param precision: Scoring matmul precision: ``"exact"`` (fp32,
             reference score parity), ``"high"`` (3-pass bf16, ~1e-6
             relative error, ~2x faster), or ``"fast"`` (bf16 MXU inputs,
@@ -154,21 +155,37 @@ class InMemoryIndex(Index):
         data = self._store[: self._num]
 
         if isinstance(self._quantizer, PQ):
-            if self._mesh_config is not None:
-                raise ValueError(
-                    "mesh_config is not supported with PQ/OPQ quantizers "
-                    "(the ADC scoring program is single-chip); use a "
-                    "ScalarQuantizer or a dense table for sharded scoring."
-                )
             codes = np.zeros((n_pad, data.shape[1]), dtype=data.dtype)
             codes[: self._num] = data
-            self._dev_view = DeviceView(
-                kind="pq",
-                table=jnp.asarray(codes),
-                codebooks=jnp.asarray(
-                    np.asarray(self._quantizer.codewords, dtype=np.float32)
-                ),
-            )
+            codebooks = np.asarray(self._quantizer.codewords, dtype=np.float32)
+            if self._mesh_config is not None:
+                # codes shard row-wise exactly like dense tables; the
+                # codebooks (M x Ks x Ds — tiny) replicate onto every chip,
+                # and OPQ's rotation is already folded into the queries
+                import jax
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+
+                from fastforward_tpu.parallel.sharded import table_sharding
+
+                if self._mesh is None:
+                    self._mesh = self._mesh_config.build()
+                self._dev_view = DeviceView(
+                    kind="pq",
+                    table=jax.device_put(
+                        codes, table_sharding(self._mesh, ndim=2)
+                    ),
+                    codebooks=jax.device_put(
+                        codebooks, NamedSharding(self._mesh, P())
+                    ),
+                    mesh=self._mesh,
+                )
+            else:
+                self._dev_view = DeviceView(
+                    kind="pq",
+                    table=jnp.asarray(codes),
+                    codebooks=jnp.asarray(codebooks),
+                )
         elif isinstance(self._quantizer, ScalarQuantizer):
             dim = data.shape[1]
             codes = np.zeros((n_pad, dim), dtype=np.int8)

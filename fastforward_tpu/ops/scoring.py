@@ -394,6 +394,19 @@ def score_pairs_streamed_pq(
     :param r: Rows per code tile (static).
     :return: Scores per candidate slot, ``(T_virtual * CAP,)`` fp32.
     """
+    return stream_scan_pq(codes, codebooks, qvecs, cand, tile_idx, r)
+
+
+def stream_scan_pq(
+    codes: jnp.ndarray,
+    codebooks: jnp.ndarray,
+    qvecs: jnp.ndarray,
+    cand: jnp.ndarray,
+    tile_idx: jnp.ndarray,
+    r: int,
+) -> jnp.ndarray:
+    """Traceable scan body of :func:`score_pairs_streamed_pq` (also used
+    inside the sharded SPMD program)."""
     qb = qvecs.shape[0]
     m, ks, _ = codebooks.shape
     cb = codebooks.astype(jnp.float32)

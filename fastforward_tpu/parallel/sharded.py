@@ -202,6 +202,194 @@ def streamed_scores_sharded(
     return np.asarray(jax.device_get(outs))[slot_of_pair]
 
 
+def _sharded_pq_score_fn(mesh: Mesh, op: str):
+    """Gather-ADC scoring over row-sharded PQ codes, combined with a psum.
+
+    Mirrors ``_sharded_score_fn``: each chip owns a contiguous row range of
+    the code table; the per-query lookup tables (``lut[q, m, k] = q_sub .
+    codeword``) are built from the *replicated* codebooks on every chip (the
+    LUT is tiny, Q x M x Ks), each chip ADC-scores the code rows it owns,
+    non-owned rows are masked to zero, and one ``psum`` over ICI assembles
+    the full scores — only scores cross the interconnect, never codes.
+    """
+
+    def body(codes_local, codebooks, qvecs, idx):
+        k = idx.shape[0] - 1
+        s = idx.shape[1]
+        rows_flat = idx[:k].T.reshape(-1)
+        qno = idx[k] >> 8
+        counts = idx[k] & 0xFF
+
+        shard = jax.lax.axis_index("shard")
+        n_local = codes_local.shape[0]
+        local = rows_flat - shard * n_local
+        owned = (local >= 0) & (local < n_local)
+        safe = jnp.where(owned, local, 0)
+
+        num_q = qvecs.shape[0]
+        m, ks, ds = codebooks.shape
+        # HIGHEST: the LUT feeds every ADC score (TPU default would
+        # truncate the subvectors to bf16, ~0.03 abs error)
+        lut = jnp.einsum(
+            "qmd,mkd->qmk",
+            qvecs.reshape(num_q, m, ds),
+            codebooks,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        c = jnp.take(codes_local, safe, axis=0).astype(jnp.int32)  # (S*K, M)
+        qno_flat = jnp.repeat(qno, k) if k > 1 else qno
+        subspace = jnp.arange(m, dtype=jnp.int32)[None, :]
+        row_scores = jnp.sum(lut[qno_flat[:, None], subspace, c], axis=-1)
+        scores = (row_scores * owned.astype(jnp.float32)).reshape(s, k)
+        scores = jax.lax.psum(scores, "shard")
+        return _masked_reduce(scores, counts, op)
+
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P("shard", None),  # codes (rows sharded)
+            P(),  # codebooks replicated
+            P(),  # qvecs replicated
+            P(None, "data"),  # pair arrays split over data
+        ),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+@lru_cache(maxsize=16)
+def _cached_pq_scorer(mesh: Mesh, op: str):
+    return _sharded_pq_score_fn(mesh, op)
+
+
+def score_pairs_sharded_pq(
+    mesh: Mesh,
+    codes: jax.Array,
+    codebooks: jax.Array,
+    qvecs: jax.Array,
+    idx: jax.Array,
+    op: str,
+) -> jax.Array:
+    """Sharded equivalent of ``ops.score_pairs_grouped_pq``.
+
+    :param mesh: Mesh with ``data`` and ``shard`` axes.
+    :param codes: Row-sharded PQ codes ``(N_pad, M)`` (``N_pad`` divisible
+        by the ``shard`` axis size).
+    :param codebooks: Replicated codebooks ``(M, Ks, Ds)`` fp32.
+    :param qvecs: Replicated (OPQ-rotated) query vectors ``(Qb, M * Ds)``.
+    :param idx: Stacked int32 ``(K + 1, Sb)`` pair arrays.
+    :param op: ``"max"`` | ``"mean"`` | ``"first"``.
+    :return: Per-pair scores, ``(Sb,)``.
+    """
+    return _cached_pq_scorer(mesh, op)(codes, codebooks, qvecs, idx)
+
+
+def _sharded_pq_stream_fn(mesh: Mesh, r: int):
+    """Per-shard streamed ADC: each chip streams only its own code-table
+    shard through the MXU (one-hot dequantize + matmul, see
+    ``ops.scoring.stream_scan_pq``); candidates are pre-partitioned by
+    owning shard on the host, so no collective is needed."""
+    from fastforward_tpu.ops.scoring import stream_scan_pq
+
+    def body(codes_local, codebooks, qvecs, cand, tile_idx):
+        return stream_scan_pq(
+            codes_local, codebooks, qvecs, cand[0], tile_idx[0], r
+        )
+
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P("shard", None),  # code rows sharded
+            P(),  # codebooks replicated
+            P(),  # qvecs replicated
+            P("shard", None, None),  # per-shard candidate grids
+            P("shard", None),  # per-shard tile indices
+        ),
+        out_specs=P("shard"),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+@lru_cache(maxsize=16)
+def _cached_pq_stream_scorer(mesh: Mesh, r: int):
+    return _sharded_pq_stream_fn(mesh, r)
+
+
+def streamed_scores_sharded_pq(
+    mesh: Mesh,
+    codes: jax.Array,
+    codebooks: jax.Array,
+    q_pad: "np.ndarray",
+    rows: "np.ndarray",
+    qno: "np.ndarray",
+    plan: dict | None = None,
+) -> "np.ndarray | None":
+    """Sharded equivalent of ``ops.streamed_scores_pq``.
+
+    Same host-side candidate partitioning as ``streamed_scores_sharded``;
+    each chip dequantize-streams its own code rows.  Returns per-row scores
+    in input order, or ``None`` when the layout doesn't apply.
+    """
+    import numpy as np
+
+    from fastforward_tpu.ops import scoring
+
+    cached = plan.get("stream_sharded_pq") if plan is not None else None
+    if cached is None:
+        num_shards = mesh.shape["shard"]
+        n_pad = codes.shape[0]
+        if n_pad % num_shards:
+            return None
+        n_local = n_pad // num_shards
+        r = scoring.STREAM_TILE_ROWS
+        if n_local % r or rows.shape[0] == 0:
+            return None
+        qb = q_pad.shape[0]
+        cap = scoring._adaptive_cap(
+            max(1, rows.shape[0] // num_shards), max(1, n_local // r)
+        )
+        shard_of = rows // n_local
+        layouts, masks = [], []
+        t_virtual = 1
+        for shard in range(num_shards):
+            mask = shard_of == shard
+            masks.append(mask)
+            local = (rows[mask] - shard * n_local).astype(np.int64)
+            layout = scoring.build_streamed_layout(
+                local, qno[mask], n_local, qb, r=r, cap=cap
+            )
+            layouts.append(layout)
+            if layout is not None:
+                t_virtual = max(t_virtual, layout[1].shape[0])
+        pad_value = qb - 1
+        cand_all = np.full(
+            (num_shards, t_virtual, cap), pad_value, dtype=np.int32
+        )
+        tile_idx_all = np.zeros((num_shards, t_virtual), dtype=np.int32)
+        slot_of_pair = np.empty(rows.shape[0], dtype=np.int64)
+        for shard, (layout, mask) in enumerate(zip(layouts, masks)):
+            if layout is None:
+                continue
+            cand, tile_idx, slots = layout
+            cand_all[shard, : cand.shape[0]] = cand
+            tile_idx_all[shard, : tile_idx.shape[0]] = tile_idx
+            slot_of_pair[mask] = shard * (t_virtual * cap) + slots
+        cached = (cand_all, tile_idx_all, slot_of_pair, r)
+        if plan is not None:
+            plan["stream_sharded_pq"] = cached
+
+    cand_all, tile_idx_all, slot_of_pair, r = cached
+    outs = _cached_pq_stream_scorer(mesh, r)(
+        codes, codebooks, q_pad.astype(np.float32), cand_all, tile_idx_all
+    )
+    return np.asarray(jax.device_get(outs))[slot_of_pair]
+
+
 def score_pairs_sharded(
     mesh: Mesh,
     table: jax.Array,

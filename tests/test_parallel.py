@@ -147,28 +147,101 @@ class TestShardedQuantized(unittest.TestCase):
         finally:
             shutil.rmtree(tmp)
 
-    def test_pq_with_mesh_raises(self):
-        """PQ + mesh_config is unsupported and must fail loudly, not
-        silently drop the mesh."""
+    def _pq_parity(self, make_quantizer, mode=Mode.PASSAGE, sparse=False):
+        """PQ-sharded scores must equal PQ-single-device scores exactly
+        (identical codes + codebooks; the ADC math is the same program)."""
+        data = RNG.normal(size=(200, DIM)).astype(np.float32)
+        qvec = RNG.normal(size=DIM).astype(np.float32)
+        enc = LambdaEncoder(lambda _: qvec)
+        if mode == Mode.PASSAGE:
+            ids = {"psg_ids": [f"p{i}" for i in range(200)]}
+            prefix = "p"
+            num = 120 if not sparse else 3
+        else:
+            ids = {"doc_ids": [f"d{i // 4}" for i in range(200)]}
+            prefix = "d"
+            num = 40 if not sparse else 2
+        run = {"q1": {f"{prefix}{i}": float(i) for i in range(num)}}
+        ranking = Ranking.from_run(run, queries={"q1": "a"})
+
+        results = []
+        for mesh_config in (None, MeshConfig(data=2, shard=4)):
+            quantizer = make_quantizer()
+            quantizer.fit(data)
+            index = InMemoryIndex(
+                enc, quantizer=quantizer, mode=mode, mesh_config=mesh_config
+            )
+            index.add(data, **ids)
+            results.append(index(ranking)["q1"])
+            if mesh_config is not None:
+                view = index._device_view()
+                self.assertIsNotNone(view.mesh)
+                self.assertEqual("pq", view.kind)
+        plain, sharded = results
+        self.assertEqual(set(plain), set(sharded))
+        for pid in plain:
+            self.assertAlmostEqual(plain[pid], sharded[pid], places=3, msg=pid)
+
+    def test_pq_sharded_parity_streamed(self):
+        """Dense candidate sets: the per-shard streamed-ADC program."""
         from fastforward_tpu.quantizer import PQ
 
-        quantizer = PQ(8, 16)
-        quantizer.fit(RNG.normal(size=(64, DIM)).astype(np.float32))
-        index = InMemoryIndex(
-            LambdaEncoder(lambda _: np.ones(DIM, np.float32)),
-            quantizer=quantizer,
-            mode=Mode.PASSAGE,
-            mesh_config=MeshConfig(data=1, shard=8),
-        )
-        index.add(
-            RNG.normal(size=(16, DIM)).astype(np.float32),
-            psg_ids=[f"p{i}" for i in range(16)],
-        )
-        ranking = Ranking.from_run(
-            {"q1": {"p0": 1.0}}, queries={"q1": "a"}
-        )
-        with self.assertRaises(ValueError):
-            index(ranking)
+        self._pq_parity(lambda: PQ(8, 16))
+
+    def test_pq_sharded_parity_gather(self):
+        """Sparse candidate sets fall to the gather-ADC + psum program."""
+        from fastforward_tpu.quantizer import PQ
+
+        self._pq_parity(lambda: PQ(8, 16), sparse=True)
+
+    def test_pq_sharded_parity_maxp(self):
+        """Multi-passage docs: masked K-axis reduction after the psum."""
+        from fastforward_tpu.quantizer import PQ
+
+        self._pq_parity(lambda: PQ(8, 16), mode=Mode.MAXP)
+
+    def test_opq_sharded_parity(self):
+        """OPQ: the rotation folds into the replicated queries."""
+        from fastforward_tpu.quantizer import OPQ
+
+        self._pq_parity(lambda: OPQ(8, 16, opq_iters=2))
+
+    def test_pq_disk_hbm_cache_sharded(self):
+        """OnDiskIndex(hbm_cache, mesh_config) with PQ codes."""
+        import shutil
+        import tempfile
+
+        from fastforward_tpu.index import OnDiskIndex
+        from fastforward_tpu.quantizer import PQ
+
+        tmp = tempfile.mkdtemp()
+        try:
+            data = RNG.normal(size=(150, DIM)).astype(np.float32)
+            qvec = RNG.normal(size=DIM).astype(np.float32)
+            enc = LambdaEncoder(lambda _: qvec)
+            run = {"q1": {f"p{i}": float(i) for i in range(100)}}
+            ranking = Ranking.from_run(run, queries={"q1": "a"})
+            results = []
+            for mesh_config in (None, MeshConfig(data=1, shard=8)):
+                quantizer = PQ(8, 16)
+                quantizer.fit(data)
+                index = OnDiskIndex(
+                    f"{tmp}/pq_{mesh_config is not None}.h5",
+                    enc,
+                    quantizer=quantizer,
+                    mode=Mode.PASSAGE,
+                    hbm_cache=True,
+                    mesh_config=mesh_config,
+                )
+                index.add(data, psg_ids=[f"p{i}" for i in range(150)])
+                results.append(index(ranking)["q1"])
+                if mesh_config is not None:
+                    self.assertIsNotNone(index._device_view().mesh)
+            plain, sharded = results
+            for pid in plain:
+                self.assertAlmostEqual(plain[pid], sharded[pid], places=3, msg=pid)
+        finally:
+            shutil.rmtree(tmp)
 
 
 if __name__ == "__main__":
