@@ -407,9 +407,24 @@ class Index(abc.ABC):
             if k == 1:
                 rows_flat = rows_mat[:, 0].astype(np.int64)
                 qno_flat = pair_qno
+                reduce_spec = None
             else:
                 rows_flat = rows_mat.reshape(-1).astype(np.int64)
                 qno_flat = np.repeat(pair_qno, k)
+                # K-axis ranking reduction on device: fetch (P,) floats
+                # over the host link instead of (P, K) — sharded paths keep
+                # the host reduction (a cross-shard slot gather would cost
+                # an all-gather of every slot)
+                reduce_spec = None
+                if view.mesh is None:
+                    counts_dev = (
+                        plan.get("counts_dev") if plan is not None else None
+                    )
+                    if counts_dev is None:
+                        counts_dev = jnp.asarray(counts_pp.astype(np.int32))
+                        if plan is not None:
+                            plan["counts_dev"] = counts_dev
+                    reduce_spec = (op, k, counts_dev)
             if streamable_pq and view.mesh is not None:
                 from fastforward_tpu.parallel.sharded import (
                     streamed_scores_sharded_pq,
@@ -432,6 +447,7 @@ class Index(abc.ABC):
                     rows_flat,
                     qno_flat,
                     plan=plan,
+                    reduce=reduce_spec,
                 )
             elif view.mesh is not None:
                 from fastforward_tpu.parallel.sharded import (
@@ -455,9 +471,11 @@ class Index(abc.ABC):
                     qno_flat,
                     precision=view.precision,
                     plan=plan,
+                    reduce=reduce_spec,
                 )
             if row_scores is not None:
-                if k == 1:
+                if k == 1 or row_scores.shape[0] == n_pairs:
+                    # k == 1, or the K reduction already ran on device
                     return row_scores
                 # ranking-mode reduction over the K axis on the host
                 mat = row_scores.reshape(n_pairs, k)

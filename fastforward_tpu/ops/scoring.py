@@ -71,6 +71,44 @@ def _segment_reduce(
     return out[:num_out]
 
 
+@partial(jax.jit, static_argnames=("k", "op"))
+def _reduce_k_device(flat, slot, counts, k, op):
+    """Gather streamed per-slot scores into ``(P, K)`` and reduce along K.
+
+    Runs ON DEVICE so MAXP/AVEP streamed scoring fetches ``P`` floats over
+    the host link instead of ``P * K`` (the dominant per-call cost is the
+    fetch, not the reduction).
+    """
+    picked = jnp.take(flat.reshape(-1), slot, axis=0).reshape(-1, k)
+    valid = jnp.arange(k, dtype=jnp.int32)[None, :] < counts[:, None]
+    if op == "max":
+        return jnp.where(valid, picked, -jnp.inf).max(axis=1)
+    if op == "mean":
+        sums = jnp.where(valid, picked, 0.0).sum(axis=1)
+        return (sums / jnp.maximum(counts, 1)).astype(jnp.float32)
+    return picked[:, 0]
+
+
+def _finalize_streamed(outs, slot_of_pair, reduce, plan, slot_key):
+    """Fetch streamed scores, reducing the K axis on device when requested.
+
+    ``reduce`` is ``None`` (fetch all slots, host indexes ``slot_of_pair``)
+    or ``(op, k, counts_dev)``: the slot gather + masked K reduction run on
+    device and only the ``(P,)`` result crosses the host link.  The device
+    copy of ``slot_of_pair`` is cached in ``plan[slot_key]``.
+    """
+    if reduce is not None and int(slot_of_pair.max(initial=0)) < 2**31:
+        op, k, counts_dev = reduce
+        slot_dev = plan.get(slot_key) if plan is not None else None
+        if slot_dev is None:
+            slot_dev = jnp.asarray(slot_of_pair.astype(np.int32))
+            if plan is not None:
+                plan[slot_key] = slot_dev
+        red = _reduce_k_device(outs, slot_dev, counts_dev, k, op)
+        return np.asarray(jax.device_get(red))
+    return np.asarray(jax.device_get(outs)).reshape(-1)[slot_of_pair]
+
+
 @partial(jax.jit, static_argnames=("num_out", "op", "precision"))
 def score_pairs_dense(
     table: jnp.ndarray,
@@ -544,8 +582,13 @@ def streamed_scores(
     qno: np.ndarray,
     precision: str = "exact",
     plan: dict | None = None,
+    reduce: "tuple[str, int, jnp.ndarray] | None" = None,
 ) -> np.ndarray | None:
     """Score ``table[rows[i]] . q_pad[qno[i]]`` via table streaming.
+
+    With ``reduce=(op, k, counts_dev)`` the rows are treated as a flattened
+    ``(P, K)`` grouped layout and the K-axis ranking reduction happens on
+    device before the fetch (see :func:`_finalize_streamed`).
 
     Dispatches to the fused Pallas kernel on TPU (falling back to the XLA
     scan formulation on any kernel failure), builds the candidate layout
@@ -594,9 +637,11 @@ def streamed_scores(
                     r=r,
                     precision=precision,
                 )
-                flat = np.asarray(jax.device_get(outs)).reshape(-1)
+                result = _finalize_streamed(
+                    outs, slot_of_pair, reduce, plan, "stream_pallas_slot"
+                )
                 _pallas_success()
-                return flat[slot_of_pair]
+                return result
             except Exception as e:  # pragma: no cover - device-specific
                 _note_pallas_failure(e)
                 if plan is not None:
@@ -618,7 +663,7 @@ def streamed_scores(
     outs = score_pairs_streamed(
         table, q_pad, cand_dev, tile_dev, STREAM_TILE_ROWS, precision
     )
-    return np.asarray(jax.device_get(outs))[slot_of_pair]
+    return _finalize_streamed(outs, slot_of_pair, reduce, plan, "stream_xla_slot")
 
 
 def streamed_scores_pq(
@@ -628,6 +673,7 @@ def streamed_scores_pq(
     rows: np.ndarray,
     qno: np.ndarray,
     plan: dict | None = None,
+    reduce: "tuple[str, int, jnp.ndarray] | None" = None,
 ) -> np.ndarray | None:
     """ADC-score ``codes[rows[i]] . q_pad[qno[i]]`` via code-table streaming.
 
@@ -659,7 +705,7 @@ def streamed_scores_pq(
         tile_dev,
         STREAM_TILE_ROWS,
     )
-    return np.asarray(jax.device_get(outs))[slot_of_pair]
+    return _finalize_streamed(outs, slot_of_pair, reduce, plan, "stream_pq_slot")
 
 
 def build_streamed_layout(

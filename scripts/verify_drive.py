@@ -19,6 +19,7 @@ from fastforward_tpu.encoder import LambdaEncoder
 from fastforward_tpu.quantizer import PQ
 
 tmp = Path("/tmp/ffv")
+tmp.mkdir(parents=True, exist_ok=True)
 rng = np.random.default_rng(0)
 
 # 1. write a lexical TREC runfile (2 queries x 50 candidate passages)

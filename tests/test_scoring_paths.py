@@ -140,6 +140,71 @@ class TestStreamedPath(unittest.TestCase):
                 self.assertAlmostEqual(expected, got[pid], places=3)
 
 
+class TestStreamedKReduction(unittest.TestCase):
+    def _run_mode(self, mode, quantizer=None, places=3):
+        """Dense multi-passage workload: streamed path with K > 1; the
+        K-axis ranking reduction runs on device (fetch P floats, not P*K)
+        and must match the exact per-doc host aggregation."""
+        n_docs, dim, n_q = 500, 128, 4
+        doc_sizes = RNG.integers(1, 5, size=n_docs)
+        vectors = []
+        doc_ids = []
+        for d in range(n_docs):
+            for _ in range(doc_sizes[d]):
+                vectors.append(RNG.normal(size=dim).astype(np.float32))
+                doc_ids.append(f"d{d}")
+        vectors = np.stack(vectors)
+        qvecs = RNG.normal(size=(n_q, dim)).astype(np.float32)
+        by_text = {f"q{i}": qvecs[i] for i in range(n_q)}
+        index = InMemoryIndex(
+            LambdaEncoder(lambda t: by_text[t]), mode=mode, quantizer=quantizer
+        )
+        index.add(vectors, doc_ids=doc_ids)
+        if quantizer is not None:
+            vectors = quantizer.decode(quantizer.encode(vectors))
+
+        run = {
+            f"q{qi}": {f"d{d}": 1.0 for d in range(n_docs)}
+            for qi in range(n_q)
+        }
+        queries = {f"q{qi}": f"q{qi}" for qi in range(n_q)}
+        ranking = Ranking.from_run(run, queries=queries)
+        # P*K*500 = 500*4*4*500 >> padded rows -> streamed grouped layout
+        result = index(ranking)      # builds the plan
+        result = index(ranking)      # exercises the cached device reduce
+
+        starts = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(doc_sizes, out=starts[1:])
+        for qi in range(n_q):
+            got = result[f"q{qi}"]
+            per_row = vectors @ qvecs[qi]
+            for d in range(0, n_docs, 37):
+                rows = per_row[starts[d] : starts[d + 1]]
+                if mode == Mode.MAXP:
+                    expected = float(rows.max())
+                elif mode == Mode.AVEP:
+                    expected = float(rows.mean())
+                else:
+                    expected = float(rows[0])
+                self.assertAlmostEqual(
+                    expected, got[f"d{d}"], places=places, msg=(qi, d)
+                )
+
+    def test_maxp(self):
+        self._run_mode(Mode.MAXP)
+
+    def test_avep(self):
+        self._run_mode(Mode.AVEP)
+
+    def test_firstp(self):
+        self._run_mode(Mode.FIRSTP)
+
+    def test_maxp_pq(self):
+        quantizer = PQ(16, 16)
+        quantizer.fit(RNG.normal(size=(512, 128)).astype(np.float32))
+        self._run_mode(Mode.MAXP, quantizer=quantizer)
+
+
 class TestBf16Table(unittest.TestCase):
     def test_bf16_close_to_fp32(self):
         qvec = RNG.normal(size=128).astype(np.float32)
