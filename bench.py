@@ -273,6 +273,420 @@ def measure_ours_int8(corpus, qvecs, run, queries, repeats, precision):
     return qps
 
 
+def make_doc_workload(n_docs, num_queries, depth, seed=0, max_psgs=7):
+    """Multi-passage corpus + doc-level run (BASELINE.md config #2).
+
+    Passage counts per doc are 1..max_psgs (avg ~(1+max)/2); query token
+    batches are synthesized directly (36 ids each, TCT query length) so no
+    tokenizer download is needed — both engines run the *same* BERT-base
+    weights over the same tokens, ours as the jitted JAX tower, the
+    reference as torch CPU.
+    """
+    rng = np.random.default_rng(seed)
+    psg_counts = rng.integers(1, max_psgs + 1, size=n_docs)
+    doc_ids = [f"d{d}" for d in range(n_docs) for _ in range(psg_counts[d])]
+    n_vectors = len(doc_ids)
+    corpus = rng.standard_normal(size=(n_vectors, DIM), dtype=np.float32)
+    query_tokens = {
+        f"query {q}": rng.integers(100, 10_000, size=36).astype(np.int32)
+        for q in range(num_queries)
+    }
+    run = {}
+    queries = {}
+    for q in range(num_queries):
+        cand = rng.choice(n_docs, size=depth, replace=False)
+        run[f"q{q}"] = {f"d{c}": float(depth - i) for i, c in enumerate(cand)}
+        queries[f"q{q}"] = f"query {q}"
+    return corpus, doc_ids, query_tokens, run, queries
+
+
+def _qrels_from_exact(corpus, doc_ids, qvecs, run, queries, mode="maxp"):
+    """Synthetic qrels: top-5 exact-fp32 docs per query, graded 3/2/2/1/1."""
+    by_doc = {}
+    for row, d in enumerate(doc_ids):
+        by_doc.setdefault(d, []).append(row)
+    qrels = {}
+    q_texts = {q_id: text for q_id, text in queries.items()}
+    text_to_vec = {f"query {i}": qvecs[i] for i in range(qvecs.shape[0])}
+    for q_id, cands in run.items():
+        qv = text_to_vec[q_texts[q_id]]
+        scores = {}
+        for d in cands:
+            rows = by_doc[d] if d in by_doc else [int(d[1:])]
+            vals = corpus[rows] @ qv
+            scores[d] = float(vals.max() if mode == "maxp" else vals[0])
+        top = sorted(scores, key=scores.get, reverse=True)[:5]
+        qrels[q_id] = dict(zip(top, (3, 2, 2, 1, 1)))
+    return qrels
+
+
+def measure_maxp(n_docs, num_queries, depth, repeats, ref_repeats, skip_baseline):
+    """Config #2: OnDiskIndex (HDF5) + Mode.MAXP with a BERT query tower.
+
+    Ours writes the HDF5 file and scores with ``hbm_cache=True``; the
+    reference **loads the very same file** (byte-compatible layout) and
+    scores it on CPU with the same torch weights — end-to-end parity incl.
+    query encoding, with nDCG@10/RR@10 checked on both engines against
+    synthetic qrels.
+    """
+    import shutil
+    import tempfile
+
+    import torch
+    from transformers import BertConfig as HFBertConfig
+    from transformers import BertModel
+
+    from fastforward_tpu.encoder.base import Encoder
+    from fastforward_tpu.index import Mode, OnDiskIndex
+    from fastforward_tpu.models import bert
+    from fastforward_tpu.ranking import Ranking
+    from fastforward_tpu.utils.evaluate import ndcg_at_k, rr_at_k
+
+    _enable_compile_cache()
+    corpus, doc_ids, query_tokens, run, queries = make_doc_workload(
+        n_docs, num_queries, depth
+    )
+    log(f"maxp workload: {len(doc_ids)} vectors over {n_docs} docs")
+
+    torch.manual_seed(0)
+    hf_model = BertModel(HFBertConfig())
+    hf_model.eval()
+    params, config = bert.from_hf_torch(hf_model)
+
+    class JaxTower(Encoder):
+        def _encode(self, texts):
+            ids = np.stack([query_tokens[t] for t in texts])
+            mask = np.ones_like(ids)
+            hidden = bert.encode_jit(params, ids, mask, config)
+            return np.asarray(bert.pool_cls(hidden, mask))
+
+    tmp = Path(tempfile.mkdtemp())
+    try:
+        index = OnDiskIndex(
+            tmp / "maxp.h5", JaxTower(), mode=Mode.MAXP, hbm_cache=True
+        )
+        t0 = time.perf_counter()
+        step = 2**16
+        for i in range(0, corpus.shape[0], step):
+            index.add(corpus[i : i + step], doc_ids=doc_ids[i : i + step])
+        log(f"HDF5 write ({corpus.nbytes / 2**30:.1f} GiB): "
+            f"{time.perf_counter() - t0:.1f}s")
+        ranking = Ranking.from_run(run, queries=queries)
+
+        t0 = time.perf_counter()
+        ours_out = index(ranking)
+        log(f"maxp first call (incl. compile): {time.perf_counter() - t0:.1f}s")
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            ours_out = index(ranking)
+        qps = num_queries * repeats / (time.perf_counter() - t0)
+        log(f"maxp ours: {qps:.1f} QPS")
+
+        qvecs = JaxTower()(list(queries.values()))
+        qrels = _qrels_from_exact(corpus, doc_ids, qvecs, run, queries)
+        ours_ndcg = ndcg_at_k(ours_out, qrels, 10)
+        ours_rr = rr_at_k(ours_out, qrels, 10)
+        log(f"maxp ours quality: nDCG@10={ours_ndcg:.4f} RR@10={ours_rr:.4f}")
+
+        ref_qps = ref_ndcg = ref_rr = None
+        if not skip_baseline:
+            ref_qps, ref_ndcg, ref_rr = _measure_reference_maxp(
+                tmp / "maxp.h5", hf_model, query_tokens, run, queries,
+                qrels, ref_repeats,
+            )
+            assert abs(ours_ndcg - ref_ndcg) < 0.02, (ours_ndcg, ref_ndcg)
+            assert abs(ours_rr - ref_rr) < 0.02, (ours_rr, ref_rr)
+            log("maxp quality parity OK (nDCG@10 / RR@10 within 0.02)")
+        return qps, ref_qps, ours_ndcg, ours_rr
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _measure_reference_maxp(
+    h5_path, hf_model, query_tokens, run, queries, qrels, repeats
+):
+    """Reference engine on the SAME HDF5 file, torch CPU query tower."""
+    import importlib.metadata as importlib_metadata
+    import types
+
+    import torch
+
+    if "nanopq" not in sys.modules:
+        stub = types.ModuleType("nanopq")
+        stub.PQ = type("PQ", (), {"__init__": lambda self, **kw: None})
+        stub.OPQ = type("OPQ", (), {"__init__": lambda self, **kw: None})
+        sys.modules["nanopq"] = stub
+    orig_version = importlib_metadata.version
+    importlib_metadata.version = lambda name: (
+        "0.8.0" if name == "fast-forward-indexes" else orig_version(name)
+    )
+    sys.path.insert(0, "/root/reference/src")
+    try:
+        from fast_forward.encoder.base import Encoder as RefEncoder
+        from fast_forward.index.base import Mode as RefMode
+        from fast_forward.index.disk import OnDiskIndex as RefOnDiskIndex
+        from fast_forward.ranking import Ranking as RefRanking
+        from fast_forward.util import to_ir_measures  # noqa: F401  (API check)
+
+        class TorchTower(RefEncoder):
+            def _encode(self, texts):
+                ids = np.stack([query_tokens[t] for t in texts])
+                with torch.no_grad():
+                    out = hf_model(
+                        input_ids=torch.tensor(ids.astype(np.int64)),
+                        attention_mask=torch.ones(ids.shape, dtype=torch.int64),
+                    )
+                return out.last_hidden_state[:, 0].numpy()
+
+        index = RefOnDiskIndex.load(
+            Path(h5_path), query_encoder=TorchTower(), mode=RefMode.MAXP
+        )
+        ranking = RefRanking.from_run(run, queries=queries)
+        out = index(ranking)  # warm-up
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            out = index(ranking)
+        qps = len(queries) * repeats / (time.perf_counter() - t0)
+        log(f"maxp reference: {qps:.1f} QPS")
+
+        from fastforward_tpu.ranking import Ranking as OurRanking
+        from fastforward_tpu.utils.evaluate import ndcg_at_k, rr_at_k
+
+        as_ours = OurRanking.from_run(
+            {q: dict(out[q]) for q in out.q_ids}, queries=queries
+        )
+        ndcg = ndcg_at_k(as_ours, qrels, 10)
+        rr = rr_at_k(as_ours, qrels, 10)
+        log(f"maxp reference quality: nDCG@10={ndcg:.4f} RR@10={rr:.4f}")
+        return qps, ndcg, rr
+    finally:
+        sys.path.remove("/root/reference/src")
+        importlib_metadata.version = orig_version
+
+
+def measure_alpha_sweep(
+    corpus, qvecs, run, queries, repeats, ref_repeats, skip_baseline,
+    alphas=(0.1, 0.3, 0.5, 0.7, 0.9), cutoff=10,
+):
+    """Config #4: depth-5000 early-stopping + interpolation alpha sweep.
+
+    For each alpha: ES-score with that alpha, interpolate with the lexical
+    run, and evaluate nDCG@10/RR@10 against synthetic qrels — on both
+    engines, asserting per-alpha parity.
+    """
+    from fastforward_tpu.encoder import LambdaEncoder
+    from fastforward_tpu.index import InMemoryIndex, Mode
+    from fastforward_tpu.ranking import Ranking
+    from fastforward_tpu.utils.evaluate import ndcg_at_k, rr_at_k
+
+    _enable_compile_cache()
+    depths = (500, 5000)
+    index = InMemoryIndex(
+        LambdaEncoder(_query_map(qvecs, queries)), mode=Mode.PASSAGE
+    )
+    index.add(corpus, psg_ids=[f"p{i}" for i in range(corpus.shape[0])])
+    ranking = Ranking.from_run(run, queries=queries)
+    psg_ids = [f"p{i}" for i in range(corpus.shape[0])]
+    qrels = _qrels_from_exact(
+        corpus, psg_ids, qvecs, run, queries, mode="firstp"
+    )
+
+    def sweep():
+        return {
+            alpha: index(
+                ranking,
+                early_stopping=cutoff,
+                early_stopping_alpha=alpha,
+                early_stopping_depths=depths,
+            )
+            for alpha in alphas
+        }
+
+    t0 = time.perf_counter()
+    sweep()  # warm-up (compile)
+    log(f"alpha-sweep first pass (incl. compile): {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        ours_by_alpha = sweep()
+    elapsed = time.perf_counter() - t0
+    qps = len(queries) * len(alphas) * repeats / elapsed
+    log(f"alpha-sweep ours: {qps:.1f} QPS (ES calls across {len(alphas)} alphas)")
+
+    ours_quality = {}
+    for alpha, out in ours_by_alpha.items():
+        mixed = ranking.interpolate(out, alpha)
+        ours_quality[alpha] = (
+            ndcg_at_k(mixed, qrels, 10), rr_at_k(mixed, qrels, 10)
+        )
+        log(f"  alpha={alpha}: nDCG@10={ours_quality[alpha][0]:.4f} "
+            f"RR@10={ours_quality[alpha][1]:.4f}")
+
+    ref_qps = None
+    if not skip_baseline:
+        ref_qps = _measure_reference_alpha_sweep(
+            corpus, qvecs, run, queries, qrels, alphas, cutoff, depths,
+            ours_quality, ref_repeats,
+        )
+    return qps, ref_qps, ours_quality
+
+
+def _measure_reference_alpha_sweep(
+    corpus, qvecs, run, queries, qrels, alphas, cutoff, depths,
+    ours_quality, repeats,
+):
+    import importlib.metadata as importlib_metadata
+    import types
+
+    if "nanopq" not in sys.modules:
+        stub = types.ModuleType("nanopq")
+        stub.PQ = type("PQ", (), {"__init__": lambda self, **kw: None})
+        stub.OPQ = type("OPQ", (), {"__init__": lambda self, **kw: None})
+        sys.modules["nanopq"] = stub
+    orig_version = importlib_metadata.version
+    importlib_metadata.version = lambda name: (
+        "0.8.0" if name == "fast-forward-indexes" else orig_version(name)
+    )
+    sys.path.insert(0, "/root/reference/src")
+    try:
+        from fast_forward.encoder import LambdaEncoder as RefLambdaEncoder
+        from fast_forward.index.base import Mode as RefMode
+        from fast_forward.index.memory import InMemoryIndex as RefInMemoryIndex
+        from fast_forward.ranking import Ranking as RefRanking
+
+        from fastforward_tpu.ranking import Ranking as OurRanking
+        from fastforward_tpu.utils.evaluate import ndcg_at_k, rr_at_k
+
+        index = RefInMemoryIndex(
+            RefLambdaEncoder(_query_map(qvecs, queries)), mode=RefMode.PASSAGE
+        )
+        index.add(corpus, psg_ids=[f"p{i}" for i in range(corpus.shape[0])])
+        ranking = RefRanking.from_run(run, queries=queries)
+
+        t0 = time.perf_counter()
+        outs = {}
+        for _ in range(repeats):
+            for alpha in alphas:
+                outs[alpha] = index(
+                    ranking,
+                    early_stopping=cutoff,
+                    early_stopping_alpha=alpha,
+                    early_stopping_depths=depths,
+                )
+        elapsed = time.perf_counter() - t0
+        qps = len(queries) * len(alphas) * repeats / elapsed
+        log(f"alpha-sweep reference: {qps:.1f} QPS")
+
+        for alpha, ref_out in outs.items():
+            mixed = RefRanking.interpolate(ranking, ref_out, alpha)
+            as_ours = OurRanking.from_run(
+                {q: dict(mixed[q]) for q in mixed.q_ids}, queries=queries
+            )
+            ndcg, rr = ndcg_at_k(as_ours, qrels, 10), rr_at_k(as_ours, qrels, 10)
+            log(f"  ref alpha={alpha}: nDCG@10={ndcg:.4f} RR@10={rr:.4f}")
+            o_ndcg, o_rr = ours_quality[alpha]
+            assert abs(o_ndcg - ndcg) < 0.02, (alpha, o_ndcg, ndcg)
+            assert abs(o_rr - rr) < 0.02, (alpha, o_rr, rr)
+        log("alpha-sweep quality parity OK (per-alpha nDCG/RR within 0.02)")
+        return qps
+    finally:
+        sys.path.remove("/root/reference/src")
+        importlib_metadata.version = orig_version
+
+
+def _memory_child(which: str, n: int) -> None:
+    """Subprocess body for --config memory: build an N-vector index from a
+    chunked stream and print peak RSS (the corpus is generated chunk by
+    chunk so the index store dominates the high-water mark)."""
+    import resource
+
+    step = 2**16
+    rng = np.random.default_rng(0)
+
+    def chunks():
+        remaining = n
+        start = 0
+        while remaining:
+            m = min(step, remaining)
+            yield start, rng.standard_normal(size=(m, DIM), dtype=np.float32)
+            remaining -= m
+            start += m
+
+    if which == "ours":
+        from fastforward_tpu.encoder import LambdaEncoder
+        from fastforward_tpu.index import InMemoryIndex, Mode
+
+        _enable_compile_cache()
+        index = InMemoryIndex(
+            LambdaEncoder(lambda _: np.zeros(DIM, np.float32)),
+            mode=Mode.PASSAGE,
+            store="device",
+            init_size=n,
+        )
+        for start, c in chunks():
+            index.add(
+                c, psg_ids=[f"p{j}" for j in range(start, start + c.shape[0])]
+            )
+        assert index._device_view() is not None
+        assert len(index) == n
+    else:
+        import importlib.metadata as importlib_metadata
+        import types
+
+        if "nanopq" not in sys.modules:
+            stub = types.ModuleType("nanopq")
+            stub.PQ = type("PQ", (), {"__init__": lambda self, **kw: None})
+            stub.OPQ = type("OPQ", (), {"__init__": lambda self, **kw: None})
+            sys.modules["nanopq"] = stub
+        orig = importlib_metadata.version
+        importlib_metadata.version = lambda name: (
+            "0.8.0" if name == "fast-forward-indexes" else orig(name)
+        )
+        sys.path.insert(0, "/root/reference/src")
+        from fast_forward.encoder import LambdaEncoder as RefLambdaEncoder
+        from fast_forward.index.base import Mode as RefMode
+        from fast_forward.index.memory import InMemoryIndex as RefInMemoryIndex
+
+        index = RefInMemoryIndex(
+            RefLambdaEncoder(lambda _: np.zeros(DIM, np.float32)),
+            mode=RefMode.PASSAGE,
+            init_size=n,
+        )
+        for start, c in chunks():
+            index.add(
+                c, psg_ids=[f"p{j}" for j in range(start, start + c.shape[0])]
+            )
+        assert len(index) == n
+    peak_kib = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    print(json.dumps({"which": which, "n": n, "peak_rss_mib": peak_kib / 1024}))
+
+
+def measure_memory(n: int):
+    """Config: index-memory parity (north star 'equal index memory').
+
+    Runs each engine in its own subprocess building an N x 768 fp32 index
+    from a chunked corpus stream and compares peak RSS.  Ours uses
+    ``store="device"`` (rows appended straight to HBM, host stays at
+    O(chunk)); the reference keeps the full fp32 corpus in host RAM.
+    """
+    import subprocess
+
+    out = {}
+    for which in ("ours", "ref"):
+        code = (
+            "import sys; sys.path.insert(0, {root!r}); "
+            "from bench import _memory_child; _memory_child({which!r}, {n})"
+        ).format(root=str(REPO), which=which, n=n)
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True
+        )
+        if proc.returncode != 0:
+            log(proc.stderr[-2000:])
+            raise RuntimeError(f"memory child {which} failed")
+        out[which] = json.loads(proc.stdout.strip().splitlines()[-1])
+        log(f"{which}: peak RSS {out[which]['peak_rss_mib']:.0f} MiB")
+    return out["ours"]["peak_rss_mib"], out["ref"]["peak_rss_mib"]
+
+
 def measure_ours_early_stopping(corpus, qvecs, run, queries, repeats, cutoff=10):
     """Config #4: early-stopping approximate scoring."""
     from fastforward_tpu.encoder import LambdaEncoder
@@ -303,10 +717,14 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--config",
-        choices=["rerank", "encoder", "pq", "int8", "early-stopping"],
+        choices=[
+            "rerank", "encoder", "pq", "int8", "early-stopping",
+            "maxp", "alpha-sweep", "memory",
+        ],
         default="rerank",
     )
     parser.add_argument("--n", type=int, default=2_000_000)
+    parser.add_argument("--n-docs", type=int, default=125_000)
     parser.add_argument("--queries", type=int, default=512)
     parser.add_argument("--depth", type=int, default=1000)
     parser.add_argument("--repeats", type=int, default=5)
@@ -324,6 +742,71 @@ def main():
                     "value": round(ours, 1),
                     "unit": "queries/s",
                     "vs_baseline": round(ours / ref, 1),
+                }
+            )
+        )
+        return
+
+    if args.config == "memory":
+        ours_mib, ref_mib = measure_memory(args.n)
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        f"peak host RSS building N={args.n} fp32 index "
+                        f"(store=device vs reference in-RAM; smaller is "
+                        f"better, vs_baseline = ref/ours)"
+                    ),
+                    "value": round(ours_mib, 1),
+                    "unit": "MiB",
+                    "vs_baseline": round(ref_mib / ours_mib, 2),
+                }
+            )
+        )
+        return
+    if args.config == "maxp":
+        num_queries = min(args.queries, 128)
+        depth = min(args.depth, 500)
+        qps, ref_qps, ndcg, rr = measure_maxp(
+            args.n_docs, num_queries, depth, args.repeats,
+            max(1, args.ref_repeats // 2), args.skip_baseline,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        f"OnDiskIndex+MAXP re-rank QPS incl. BERT query tower "
+                        f"(depth-{depth} docs, {args.n_docs} docs multi-psg, "
+                        f"nDCG@10={round(ndcg, 4)}, RR@10={round(rr, 4)})"
+                    ),
+                    "value": round(qps, 1),
+                    "unit": "QPS",
+                    "vs_baseline": round(qps / ref_qps, 1) if ref_qps else None,
+                }
+            )
+        )
+        return
+    if args.config == "alpha-sweep":
+        num_queries = min(args.queries, 64)
+        corpus, qvecs, run, queries = make_workload(
+            args.n, num_queries, max(args.depth, 5000)
+        )
+        qps, ref_qps, quality = measure_alpha_sweep(
+            corpus, qvecs, run, queries, args.repeats,
+            max(1, args.ref_repeats // 2), args.skip_baseline,
+        )
+        mid = quality[0.5]
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        f"early-stopping alpha-sweep QPS (5 alphas, depth-5000, "
+                        f"N={args.n}, nDCG@10[a=0.5]={round(mid[0], 4)}, "
+                        f"RR@10[a=0.5]={round(mid[1], 4)})"
+                    ),
+                    "value": round(qps, 1),
+                    "unit": "QPS",
+                    "vs_baseline": round(qps / ref_qps, 1) if ref_qps else None,
                 }
             )
         )

@@ -11,8 +11,10 @@ program.
 
 import logging
 from collections.abc import Iterable, Iterator
+from functools import partial
 from typing import TYPE_CHECKING
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -33,6 +35,24 @@ LOGGER = logging.getLogger(__name__)
 _ROW_PAD = 4096
 
 
+def _dev_place(dst, src, start):
+    """Write ``src`` into ``dst`` at row ``start`` IN PLACE (dst donated).
+
+    The donated in-place update is what makes the device-resident store
+    O(batch) in host memory: each ``add`` ships only its own rows to HBM and
+    the buffer is never mirrored on the host.
+    """
+    import jax
+
+    idx = (start,) + (np.int32(0),) * (dst.ndim - 1)
+    return _dev_place_jit(dst, src, *idx)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _dev_place_jit(dst, src, *idx):
+    return jax.lax.dynamic_update_slice(dst, src, idx)
+
+
 class InMemoryIndex(Index):
     """Fast-Forward index held in memory (host canonical, HBM for scoring)."""
 
@@ -47,6 +67,7 @@ class InMemoryIndex(Index):
         device_dtype: str = "float32",
         mesh_config: "MeshConfig | None" = None,
         precision: str = "exact",
+        store: str = "host",
     ) -> None:
         """Create an in-memory index.
 
@@ -66,7 +87,25 @@ class InMemoryIndex(Index):
             reference score parity), ``"high"`` (3-pass bf16, ~1e-6
             relative error, ~2x faster), or ``"fast"`` (bf16 MXU inputs,
             ~6x matmul throughput, ~0.5% score error).
+        :param store: ``"host"`` keeps the canonical copy in host RAM and
+            mirrors it into HBM for scoring (2x total footprint — the
+            reference keeps host only).  ``"device"`` appends each ``add``
+            batch straight into a growable HBM buffer (donated in-place
+            updates), so host memory stays at O(batch): index memory parity
+            with the reference, in HBM instead of RAM.  Host-side reads
+            (``_get_vectors``, iteration) fetch rows back from the device.
+            Pre-size with ``init_size`` to avoid regrowth copies.
         """
+        if store not in ("host", "device"):
+            raise ValueError(f"store must be 'host' or 'device', got {store!r}")
+        if store == "device" and mesh_config is not None:
+            raise ValueError(
+                "store='device' with mesh_config is not supported yet; "
+                "sharded tables use the host-canonical store"
+            )
+        self._store_mode = store
+        self._dev_table = None  # growable device buffer (store='device')
+        self._dev_width = None
         self._store: np.ndarray | None = None
         self._num = 0
         self._init_size = init_size
@@ -89,6 +128,8 @@ class InMemoryIndex(Index):
         return self._num
 
     def _get_internal_dim(self) -> int | None:
+        if self._store_mode == "device":
+            return self._dev_width if self._dev_table is not None else None
         if self._store is None:
             return None
         return self._store.shape[1]
@@ -115,15 +156,87 @@ class InMemoryIndex(Index):
         start = self._num
 
         self._ids.add(doc_ids, psg_ids, start)
-        self._grow_to(start + num_new, vectors.shape[1], vectors.dtype)
-        self._store[start : start + num_new] = vectors
+        if self._store_mode == "device":
+            self._append_device(vectors, start)
+        else:
+            self._grow_to(start + num_new, vectors.shape[1], vectors.dtype)
+            self._store[start : start + num_new] = vectors
         self._num += num_new
         self._dev_view = None  # device table is stale
 
     def consolidate(self) -> None:
-        """Trim the host store to exactly the used capacity."""
+        """Trim the host store to exactly the used capacity.
+
+        No-op for ``store="device"`` (the HBM buffer stays padded to the
+        scoring row granularity).
+        """
         if self._store is not None:
             self._store = self._store[: self._num].copy()
+
+    # -- device-resident store (store="device") --------------------------------
+
+    def _device_layout(self, width: int) -> tuple[tuple[int, ...], "jnp.dtype"]:
+        """Per-row device shape and dtype for the growable HBM buffer."""
+        if isinstance(self._quantizer, PQ):
+            return (width,), jnp.uint8
+        if isinstance(self._quantizer, ScalarQuantizer):
+            dtype = jnp.int8
+        elif self._quantizer is not None:
+            raise ValueError(
+                "store='device' supports dense, PQ, and scalar-quantized "
+                "tables (unknown quantizers decode on the host)"
+            )
+        else:
+            dtype = (
+                jnp.bfloat16
+                if self._device_dtype == "bfloat16"
+                else jnp.float32
+            )
+        if width % 128 == 0:
+            return (width // 128, 128), dtype
+        return (width,), dtype
+
+    def _append_device(self, data: np.ndarray, start: int) -> None:
+        """Append rows straight into the growable HBM buffer.
+
+        Host memory stays O(batch): the chunk is shipped once and written
+        with a donated in-place ``dynamic_update_slice``; nothing is
+        mirrored on the host.  Growth reallocates on device (transiently
+        2x HBM) — pre-size with ``init_size`` to avoid it.
+        """
+        n_new, width = data.shape
+        rowshape, dtype = self._device_layout(width)
+        self._dev_width = width
+
+        cap_needed = start + n_new
+        if self._dev_table is None:
+            cap = max(self._init_size, cap_needed)
+            cap = -(-cap // _ROW_PAD) * _ROW_PAD
+            self._dev_table = jnp.zeros((cap, *rowshape), dtype)
+        elif cap_needed > self._dev_table.shape[0]:
+            cur = self._dev_table.shape[0]
+            extra = -(-(cap_needed - cur) // self._alloc_size) * self._alloc_size
+            cap = -(-(cur + extra) // _ROW_PAD) * _ROW_PAD
+            LOGGER.debug("growing device store from %s to %s rows", cur, cap)
+            self._dev_table = _dev_place(
+                jnp.zeros((cap, *rowshape), dtype),
+                self._dev_table,
+                np.int32(0),
+            )
+
+        chunk = jnp.asarray(data.reshape(n_new, *rowshape)).astype(dtype)
+        self._dev_table = _dev_place(self._dev_table, chunk, np.int32(start))
+
+    def _fetch_device_rows(self, rows: np.ndarray) -> np.ndarray:
+        """Gather rows of the device store back to the host, ``(n, width)``."""
+        import jax
+
+        sub = jnp.take(
+            self._dev_table, jnp.asarray(rows.astype(np.int32)), axis=0
+        )
+        if sub.dtype == jnp.bfloat16:
+            sub = sub.astype(jnp.float32)
+        return np.asarray(jax.device_get(sub)).reshape(rows.shape[0], -1)
 
     # -- host retrieval ------------------------------------------------------
 
@@ -133,6 +246,8 @@ class InMemoryIndex(Index):
         if rows.shape[0] == 0:
             return np.array([]), []
         out_ids = [i for i, c in zip(ids, counts) for _ in range(c)]
+        if self._store_mode == "device":
+            return self._fetch_device_rows(rows), out_ids
         return self._store[rows], out_ids
 
     def _batch_iter(
@@ -141,7 +256,11 @@ class InMemoryIndex(Index):
         doc_list, psg_list = self._ids.inverse(self._num)
         for i in range(0, self._num, batch_size):
             j = min(i + batch_size, self._num)
-            yield (self._store[i:j], doc_list[i:j], psg_list[i:j])
+            if self._store_mode == "device":
+                batch = self._fetch_device_rows(np.arange(i, j))
+            else:
+                batch = self._store[i:j]
+            yield (batch, doc_list[i:j], psg_list[i:j])
 
     # -- device table --------------------------------------------------------
 
@@ -149,6 +268,31 @@ class InMemoryIndex(Index):
         if self._num == 0:
             return None
         if self._dev_view is not None:
+            return self._dev_view
+
+        if self._store_mode == "device":
+            # the growable HBM buffer IS the scoring table (zero-padded)
+            if isinstance(self._quantizer, PQ):
+                self._dev_view = DeviceView(
+                    kind="pq",
+                    table=self._dev_table,
+                    codebooks=jnp.asarray(
+                        np.asarray(self._quantizer.codewords, dtype=np.float32)
+                    ),
+                )
+            elif isinstance(self._quantizer, ScalarQuantizer):
+                self._dev_view = DeviceView(
+                    kind="scalar",
+                    table=self._dev_table,
+                    scales=self._quantizer.scales,
+                    precision=self._precision,
+                )
+            else:
+                self._dev_view = DeviceView(
+                    kind="dense",
+                    table=self._dev_table,
+                    precision=self._precision,
+                )
             return self._dev_view
 
         n_pad = -(-self._num // _ROW_PAD) * _ROW_PAD

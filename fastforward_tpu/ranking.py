@@ -159,9 +159,17 @@ class Ranking:
         """Compare IDs and scores (name/queries are ignored)."""
         if not isinstance(o, Ranking):
             return False
-        a = self._df.sort_values(["q_id", "id"]).reset_index(drop=True)
-        b = o._df.sort_values(["q_id", "id"]).reset_index(drop=True)
-        return a[_CORE_COLS].equals(b[_CORE_COLS])
+
+        def _core(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[_CORE_COLS]
+            # ID columns may be object, arrow-string, or categorical
+            # (the scoring fast path emits categoricals) — compare values
+            for col in ("q_id", "id"):
+                if out[col].dtype != object:
+                    out = out.assign(**{col: out[col].astype(object)})
+            return out.sort_values(["q_id", "id"]).reset_index(drop=True)
+
+        return _core(self._df).equals(_core(o._df))
 
     def __repr__(self) -> str:
         """Return the underlying frame's representation."""

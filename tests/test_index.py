@@ -428,6 +428,54 @@ class TestInMemoryIndex(TestIndex):
         _assert_vectors_match(vecs, ids, data, psg_ids)
 
 
+class TestInMemoryIndexDeviceStore(TestIndex):
+    """Same behavioral contract against the device-resident store
+    (``store="device"``: adds append straight into the growable HBM buffer,
+    host reads fetch rows back from the device)."""
+
+    __test__ = True
+
+    @classmethod
+    def setUpClass(cls):
+        def dev(*args, **kwargs):
+            return InMemoryIndex(*args, store="device", **kwargs)
+
+        cls.index = dev(init_size=32, alloc_size=32)
+        cls.doc_psg_index = dev(DUMMY_ENCODER)
+        cls.index_partial_ids = dev(DUMMY_ENCODER)
+        cls.doc_index = dev(DUMMY_ENCODER)
+        cls.psg_index = dev(DUMMY_ENCODER)
+        cls.index_no_enc = dev(query_encoder=None)
+        cls.index_wrong_dim = dev(query_encoder=None)
+        cls.early_stopping_index = dev(
+            LambdaEncoder(lambda q: np.array([10, 10])), mode=Mode.PASSAGE
+        )
+        cls.coalesced_indexes = [dev(mode=Mode.MAXP), dev(mode=Mode.MAXP)]
+        cls.iter_indexes = [dev(init_size=2, alloc_size=2), dev(init_size=5)]
+        cls.quantized_index = dev(quantizer=DUMMY_QUANTIZER)
+        super().setUpClass()
+
+    def test_growth_across_row_pad(self):
+        """Appends crossing the device growth boundary stay intact."""
+        index = InMemoryIndex(store="device", init_size=8, alloc_size=4, mode=Mode.PASSAGE)
+        data = np.random.default_rng(4).normal(size=(48, 16)).astype(np.float32)
+        psg_ids = [f"psg_{i}" for i in range(48)]
+        index.add(data[:20], psg_ids=psg_ids[:20])
+        index.add(data[20:], psg_ids=psg_ids[20:])
+        vecs, ids = index._get_vectors(psg_ids)
+        _assert_vectors_match(vecs, ids, data, psg_ids)
+
+    def test_mesh_config_rejected(self):
+        from fastforward_tpu.parallel import MeshConfig
+
+        with self.assertRaises(ValueError):
+            InMemoryIndex(store="device", mesh_config=MeshConfig(shard=8))
+
+    def test_bad_store_rejected(self):
+        with self.assertRaises(ValueError):
+            InMemoryIndex(store="hbm")
+
+
 class TestOnDiskIndex(TestIndex):
     __test__ = True
 
