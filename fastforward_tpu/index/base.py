@@ -638,6 +638,7 @@ class Index(abc.ABC):
         if plan is not None and plan.get("ready"):
             q_rank = plan["q_rank"]
             qkey = plan["qkey"]
+            segments = plan["segments"]
             qid_arr, id_arr, query_arr = plan["out_arrays"]
         else:
             n_q = len(q_uniques)
@@ -659,15 +660,40 @@ class Index(abc.ABC):
             # the high 32 key bits depend only on the candidate layout —
             # precompute per plan so each call pays one vectorized OR
             qkey = q_rank[pair_qno] << np.uint64(32)
+            # per-query segment bounds: the input frame is (q_id, score)-
+            # sorted so each query's rows are contiguous; the output block
+            # of query rank r starts where the ranks before it end
+            segments = None
+            if n_pairs == 0 or (np.diff(pair_qno) >= 0).all():
+                seg_starts = np.searchsorted(
+                    pair_qno, np.arange(n_q + 1)
+                ).astype(np.int64)
+                lengths = np.diff(seg_starts)
+                by_rank = np.empty(n_q, dtype=np.int64)
+                by_rank[q_rank.astype(np.int64)] = np.arange(n_q)
+                cum = np.zeros(n_q + 1, dtype=np.int64)
+                np.cumsum(lengths[by_rank], out=cum[1:])
+                out_starts = np.empty(n_q, dtype=np.int64)
+                out_starts[by_rank] = cum[:-1]
+                segments = (seg_starts, out_starts)
         scores_np = np.asarray(jax.device_get(scores_dev))[:n_pairs]
-        bits = scores_np.view(np.uint32)
-        score_asc = np.where(bits >> 31 != 0, ~bits, bits | np.uint32(0x80000000))
-        key = qkey | (np.uint32(0xFFFFFFFF) - score_asc).astype(np.uint64)
-        from fastforward_tpu.runtime.idmap import radix_argsort
+        from fastforward_tpu.runtime.idmap import (
+            radix_argsort,
+            segmented_rank_argsort,
+        )
 
-        take = radix_argsort(key)
+        take = None
+        if segments is not None:
+            take = segmented_rank_argsort(scores_np, *segments)
         if take is None:
-            take = np.argsort(key, kind="stable")
+            bits = scores_np.view(np.uint32)
+            score_asc = np.where(
+                bits >> 31 != 0, ~bits, bits | np.uint32(0x80000000)
+            )
+            key = qkey | (np.uint32(0xFFFFFFFF) - score_asc).astype(np.uint64)
+            take = radix_argsort(key)
+            if take is None:
+                take = np.argsort(key, kind="stable")
         # ExtensionArray.take keeps arrow-backed string columns arrow-native
         # (no object round trip when assembling the result frame)
         out = pd.DataFrame(
@@ -687,6 +713,7 @@ class Index(abc.ABC):
                 k=k,
                 q_rank=q_rank,
                 qkey=qkey,
+                segments=segments,
                 out_arrays=(qid_arr, id_arr, query_arr),
                 ready=True,
             )

@@ -89,23 +89,44 @@ def _reduce_k_device(flat, slot, counts, k, op):
     return picked[:, 0]
 
 
-def _finalize_streamed(outs, slot_of_pair, reduce, plan, slot_key):
-    """Fetch streamed scores, reducing the K axis on device when requested.
+@jax.jit
+def _gather_slots(flat, slot):
+    return jnp.take(flat.reshape(-1), slot, axis=0)
 
-    ``reduce`` is ``None`` (fetch all slots, host indexes ``slot_of_pair``)
-    or ``(op, k, counts_dev)``: the slot gather + masked K reduction run on
-    device and only the ``(P,)`` result crosses the host link.  The device
-    copy of ``slot_of_pair`` is cached in ``plan[slot_key]``.
+
+def _slot_dev_cached(slot_of_pair, plan, slot_key):
+    """Device copy of the pair->slot map, cached in the run plan."""
+    slot_dev = plan.get(slot_key) if plan is not None else None
+    if slot_dev is None and int(slot_of_pair.max(initial=0)) < 2**31:
+        slot_dev = jnp.asarray(slot_of_pair.astype(np.int32))
+        if plan is not None:
+            plan[slot_key] = slot_dev
+    return slot_dev
+
+
+def _finalize_streamed(outs, slot_of_pair, reduce, plan, slot_key):
+    """Fetch streamed scores, gathering/reducing on device when possible.
+
+    - ``reduce=(op, k, counts_dev)``: slot gather + masked K reduction run
+      on device; only the ``(P,)`` result crosses the host link.
+    - ``reduce=None`` with a run plan: the slot gather alone runs on device
+      (fetch ``(P,)`` floats instead of the full ``(Tv*CAP,)`` slot grid —
+      the fetch is the dominant per-call cost on remote-attached devices).
+    - fallback: fetch all slots, index on host.
+
+    The device copy of ``slot_of_pair`` is cached in ``plan[slot_key]``.
     """
-    if reduce is not None and int(slot_of_pair.max(initial=0)) < 2**31:
+    if reduce is not None:
         op, k, counts_dev = reduce
-        slot_dev = plan.get(slot_key) if plan is not None else None
-        if slot_dev is None:
-            slot_dev = jnp.asarray(slot_of_pair.astype(np.int32))
-            if plan is not None:
-                plan[slot_key] = slot_dev
-        red = _reduce_k_device(outs, slot_dev, counts_dev, k, op)
-        return np.asarray(jax.device_get(red))
+        slot_dev = _slot_dev_cached(slot_of_pair, plan, slot_key)
+        if slot_dev is not None:
+            red = _reduce_k_device(outs, slot_dev, counts_dev, k, op)
+            return np.asarray(jax.device_get(red))
+    elif plan is not None:
+        slot_dev = _slot_dev_cached(slot_of_pair, plan, slot_key)
+        if slot_dev is not None:
+            picked = _gather_slots(outs, slot_dev)
+            return np.asarray(jax.device_get(picked))
     return np.asarray(jax.device_get(outs)).reshape(-1)[slot_of_pair]
 
 

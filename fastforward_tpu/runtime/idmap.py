@@ -102,6 +102,14 @@ def _get_lib():
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.segmented_rank_argsort_f32.restype = None
+        lib.segmented_rank_argsort_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         for name in ("idmap_resolve_offsets32", "idmap_resolve_offsets64"):
             fn = getattr(lib, name)
             fn.restype = ctypes.c_int64
@@ -514,6 +522,35 @@ def radix_argsort(keys: np.ndarray) -> np.ndarray | None:
     lib.radix_argsort_u64(
         keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         keys.shape[0],
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return out
+
+
+def segmented_rank_argsort(
+    scores: np.ndarray, seg_starts: np.ndarray, out_starts: np.ndarray
+) -> np.ndarray | None:
+    """Per-segment descending stable argsort of fp32 scores, or ``None``.
+
+    Segment ``q`` (rows ``seg_starts[q]:seg_starts[q+1]``) is sorted by
+    score descending (ties keep input order) and written at
+    ``out_starts[q]`` in the returned take array — the segmented version of
+    the (q_rank << 32 | score) composite-key sort, ~10x faster because each
+    per-query block radixes 32-bit keys in cache.
+    """
+    lib = _get_lib()
+    if lib is None:
+        return None
+    scores = np.ascontiguousarray(scores, dtype=np.float32)
+    seg_starts = np.ascontiguousarray(seg_starts, dtype=np.int64)
+    out_starts = np.ascontiguousarray(out_starts, dtype=np.int64)
+    num_q = seg_starts.shape[0] - 1
+    out = np.empty(scores.shape[0], dtype=np.int64)
+    lib.segmented_rank_argsort_f32(
+        scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        seg_starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out_starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        num_q,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return out
