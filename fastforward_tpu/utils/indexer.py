@@ -75,8 +75,9 @@ class Indexer:
             self._buffer: list[tuple[np.ndarray, IDSequence, IDSequence]] = []
             if quantizer_fit_batches > 1:
                 LOGGER.warning(
-                    "inputs will be buffered and the index will remain empty "
-                    "until the quantizer has been fit"
+                    "buffering the first %s batches to fit the quantizer; "
+                    "nothing reaches the index before the fit completes",
+                    quantizer_fit_batches,
                 )
 
     def _index_batch(
@@ -94,15 +95,17 @@ class Indexer:
         if len(self._buffer) < self._quantizer_fit_batches:
             return
 
-        LOGGER.info(
-            "fitting quantizer (%s batch(es), batch size %s)",
-            len(self._buffer),
-            self._batch_size,
-        )
         last = self._buffer[-1][0].shape[0]
+        total = sum(b[0].shape[0] for b in self._buffer)
+        LOGGER.info(
+            "fitting quantizer on %s buffered vectors (%s batches)",
+            total,
+            len(self._buffer),
+        )
         if last < self._batch_size:
             LOGGER.warning(
-                "the size of the last batch (%s) is smaller than %s",
+                "final fit batch holds %s vectors (configured batch size: "
+                "%s) — the quantizer sees fewer samples than expected",
                 last,
                 self._batch_size,
             )
@@ -110,7 +113,7 @@ class Indexer:
         self._index.quantizer = self._quantizer
         self._quantizer = None
 
-        LOGGER.info("adding buffered vectors to index")
+        LOGGER.info("flushing %s buffered batches into the index", len(self._buffer))
         for b_vectors, b_doc_ids, b_psg_ids in self._buffer:
             self._index.add(b_vectors, b_doc_ids, b_psg_ids)
         del self._buffer
