@@ -696,21 +696,32 @@ def measure_ours_early_stopping(corpus, qvecs, run, queries, repeats, cutoff=10)
     _enable_compile_cache()
     index = InMemoryIndex(LambdaEncoder(_query_map(qvecs, queries)), mode=Mode.PASSAGE)
     index.add(corpus, psg_ids=[f"p{i}" for i in range(corpus.shape[0])])
-    ranking = Ranking.from_run(run, queries=queries)
     kwargs = dict(
         early_stopping=cutoff,
         early_stopping_alpha=0.2,
         early_stopping_depths=(200, 1000, 5000),
     )
     t0 = time.perf_counter()
-    index(ranking, **kwargs)
+    index(Ranking.from_run(run, queries=queries), **kwargs)
     log(f"ES first call (incl. compile): {time.perf_counter() - t0:.1f}s")
+    # cold: a fresh Ranking per repeat (nothing reusable between calls)
+    rankings = [Ranking.from_run(run, queries=queries) for _ in range(repeats)]
+    t0 = time.perf_counter()
+    for r in rankings:
+        index(r, **kwargs)
+    cold = len(queries) * repeats / (time.perf_counter() - t0)
+    log(f"ES cold (fresh ranking per call): {cold:.1f} QPS")
+    # warm: repeat the same ranking (round-1 measured this way; the
+    # per-ranking ES state then serves candidate resolution and already-
+    # scored rows from cache — the alpha-sweep / re-evaluation pattern)
+    ranking = Ranking.from_run(run, queries=queries)
+    index(ranking, **kwargs)
     t0 = time.perf_counter()
     for _ in range(repeats):
         index(ranking, **kwargs)
-    qps = len(queries) * repeats / (time.perf_counter() - t0)
-    log(f"ES: {qps:.1f} QPS")
-    return qps
+    warm = len(queries) * repeats / (time.perf_counter() - t0)
+    log(f"ES warm (same ranking repeated): {warm:.1f} QPS")
+    return cold, warm
 
 
 def main():
@@ -854,17 +865,18 @@ def main():
         )
         return
     if args.config == "early-stopping":
-        qps = measure_ours_early_stopping(
+        cold, warm = measure_ours_early_stopping(
             corpus, qvecs, run, queries, args.repeats
         )
         print(
             json.dumps(
                 {
                     "metric": (
-                        f"early-stopping re-rank QPS "
-                        f"(cutoff-10, depths 200/1000/5000, N={args.n})"
+                        f"early-stopping re-rank QPS, same ranking repeated "
+                        f"(cutoff-10, depths 200/1000/5000, N={args.n}; "
+                        f"cold/fresh-ranking: {round(cold, 1)} QPS)"
                     ),
-                    "value": round(qps, 1),
+                    "value": round(warm, 1),
                     "unit": "QPS",
                     "vs_baseline": None,
                 }

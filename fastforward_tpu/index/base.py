@@ -807,6 +807,7 @@ class Index(abc.ABC):
         cutoff: int,
         alpha: float,
         depths: Iterable[int],
+        plan: dict | None = None,
     ) -> pd.DataFrame:
         """Score progressively deeper chunks, dropping queries that stopped.
 
@@ -826,16 +827,45 @@ class Index(abc.ABC):
         n = len(df)
         if n == 0:
             return df.iloc[:0].assign(ff_score=[])
-        q_no = df["q_no"].to_numpy(dtype=np.int64)
-        lex = df["score"].to_numpy(dtype=np.float32)
 
-        # contiguous run per query
-        change = np.flatnonzero(np.diff(q_no)) + 1
-        starts = np.concatenate(([0], change))
-        ends = np.concatenate((change, [n]))
+        # cross-call ES state: candidate resolution, run offsets, and the
+        # alpha-INDEPENDENT semantic scores (an alpha sweep over the same
+        # ranking re-scores the same rows — the deepest alpha's scores
+        # serve every later alpha from the cache).  Keyed to the encoder
+        # object: swapping encoders invalidates the cached scores.
+        state = plan.get("es_state") if plan is not None else None
+        if state is not None and (
+            state["n"] != n or state["enc_id"] != id(self._query_encoder)
+        ):
+            state = None
+        if state is None:
+            q_no = df["q_no"].to_numpy(dtype=np.int64)
+            lex = df["score"].to_numpy(dtype=np.float32)
+            # contiguous run per query
+            change = np.flatnonzero(np.diff(q_no)) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [n]))
+            state = {
+                "n": n,
+                "enc_id": id(self._query_encoder),
+                "q_no": q_no,
+                "lex": lex,
+                "starts": starts,
+                "ends": ends,
+                "prep": self._candidate_arrays(df),
+                "ff": np.empty(n, dtype=np.float32),
+                "have": np.zeros(n, dtype=bool),
+            }
+            if plan is not None:
+                plan["es_state"] = state
+        q_no = state["q_no"]
+        lex = state["lex"]
+        starts = state["starts"]
+        ends = state["ends"]
         nq = starts.shape[0]
-
-        prep = self._candidate_arrays(df)
+        prep = state["prep"]
+        ff_cache = state["ff"]
+        have = state["have"]
 
         # per-query state: top-`cutoff` interpolated scores (desc, -inf
         # padded), number of rows scored, best semantic score, active flag
@@ -879,23 +909,28 @@ class Index(abc.ABC):
                 offsets, lens
             ) + np.repeat(lo, lens)
 
-            if prep is not None:
-                view, rows_mat, counts_pp, k = prep
-                ff = np.asarray(
-                    self._device_score_grouped(
-                        view,
-                        query_vectors,
-                        rows_mat[sel],
-                        q_no[sel],
-                        counts_pp[sel],
-                        k,
-                    ),
-                    dtype=np.float32,
-                )
-            else:  # very ragged documents: per-round pandas fallback
-                ff = self._compute_scores(
-                    df.iloc[sel], query_vectors
-                ).astype(np.float32)
+            need = sel[~have[sel]]
+            if need.size:
+                if prep is not None:
+                    view, rows_mat, counts_pp, k = prep
+                    scored = np.asarray(
+                        self._device_score_grouped(
+                            view,
+                            query_vectors,
+                            rows_mat[need],
+                            q_no[need],
+                            counts_pp[need],
+                            k,
+                        ),
+                        dtype=np.float32,
+                    )
+                else:  # very ragged documents: per-round pandas fallback
+                    scored = self._compute_scores(
+                        df.iloc[need], query_vectors
+                    ).astype(np.float32)
+                ff_cache[need] = scored
+                have[need] = True
+            ff = ff_cache[sel]
             int_score = np.asarray(
                 ops.interpolate_scores(lex[sel], ff, alpha), dtype=np.float32
             )
@@ -972,8 +1007,8 @@ class Index(abc.ABC):
 
         # prepared-run fast path: the same ranking was scored before against
         # the current table — skip all frame work and candidate resolution
-        plan = self._get_plan(ranking) if early_stopping is None else None
-        if plan is not None and plan.get("ready"):
+        plan = self._get_plan(ranking)
+        if plan is not None and early_stopping is None and plan.get("ready"):
             queries = plan["queries"]
             if batch_size is None or batch_size >= len(queries):
                 query_vectors = self.encode_queries(queries)
@@ -1036,6 +1071,11 @@ class Index(abc.ABC):
                 early_stopping,
                 early_stopping_alpha,
                 early_stopping_depths,
+                # ES state (resolution, run offsets, semantic-score cache)
+                # is frame-aligned: only cache when scoring the full frame
+                plan=plan
+                if (batch_size is None or batch_size >= num_queries)
+                else None,
             )
 
         num_queries = len(queries)

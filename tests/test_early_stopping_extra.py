@@ -78,5 +78,64 @@ class TestEarlyStoppingExtra(unittest.TestCase):
         self.assertEqual(set(expected_top), set(got_top))
 
 
+class TestESCrossCallCache(unittest.TestCase):
+    """Alpha sweeps over the same ranking reuse cached semantic scores;
+    the cached state must not change any result."""
+
+    @staticmethod
+    def _fixed_setup(n=60):
+        rng = np.random.default_rng(99)
+        qvec = np.array([1.0, 1.0], dtype=np.float32)
+        index = InMemoryIndex(LambdaEncoder(lambda _: qvec), mode=Mode.PASSAGE)
+        vectors = rng.normal(size=(n, 2)).astype(np.float32)
+        index.add(vectors, psg_ids=[f"p{i}" for i in range(n)])
+        run = {
+            q: {f"p{i}": float(n - i) for i in range(n)}
+            for q in ("q1", "q2", "q3")
+        }
+        ranking = Ranking.from_run(
+            run, queries={q: q for q in ("q1", "q2", "q3")}
+        )
+        return index, ranking
+
+    def test_alpha_sweep_matches_fresh_index(self):
+        index, ranking = self._fixed_setup()
+        for alpha in (0.1, 0.5, 0.9, 0.5):  # repeat an alpha too
+            kwargs = dict(
+                early_stopping=5,
+                early_stopping_alpha=alpha,
+                early_stopping_depths=(10, 30, 60),
+            )
+            cached = index(ranking, **kwargs)  # warm ES state across alphas
+            cold_index, cold_ranking = self._fixed_setup()  # identical data
+            cold = cold_index(cold_ranking, **kwargs)
+            self.assertEqual(cold, cached, f"alpha={alpha}")
+
+    def test_es_then_full_scoring_same_ranking(self):
+        """A non-ES call after ES calls (and vice versa) on the same
+        ranking must not cross plan state."""
+        index, ranking, vectors, qvec = _setup()
+        es1 = index(
+            ranking,
+            early_stopping=5,
+            early_stopping_alpha=0.5,
+            early_stopping_depths=(10, 60),
+        )
+        full = index(ranking)
+        es2 = index(
+            ranking,
+            early_stopping=5,
+            early_stopping_alpha=0.5,
+            early_stopping_depths=(10, 60),
+        )
+        full2 = index(ranking)
+        self.assertEqual(es1, es2)
+        self.assertEqual(full, full2)
+        # the full run scores every candidate; ES returns a subset
+        self.assertGreaterEqual(
+            len(full._df), len(es1._df)
+        )
+
+
 if __name__ == "__main__":
     unittest.main()
