@@ -204,7 +204,7 @@ def bench_encoder(batch: int, length: int, repeats: int):
     return ours, ref
 
 
-def measure_ours_pq(corpus, qvecs, run, queries, repeats):
+def measure_ours_pq(corpus, qvecs, run, queries, repeats, precision="exact"):
     """Config #3: PQ-quantized index with in-kernel ADC scoring."""
     from fastforward_tpu.encoder import LambdaEncoder
     from fastforward_tpu.index import InMemoryIndex, Mode
@@ -221,6 +221,7 @@ def measure_ours_pq(corpus, qvecs, run, queries, repeats):
         LambdaEncoder(_query_map(qvecs, queries)),
         quantizer=quantizer,
         mode=Mode.PASSAGE,
+        precision=precision,
     )
     t0 = time.perf_counter()
     index.add(corpus, psg_ids=[f"p{i}" for i in range(corpus.shape[0])])
@@ -831,7 +832,9 @@ def main():
     corpus, qvecs, run, queries = make_workload(args.n, args.queries, args.depth)
 
     if args.config == "pq":
-        qps = measure_ours_pq(corpus, qvecs, run, queries, args.repeats)
+        qps = measure_ours_pq(
+            corpus, qvecs, run, queries, args.repeats, args.precision
+        )
         print(
             json.dumps(
                 {

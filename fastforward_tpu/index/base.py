@@ -448,6 +448,7 @@ class Index(abc.ABC):
                     qno_flat,
                     plan=plan,
                     reduce=reduce_spec,
+                    precision=view.precision,
                 )
             elif view.mesh is not None:
                 from fastforward_tpu.parallel.sharded import (

@@ -336,12 +336,14 @@ class OnDiskIndex(Index):
                             codebooks, NamedSharding(self._mesh, P())
                         ),
                         mesh=self._mesh,
+                        precision=self._precision,
                     )
                 else:
                     self._dev_view = DeviceView(
                         kind="pq",
                         table=jnp.asarray(codes),
                         codebooks=jnp.asarray(codebooks),
+                        precision=self._precision,
                     )
             elif isinstance(self._quantizer, ScalarQuantizer):
                 codes = np.zeros((n_pad, raw.shape[1]), dtype=np.int8)

@@ -279,6 +279,7 @@ class InMemoryIndex(Index):
                     codebooks=jnp.asarray(
                         np.asarray(self._quantizer.codewords, dtype=np.float32)
                     ),
+                    precision=self._precision,
                 )
             elif isinstance(self._quantizer, ScalarQuantizer):
                 self._dev_view = DeviceView(
@@ -323,12 +324,14 @@ class InMemoryIndex(Index):
                         codebooks, NamedSharding(self._mesh, P())
                     ),
                     mesh=self._mesh,
+                    precision=self._precision,
                 )
             else:
                 self._dev_view = DeviceView(
                     kind="pq",
                     table=jnp.asarray(codes),
                     codebooks=jnp.asarray(codebooks),
+                    precision=self._precision,
                 )
         elif isinstance(self._quantizer, ScalarQuantizer):
             dim = data.shape[1]

@@ -423,7 +423,7 @@ def stream_scan(
     return outs.reshape(-1)
 
 
-@partial(jax.jit, static_argnames=("r",))
+@partial(jax.jit, static_argnames=("r", "precision"))
 def score_pairs_streamed_pq(
     codes: jnp.ndarray,
     codebooks: jnp.ndarray,
@@ -431,6 +431,7 @@ def score_pairs_streamed_pq(
     cand: jnp.ndarray,
     tile_idx: jnp.ndarray,
     r: int,
+    precision: str = "exact",
 ) -> jnp.ndarray:
     """Streaming ADC scoring: dequantize PQ code tiles on the MXU, no gathers.
 
@@ -451,9 +452,16 @@ def score_pairs_streamed_pq(
         ``(T_virtual, CAP)`` int32.
     :param tile_idx: Base table tile per virtual tile, ``(T_virtual,)``.
     :param r: Rows per code tile (static).
+    :param precision: Precision tier for the tile-scores matmul
+        (``"exact"`` → HIGHEST, ``"high"`` → 3-pass bf16, ``"fast"`` →
+        bf16 inputs).  The one-hot dequantize itself is ALWAYS fp32-exact:
+        a bf16 one-hot variant measured consistently *slower* on v5e
+        (868 vs 1245 QPS at N=2M — XLA fuses the iota-compare into the
+        dot, so there is no one-hot HBM traffic to save, and the bf16
+        conversions only add passes).
     :return: Scores per candidate slot, ``(T_virtual * CAP,)`` fp32.
     """
-    return stream_scan_pq(codes, codebooks, qvecs, cand, tile_idx, r)
+    return stream_scan_pq(codes, codebooks, qvecs, cand, tile_idx, r, precision)
 
 
 def stream_scan_pq(
@@ -463,6 +471,7 @@ def stream_scan_pq(
     cand: jnp.ndarray,
     tile_idx: jnp.ndarray,
     r: int,
+    precision: str = "exact",
 ) -> jnp.ndarray:
     """Traceable scan body of :func:`score_pairs_streamed_pq` (also used
     inside the sharded SPMD program)."""
@@ -485,7 +494,9 @@ def stream_scan_pq(
         # rewrites dot(a,hi)+dot(a,lo) into dot(a,hi+lo) with the sum
         # recombined in bf16, silently dropping the lo part, and the
         # rewrite survives optimization_barrier on either the inputs or
-        # the first dot's result.
+        # the first dot's result.  A bf16 one-hot tier measured SLOWER
+        # than this (see :func:`score_pairs_streamed_pq`) — do not revisit
+        # without re-measuring.
         deq = jnp.einsum(
             "rmk,mkd->rmd",
             onehot,
@@ -498,7 +509,7 @@ def stream_scan_pq(
             deq.reshape(r, -1),
             q,
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=LAX_PRECISION[precision],
         )  # (r, Qb)
         local = cand_t // qb
         qsel = cand_t % qb
@@ -695,6 +706,7 @@ def streamed_scores_pq(
     qno: np.ndarray,
     plan: dict | None = None,
     reduce: "tuple[str, int, jnp.ndarray] | None" = None,
+    precision: str = "exact",
 ) -> np.ndarray | None:
     """ADC-score ``codes[rows[i]] . q_pad[qno[i]]`` via code-table streaming.
 
@@ -725,6 +737,7 @@ def streamed_scores_pq(
         cand_dev,
         tile_dev,
         STREAM_TILE_ROWS,
+        precision,
     )
     return _finalize_streamed(outs, slot_of_pair, reduce, plan, "stream_pq_slot")
 

@@ -270,6 +270,44 @@ class TestStreamedPQ(unittest.TestCase):
                 expected = float(decoded[int(pid[1:])] @ qvecs[qi])
                 self.assertAlmostEqual(expected, got[pid], places=3, msg=pid)
 
+    def test_streamed_pq_fast_tier_close_to_exact(self):
+        """precision='fast'/'high' PQ streaming uses bf16 one-hots (half
+        the scan's HBM traffic); scores must stay within bf16 rounding of
+        the exact decode-then-dot — far below PQ's own quantization error."""
+        n, dim, n_q, depth = 3000, 128, 4, 1000
+        data = RNG.normal(size=(n, dim)).astype(np.float32)
+        quantizer = PQ(8, 16)
+        quantizer.fit(data[:1024])
+        qvecs = RNG.normal(size=(n_q, dim)).astype(np.float32)
+        by_text = {f"q{i}": qvecs[i] for i in range(n_q)}
+        decoded = quantizer.decode(quantizer.encode(data))
+
+        run, queries = {}, {}
+        for qi in range(n_q):
+            cand = RNG.choice(n, size=depth, replace=False)
+            run[f"q{qi}"] = {f"p{c}": float(i) for i, c in enumerate(cand)}
+            queries[f"q{qi}"] = f"q{qi}"
+
+        for precision in ("high", "fast"):
+            index = InMemoryIndex(
+                LambdaEncoder(lambda t: by_text[t]),
+                quantizer=quantizer,
+                mode=Mode.PASSAGE,
+                precision=precision,
+            )
+            index.add(data, psg_ids=[f"p{i}" for i in range(n)])
+            result = index(Ranking.from_run(run, queries=queries))
+            for qi in range(n_q):
+                got = result[f"q{qi}"]
+                for pid in list(got)[:50]:
+                    expected = float(decoded[int(pid[1:])] @ qvecs[qi])
+                    self.assertAlmostEqual(
+                        expected,
+                        got[pid],
+                        delta=max(0.05, 0.01 * abs(expected)),
+                        msg=(precision, pid),
+                    )
+
     def test_streamed_pq_sparse_uses_gather(self):
         """Sparse candidates stay on the gather ADC path (same scores)."""
         from fastforward_tpu import ops
