@@ -85,17 +85,26 @@ def create_coalesced_index(
         merged.append(group_avg)
         return merged
 
-    batch_size = batch_size or len(source_index.doc_ids)
+    all_docs = list(source_index.doc_ids)
+    batch_size = batch_size or len(all_docs)
     pending_vectors: list[np.ndarray] = []
     pending_ids: list[str] = []
-    for doc_id in tqdm(source_index.doc_ids):
-        if len(pending_vectors) >= batch_size:
-            target_index.add(np.array(pending_vectors), doc_ids=pending_ids)
-            pending_vectors, pending_ids = [], []
-        doc_vectors, _ = source_index._get_vectors([doc_id])
-        coalesced = _coalesce(doc_vectors)
-        pending_vectors.extend(coalesced)
-        pending_ids.extend([doc_id] * len(coalesced))
+    # fetch documents in bulk (one resolve + gather per chunk, not per doc);
+    # vectors within a doc arrive in storage order regardless of backend
+    doc_chunk = 1024
+    for i in tqdm(range(0, len(all_docs), doc_chunk)):
+        chunk = all_docs[i : i + doc_chunk]
+        vectors, out_ids = source_index._get_vectors(chunk)
+        rows_of: dict[str, list[int]] = {}
+        for row, d in enumerate(out_ids):
+            rows_of.setdefault(d, []).append(row)
+        for doc_id in chunk:
+            if len(pending_vectors) >= batch_size:
+                target_index.add(np.array(pending_vectors), doc_ids=pending_ids)
+                pending_vectors, pending_ids = [], []
+            coalesced = _coalesce(vectors[rows_of[doc_id]])
+            pending_vectors.extend(coalesced)
+            pending_ids.extend([doc_id] * len(coalesced))
     if pending_vectors:
         target_index.add(np.array(pending_vectors), doc_ids=pending_ids)
 
