@@ -75,6 +75,13 @@ class TestDifferentialQuantized(unittest.TestCase):
 
 class TestDifferential(unittest.TestCase):
     def test_random_configs(self):
+        self._run_random_configs(store="host")
+
+    def test_random_configs_device_store(self):
+        """Same randomized sweep against the device-resident store."""
+        self._run_random_configs(store="device")
+
+    def _run_random_configs(self, store):
         rng = np.random.default_rng(123)
         for trial in range(8):
             dim = int(rng.choice([16, 64, 128, 256]))
@@ -102,7 +109,7 @@ class TestDifferential(unittest.TestCase):
                 for qi in range(num_q)
             }
             encoder = LambdaEncoder(lambda text, qvecs=qvecs: qvecs[text])
-            index = InMemoryIndex(encoder, mode=mode)
+            index = InMemoryIndex(encoder, mode=mode, store=store)
             index.add(vectors, doc_ids=doc_ids, psg_ids=psg_ids)
 
             id_pool = (
