@@ -846,6 +846,15 @@ class Index(abc.ABC):
             change = np.flatnonzero(np.diff(q_no)) + 1
             starts = np.concatenate(([0], change))
             ends = np.concatenate((change, [n]))
+            # one-row-per-pair modes resolve IDs lazily, per depth round:
+            # queries that stop early never pay resolution for their deep
+            # candidates (this also matches the reference, which only
+            # touches the rows of scored chunks)
+            view = self._device_view()
+            lazy = view is not None and self.mode in (
+                Mode.PASSAGE,
+                Mode.FIRSTP,
+            )
             state = {
                 "n": n,
                 "enc_id": id(self._query_encoder),
@@ -853,7 +862,9 @@ class Index(abc.ABC):
                 "lex": lex,
                 "starts": starts,
                 "ends": ends,
-                "prep": self._candidate_arrays(df),
+                "prep": None if lazy else self._candidate_arrays(df),
+                "view": view if lazy else None,
+                "lazy_rows": np.full(n, -1, dtype=np.int64) if lazy else None,
                 "ff": np.empty(n, dtype=np.float32),
                 "have": np.zeros(n, dtype=bool),
             }
@@ -912,7 +923,26 @@ class Index(abc.ABC):
 
             need = sel[~have[sel]]
             if need.size:
-                if prep is not None:
+                if state["lazy_rows"] is not None:
+                    lazy_rows = state["lazy_rows"]
+                    missing = need[lazy_rows[need] < 0]
+                    if missing.size:
+                        resolved, _ = self._ids.resolve(
+                            df["id"].iloc[missing], self.mode
+                        )
+                        lazy_rows[missing] = resolved
+                    scored = np.asarray(
+                        self._device_score_grouped(
+                            state["view"],
+                            query_vectors,
+                            lazy_rows[need][:, None],
+                            q_no[need],
+                            np.ones(need.size, dtype=np.int32),
+                            1,
+                        ),
+                        dtype=np.float32,
+                    )
+                elif prep is not None:
                     view, rows_mat, counts_pp, k = prep
                     scored = np.asarray(
                         self._device_score_grouped(
