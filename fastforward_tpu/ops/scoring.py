@@ -104,6 +104,22 @@ def _slot_dev_cached(slot_of_pair, plan, slot_key):
     return slot_dev
 
 
+def _cached_q_upload(q_host: np.ndarray, plan: dict | None, key: str):
+    """Device copy of the query block, reused across calls when unchanged.
+
+    Repeated re-ranking re-encodes the same queries to bitwise-identical
+    vectors; a ~0.2 ms host compare then saves the per-call device upload
+    (~1.5 MB over the host link at Q=512).
+    """
+    cached = plan.get(key) if plan is not None else None
+    if cached is not None and np.array_equal(cached[0], q_host):
+        return cached[1]
+    q_dev = jnp.asarray(q_host)
+    if plan is not None:
+        plan[key] = (q_host, q_dev)
+    return q_dev
+
+
 def _finalize_streamed(outs, slot_of_pair, reduce, plan, slot_key):
     """Fetch streamed scores, gathering/reducing on device when possible.
 
@@ -659,11 +675,12 @@ def streamed_scores(
         if cached is not None:
             cand_dev, tile_dev, slot_of_pair = cached
             try:
+                q_t = np.ascontiguousarray(
+                    q_pad.T.reshape(-1, qb).astype(np.float32)
+                )
                 outs = stream_kernel.stream_select(
                     table,
-                    np.ascontiguousarray(
-                        q_pad.T.reshape(-1, qb).astype(np.float32)
-                    ),
+                    _cached_q_upload(q_t, plan, "q_t_dev"),
                     cand_dev,
                     tile_dev,
                     r=r,
@@ -693,7 +710,12 @@ def streamed_scores(
             plan["stream_xla"] = cached
     cand_dev, tile_dev, slot_of_pair = cached
     outs = score_pairs_streamed(
-        table, q_pad, cand_dev, tile_dev, STREAM_TILE_ROWS, precision
+        table,
+        _cached_q_upload(np.asarray(q_pad, dtype=np.float32), plan, "q_dev"),
+        cand_dev,
+        tile_dev,
+        STREAM_TILE_ROWS,
+        precision,
     )
     return _finalize_streamed(outs, slot_of_pair, reduce, plan, "stream_xla_slot")
 
@@ -733,7 +755,7 @@ def streamed_scores_pq(
     outs = score_pairs_streamed_pq(
         codes,
         codebooks,
-        jnp.asarray(q_pad, dtype=jnp.float32),
+        _cached_q_upload(np.asarray(q_pad, dtype=np.float32), plan, "q_dev"),
         cand_dev,
         tile_dev,
         STREAM_TILE_ROWS,

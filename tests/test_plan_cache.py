@@ -45,6 +45,35 @@ class TestPlanCache(unittest.TestCase):
             self.assertEqual(first, second, mode)
             self.assertEqual(first, third, mode)
 
+    def test_changed_query_vectors_rescored(self):
+        """The plan caches the device query upload keyed on content; an
+        encoder returning different vectors for the same ranking must
+        produce different scores (no stale device queries)."""
+        dim, n = 128, 2048
+        corpus = RNG.normal(size=(n, dim)).astype(np.float32)
+        state = {"qvec": RNG.normal(size=dim).astype(np.float32)}
+        index = InMemoryIndex(
+            LambdaEncoder(lambda _: state["qvec"]), mode=Mode.PASSAGE
+        )
+        index.add(corpus, psg_ids=[f"p{i}" for i in range(n)])
+        ids = [f"p{i}" for i in range(n)]
+        # dense candidate set -> streamed path (where the q cache lives)
+        run = {"q1": {i: float(j) for j, i in enumerate(ids)}}
+        ranking = Ranking.from_run(run, queries={"q1": "a"})
+
+        first = dict(index(ranking)["q1"])
+        second = dict(index(ranking)["q1"])  # warm plan, same queries
+        self.assertEqual(first, second)
+
+        state["qvec"] = RNG.normal(size=dim).astype(np.float32)
+        changed = dict(index(ranking)["q1"])
+        expected = {
+            f"p{i}": float(corpus[i] @ state["qvec"]) for i in range(n)
+        }
+        for pid, score in changed.items():
+            self.assertAlmostEqual(expected[pid], score, places=3, msg=pid)
+        self.assertNotEqual(first, changed)
+
     def test_add_invalidates_plans(self):
         index, ranking, corpus, qvec = self._build(Mode.PASSAGE)
         index(ranking)
