@@ -94,6 +94,33 @@ def _gather_slots(flat, slot):
     return jnp.take(flat.reshape(-1), slot, axis=0)
 
 
+@partial(jax.jit, static_argnames=("r", "precision", "k", "op"))
+def _stream_select_finalized(
+    table, q_t, cand, tile_idx, slot, counts, r, precision, k, op
+):
+    """Pallas streaming kernel + slot gather (+ optional K reduction) as ONE
+    jitted program — a single dispatch over the host link instead of two.
+
+    ``counts is None`` (k == 1): returns the gathered ``(P,)`` scores.
+    Otherwise: masked K-axis ranking reduction on device first.
+    """
+    from fastforward_tpu.ops import stream_kernel
+
+    outs = stream_kernel.stream_select(
+        table, q_t, cand, tile_idx, r=r, precision=precision
+    )
+    if counts is None:
+        return jnp.take(outs.reshape(-1), slot, axis=0)
+    picked = jnp.take(outs.reshape(-1), slot, axis=0).reshape(-1, k)
+    valid = jnp.arange(k, dtype=jnp.int32)[None, :] < counts[:, None]
+    if op == "max":
+        return jnp.where(valid, picked, -jnp.inf).max(axis=1)
+    if op == "mean":
+        sums = jnp.where(valid, picked, 0.0).sum(axis=1)
+        return (sums / jnp.maximum(counts, 1)).astype(jnp.float32)
+    return picked[:, 0]
+
+
 def _slot_dev_cached(slot_of_pair, plan, slot_key):
     """Device copy of the pair->slot map, cached in the run plan."""
     slot_dev = plan.get(slot_key) if plan is not None else None
@@ -678,17 +705,29 @@ def streamed_scores(
                 q_t = np.ascontiguousarray(
                     q_pad.T.reshape(-1, qb).astype(np.float32)
                 )
-                outs = stream_kernel.stream_select(
-                    table,
-                    _cached_q_upload(q_t, plan, "q_t_dev"),
-                    cand_dev,
-                    tile_dev,
-                    r=r,
-                    precision=precision,
+                q_dev = _cached_q_upload(q_t, plan, "q_t_dev")
+                slot_dev = _slot_dev_cached(
+                    slot_of_pair, plan, "stream_pallas_slot"
                 )
-                result = _finalize_streamed(
-                    outs, slot_of_pair, reduce, plan, "stream_pallas_slot"
-                )
+                if slot_dev is not None:
+                    # kernel + slot gather (+ K reduce) as one dispatch
+                    if reduce is not None:
+                        op, k, counts_dev = reduce
+                    else:
+                        op, k, counts_dev = "first", 1, None
+                    out = _stream_select_finalized(
+                        table, q_dev, cand_dev, tile_dev, slot_dev,
+                        counts_dev, r, precision, k, op,
+                    )
+                    result = np.asarray(jax.device_get(out))
+                else:  # slot map too large for int32: fetch-all fallback
+                    outs = stream_kernel.stream_select(
+                        table, q_dev, cand_dev, tile_dev,
+                        r=r, precision=precision,
+                    )
+                    result = _finalize_streamed(
+                        outs, slot_of_pair, reduce, plan, "stream_pallas_slot"
+                    )
                 _pallas_success()
                 return result
             except Exception as e:  # pragma: no cover - device-specific
