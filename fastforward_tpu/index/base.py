@@ -832,11 +832,15 @@ class Index(abc.ABC):
         # cross-call ES state: candidate resolution, run offsets, and the
         # alpha-INDEPENDENT semantic scores (an alpha sweep over the same
         # ranking re-scores the same rows — the deepest alpha's scores
-        # serve every later alpha from the cache).  Keyed to the encoder
-        # object: swapping encoders invalidates the cached scores.
+        # serve every later alpha from the cache).  Validated against the
+        # query-vector CONTENT: an encoder swap, a recycled id() after GC,
+        # or a same-object encoder whose output changed all invalidate the
+        # cached semantic scores (cf. the plan's content-checked q upload).
         state = plan.get("es_state") if plan is not None else None
         if state is not None and (
-            state["n"] != n or state["enc_id"] != id(self._query_encoder)
+            state["n"] != n
+            or state["qv"].shape != query_vectors.shape
+            or not np.array_equal(state["qv"], query_vectors)
         ):
             state = None
         if state is None:
@@ -857,7 +861,7 @@ class Index(abc.ABC):
             )
             state = {
                 "n": n,
-                "enc_id": id(self._query_encoder),
+                "qv": np.array(query_vectors, copy=True),
                 "q_no": q_no,
                 "lex": lex,
                 "starts": starts,

@@ -95,9 +95,24 @@ class InMemoryIndex(Index):
             with the reference, in HBM instead of RAM.  Host-side reads
             (``_get_vectors``, iteration) fetch rows back from the device.
             Pre-size with ``init_size`` to avoid regrowth copies.
+
+            .. warning:: With ``store="device"`` the HBM buffer *is* the
+               canonical copy, so ``device_dtype="bfloat16"`` makes the
+               stored vectors themselves lossy: ``_get_vectors``,
+               ``batch_iter``, re-indexing, and quantizer fits all see
+               bf16-rounded values (a warning is logged).  Under
+               ``store="host"`` the fp32 canonical is preserved and only
+               the HBM scoring mirror is bf16.
         """
         if store not in ("host", "device"):
             raise ValueError(f"store must be 'host' or 'device', got {store!r}")
+        if store == "device" and device_dtype == "bfloat16":
+            LOGGER.warning(
+                "store='device' with device_dtype='bfloat16' stores the "
+                "CANONICAL vectors in bf16: reads, iteration, re-indexing, "
+                "and quantizer fits see permanently rounded values (use "
+                "store='host' to keep an fp32 canonical copy)"
+            )
         if store == "device" and mesh_config is not None:
             raise ValueError(
                 "store='device' with mesh_config is not supported yet; "

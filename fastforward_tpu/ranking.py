@@ -40,6 +40,25 @@ def _ranks_within_query(df: pd.DataFrame) -> np.ndarray:
     return df.groupby("q_id").cumcount().to_numpy() + 1
 
 
+def _plain_ids(df: pd.DataFrame) -> pd.DataFrame:
+    """Return ``df`` with categorical columns decoded to plain arrays.
+
+    The scoring fast path emits categorical ``q_id``/``id``/``query`` columns
+    (reordering on integer codes is ~50x cheaper than on string arrays); the
+    merge-then-``fillna(0)`` algebra would raise on those whenever the other
+    ranking holds a pair this one lacks ("Cannot setitem on a Categorical
+    with a new category"), so algebra decodes them first.
+    """
+    cat = [
+        c for c in df.columns if isinstance(df[c].dtype, pd.CategoricalDtype)
+    ]
+    if not cat:
+        return df
+    return df.assign(
+        **{c: df[c].astype(df[c].cat.categories.dtype) for c in cat}
+    )
+
+
 def _normalized(df: pd.DataFrame) -> pd.DataFrame:
     """Copy of ``df`` with min-max normalized scores (all-equal -> 0)."""
     out = df.copy()
@@ -192,8 +211,11 @@ class Ranking:
     def __add__(self, o: "Ranking | float") -> "Ranking":
         """Add a constant or another ranking's scores (missing scores = 0)."""
         if isinstance(o, Ranking):
-            merged = self._df.merge(
-                o._df, on=["q_id", "id"], suffixes=(None, "_r"), how="outer"
+            merged = _plain_ids(self._df).merge(
+                _plain_ids(o._df),
+                on=["q_id", "id"],
+                suffixes=(None, "_r"),
+                how="outer",
             ).fillna(0)
             merged["score"] = merged["score"] + merged["score_r"]
             return self._spawn(merged, is_sorted=False)
@@ -251,8 +273,8 @@ class Ranking:
         :param normalize: Min-max normalize both inputs first.
         :return: The interpolated ranking.
         """
-        a = _normalized(self._df) if normalize else self._df
-        b = _normalized(other._df) if normalize else other._df
+        a = _plain_ids(_normalized(self._df) if normalize else self._df)
+        b = _plain_ids(_normalized(other._df) if normalize else other._df)
         merged = a.merge(
             b, on=["q_id", "id"], suffixes=(None, "_r"), how="outer"
         ).fillna(0)

@@ -111,6 +111,37 @@ class TestESCrossCallCache(unittest.TestCase):
             cold = cold_index(cold_ranking, **kwargs)
             self.assertEqual(cold, cached, f"alpha={alpha}")
 
+    def test_encoder_swap_invalidates_cached_semantic_scores(self):
+        """Replacing the query encoder (or an in-place output change of the
+        same encoder object) between ES calls on the same ranking must
+        re-score — the ES state is validated on query-vector content, not
+        encoder identity (regression: recycled ``id()`` / mutated encoder
+        silently served stale cached scores)."""
+        index, ranking = self._fixed_setup()
+        kwargs = dict(
+            early_stopping=5,
+            early_stopping_alpha=0.5,
+            early_stopping_depths=(10, 30, 60),
+        )
+        first = index(ranking, **kwargs)
+
+        # in-place output change of the SAME encoder object
+        state = {"qvec": np.array([1.0, 1.0], dtype=np.float32)}
+        index._query_encoder = LambdaEncoder(lambda _: state["qvec"])
+        same_obj = index(ranking, **kwargs)
+        self.assertEqual(first, same_obj)
+        state["qvec"] = np.array([-2.0, 3.0], dtype=np.float32)
+        mutated = index(ranking, **kwargs)
+        self.assertNotEqual(first, mutated)
+
+        # swap in a NEW encoder object returning the original vectors:
+        # results must go back to the first outcome (fresh, correct scores)
+        index._query_encoder = LambdaEncoder(
+            lambda _: np.array([1.0, 1.0], dtype=np.float32)
+        )
+        swapped_back = index(ranking, **kwargs)
+        self.assertEqual(first, swapped_back)
+
     def test_es_then_full_scoring_same_ranking(self):
         """A non-ES call after ES calls (and vice versa) on the same
         ranking must not cross plan state."""

@@ -116,6 +116,31 @@ class TestPlanCache(unittest.TestCase):
             expected = float(corpus[int(pid[1:])] @ qvec)
             self.assertAlmostEqual(expected, result[pid], places=3)
 
+    def test_scored_ranking_algebra_with_extra_pairs(self):
+        """Scored rankings (whose fast path emits categorical columns) must
+        survive merge-then-fillna algebra against rankings holding ID pairs
+        the scored ranking lacks (regression: 'Cannot setitem on a
+        Categorical with a new category')."""
+        index, ranking, corpus, qvec = self._build(Mode.PASSAGE)
+        index(ranking)
+        scored = index(ranking)  # second call -> prepared (categorical) path
+        extra = Ranking.from_run(
+            {"q1": {"p500": 1.0}, "q3": {"p1": 2.0}},
+            queries={"q1": "a", "q3": "c"},
+        )
+        combined = 0.1 * scored + extra
+        self.assertAlmostEqual(combined["q1"]["p500"], 1.0, places=5)
+        self.assertAlmostEqual(combined["q3"]["p1"], 2.0, places=5)
+        self.assertAlmostEqual(
+            combined["q1"]["p0"],
+            0.1 * float(corpus[0] @ qvec),
+            places=3,
+        )
+        interp = scored.interpolate(extra, 0.5)
+        self.assertAlmostEqual(interp["q3"]["p1"], 1.0, places=5)
+        fused = scored.rr_scores() + extra.rr_scores()
+        self.assertIn("q3", fused.q_ids)
+
     def test_mode_switch_uses_fresh_plan(self):
         index, ranking, corpus, qvec = self._build(Mode.MAXP)
         maxp = index(ranking)["q1"]
