@@ -63,7 +63,10 @@ def _enable_compile_cache():
         log(f"compile cache unavailable: {e}")
 
 
-def measure_ours(corpus, qvecs, run, queries, depth, repeats, precision="exact"):
+def measure_ours(
+    corpus, qvecs, run, queries, depth, repeats, precision="exact",
+    hbm_budget=None,
+):
     from fastforward_tpu.encoder import LambdaEncoder
     from fastforward_tpu.index import InMemoryIndex, Mode
     from fastforward_tpu.ranking import Ranking
@@ -71,11 +74,15 @@ def measure_ours(corpus, qvecs, run, queries, depth, repeats, precision="exact")
     import jax
 
     _enable_compile_cache()
-    log(f"backend: {jax.default_backend()} precision: {precision}")
+    log(
+        f"backend: {jax.default_backend()} precision: {precision}"
+        + (f" hbm_budget: {hbm_budget / 2**30:.1f} GiB" if hbm_budget else "")
+    )
     index = InMemoryIndex(
         LambdaEncoder(_query_map(qvecs, queries)),
         mode=Mode.PASSAGE,
         precision=precision,
+        hbm_budget=hbm_budget,
     )
     index.add(corpus, psg_ids=[f"p{i}" for i in range(corpus.shape[0])])
     ranking = Ranking.from_run(run, queries=queries)
@@ -740,9 +747,15 @@ def main():
         "--config",
         choices=[
             "rerank", "encoder", "pq", "int8", "early-stopping",
-            "maxp", "alpha-sweep", "memory",
+            "maxp", "alpha-sweep", "memory", "fp32-stream",
         ],
         default="rerank",
+    )
+    parser.add_argument(
+        "--hbm-budget-gb",
+        type=float,
+        default=10.0,
+        help="scoring-HBM budget for --config fp32-stream (beyond-HBM tier)",
     )
     parser.add_argument("--n", type=int, default=2_000_000)
     parser.add_argument("--n-docs", type=int, default=125_000)
@@ -885,7 +898,8 @@ def main():
                 {
                     "metric": (
                         f"early-stopping re-rank QPS, same ranking repeated "
-                        f"(cutoff-10, depths 200/1000/5000, N={args.n}; "
+                        f"(cutoff-10, depths 200/1000/5000, N={args.n}, "
+                        f"Q={args.queries}; "
                         f"cold/fresh-ranking: {round(cold, 1)} QPS)"
                     ),
                     "value": round(warm, 1),
@@ -896,7 +910,15 @@ def main():
         )
         return
 
-    qps = measure_ours(corpus, qvecs, run, queries, args.depth, args.repeats, precision=args.precision)
+    hbm_budget = (
+        int(args.hbm_budget_gb * (1 << 30))
+        if args.config == "fp32-stream"
+        else None
+    )
+    qps = measure_ours(
+        corpus, qvecs, run, queries, args.depth, args.repeats,
+        precision=args.precision, hbm_budget=hbm_budget,
+    )
 
     baseline_file = REPO / "BASELINE_MEASURED.json"
     cache = {}
@@ -929,6 +951,10 @@ def main():
         "high": "fp32 table, bf16x3 'high' scoring",
         "fast": "bf16 'fast' scoring",
     }[args.precision]
+    if hbm_budget is not None:
+        tier_label += (
+            f", beyond-HBM hybrid tier ({args.hbm_budget_gb:g} GiB budget)"
+        )
     print(
         json.dumps(
             {

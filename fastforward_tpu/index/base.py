@@ -20,7 +20,7 @@ import logging
 import weakref
 from collections import OrderedDict, defaultdict
 from collections.abc import Iterable, Iterator, Sequence
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from time import perf_counter
 
 import jax
@@ -50,8 +50,10 @@ class DeviceView:
     ``kind`` selects the device program: ``"dense"`` scores against a
     ``(N, dim)`` table, ``"pq"`` against PQ codes + codebooks (ADC),
     ``"scalar"`` against int8 codes with per-dimension scales folded into the
-    queries.  When ``mesh`` is set the table is row-sharded over the mesh's
-    ``shard`` axis and scoring runs the SPMD program
+    queries, ``"hybrid"`` against an HBM-resident prefix (``table``) plus a
+    host-RAM tail streamed in candidate blocks (``ops.host_stream`` — the
+    beyond-HBM tier).  When ``mesh`` is set the table is row-sharded over
+    the mesh's ``shard`` axis and scoring runs the SPMD program
     (``fastforward_tpu.parallel.sharded``).
     """
 
@@ -61,6 +63,85 @@ class DeviceView:
     scales: np.ndarray | None = None
     mesh: "jax.sharding.Mesh | None" = None
     precision: str = "exact"
+    #: hybrid tier: host tail ``(N - tail_start, dim//128, 128)``, the
+    #: global row where it starts, streamed-block size, and the HBM bytes a
+    #: plan may spend keeping tail blocks device-resident across calls
+    host_tail: np.ndarray | None = None
+    tail_start: int = 0
+    chunk_rows: int = 0
+    tail_cache_budget: int = 0
+    #: view-lifetime cache for table-derived device artifacts (e.g. the
+    #: lane-aligned PQ copies the Pallas ADC kernel consumes)
+    aux: dict = field(default_factory=dict)
+
+
+def build_hybrid_view(
+    data: np.ndarray,
+    num: int,
+    dim: int,
+    hbm_budget: int,
+    precision: str,
+    chunk_rows: int | None = None,
+    bf16: bool = False,
+) -> DeviceView | None:
+    """Build a beyond-HBM hybrid view, or ``None`` when the table fits.
+
+    ~70% of ``hbm_budget`` holds an HBM-resident prefix of ``data``; the
+    remaining rows stay in host RAM (zero-copy view when ``data`` is
+    fp32-contiguous) and are streamed per call as candidate blocks, with
+    the leftover budget caching hot blocks device-side across calls
+    (``fastforward_tpu.ops.host_stream``).
+
+    :param data: Host vectors, ``(num, dim)`` (any float dtype).
+    :param num: Number of real rows.
+    :param dim: Vector dimensionality (must be a multiple of 128).
+    :param hbm_budget: Scoring-HBM budget in bytes.
+    :param precision: Dot precision tier.
+    :param chunk_rows: Streamed-block size (default
+        ``ops.host_stream.HOST_CHUNK_ROWS``).
+    :param bf16: Store the resident prefix (and stream blocks) as bf16.
+    """
+    from fastforward_tpu.ops import host_stream
+
+    row_bytes = dim * (2 if bf16 else 4)
+    n_pad = -(-num // 4096) * 4096
+    if n_pad * row_bytes <= hbm_budget:
+        return None  # fits: plain device table
+    resident = (int(hbm_budget * 0.7) // row_bytes) // 1024 * 1024
+    if resident >= num:
+        return None
+    k = dim // 128
+    if resident > 0:
+        res3 = np.ascontiguousarray(
+            data[:resident], dtype=np.float32
+        ).reshape(resident, k, 128)
+        res_dev = jnp.asarray(res3)
+        if bf16:
+            res_dev = res_dev.astype(jnp.bfloat16)
+    else:
+        res_dev = jnp.zeros((0, k, 128), jnp.bfloat16 if bf16 else jnp.float32)
+    tail = data[resident:num]
+    if tail.dtype != np.float32 or not tail.flags["C_CONTIGUOUS"]:
+        tail = np.ascontiguousarray(tail, dtype=np.float32)
+    tail3 = tail.reshape(tail.shape[0], k, 128)
+    LOGGER.info(
+        "table (%d rows x %d B) exceeds the %d-byte HBM budget: serving "
+        "from the hybrid tier (%d resident rows, %d host-streamed)",
+        num,
+        row_bytes,
+        hbm_budget,
+        resident,
+        tail3.shape[0],
+    )
+    return DeviceView(
+        kind="hybrid",
+        table=res_dev,
+        precision=precision,
+        host_tail=tail3,
+        tail_start=resident,
+        chunk_rows=chunk_rows or host_stream.HOST_CHUNK_ROWS,
+        tail_cache_budget=max(0, hbm_budget - resident * row_bytes),
+    )
 
 
 class Index(abc.ABC):
@@ -290,15 +371,67 @@ class Index(abc.ABC):
         """
         return None
 
-    def preload(self) -> bool:
+    def preload(self, warm: "tuple[int, int] | None" = None) -> bool:
         """Eagerly build/upload the device scoring table.
 
         Normally the upload happens lazily on the first scoring call; call
         this to move it off the serving path.
 
+        With ``warm=(num_queries, depth)`` the call additionally runs ONE
+        synthetic re-ranking of that workload shape through the exact
+        production path, so every device program the serving shapes need
+        (query upload, streaming kernel, slot gather, result sort) is
+        traced, compiled, and cached before the first real request —
+        remote-compiled TPU programs can cost minutes on first use.
+        Compiled programs are keyed on *bucketed* shapes, so any serving
+        call with the same ``bucket(num_queries)`` / ``bucket(pairs)``
+        hits the warm cache.  The synthetic plan itself is dropped.
+
+        :param warm: Optional ``(num_queries, depth)`` workload shape.
         :return: Whether a device table exists for this backend.
         """
-        return self._device_view() is not None
+        view = self._device_view()
+        if view is None:
+            return False
+        if warm is None:
+            return True
+        num_q, depth = warm
+        doc_ids, psg_ids = self._ids.inverse(min(len(self), depth * 4))
+        if self._mode == Mode.PASSAGE:
+            ids = [i for i in psg_ids if i is not None][:depth]
+        else:
+            seen: dict[str, None] = {}
+            for i in doc_ids:
+                if i is not None and i not in seen:
+                    seen[i] = None
+                    if len(seen) >= depth:
+                        break
+            ids = list(seen)
+        if not ids:
+            return True
+        run = {
+            f"ff-warm-q{i}": {d: float(j) for j, d in enumerate(ids)}
+            for i in range(num_q)
+        }
+        queries = {f"ff-warm-q{i}": f"ff warm query {i}" for i in range(num_q)}
+        ranking = Ranking.from_run(run, queries=queries)
+        encoder = self._query_encoder
+        try:
+            if encoder is None:
+                from fastforward_tpu.encoder import LambdaEncoder
+
+                dim = self.dim
+                self._query_encoder = LambdaEncoder(
+                    lambda _t: np.zeros(dim, dtype=np.float32)
+                )
+            LOGGER.info(
+                "warming scoring programs for Q=%d depth=%d", num_q, len(ids)
+            )
+            self(ranking)
+        finally:
+            self._query_encoder = encoder
+            self._plans.pop((id(ranking._df), self._mode), None)
+        return True
 
     def _prepare_queries(self, query_vectors: np.ndarray, view: DeviceView) -> np.ndarray:
         """Fold quantizer-specific transforms into the query vectors."""
@@ -385,6 +518,41 @@ class Index(abc.ABC):
                 view, query_vectors, rows, qno, seg, n_pairs
             )
 
+        if view.kind == "hybrid":
+            # beyond-HBM tier: resident-prefix scoring + candidate-block
+            # streaming of the host tail (ops.host_stream); returns per-ROW
+            # scores — the ranking-mode K reduction happens on the host
+            if k == 1:
+                rows_flat = rows_mat[:, 0].astype(np.int64)
+                qno_flat = pair_qno.astype(np.int64)
+            else:
+                rows_flat = rows_mat.reshape(-1).astype(np.int64)
+                qno_flat = np.repeat(pair_qno, k).astype(np.int64)
+            from fastforward_tpu.ops.host_stream import hybrid_scores
+
+            row_scores = hybrid_scores(
+                view.table,
+                view.host_tail,
+                view.tail_start,
+                view.chunk_rows,
+                q_pad,
+                rows_flat,
+                qno_flat,
+                precision=view.precision,
+                plan=plan,
+                cache_device_blocks_budget=view.tail_cache_budget,
+            )
+            if k == 1:
+                return row_scores
+            mat = row_scores.reshape(n_pairs, k)
+            valid = np.arange(k)[None, :] < counts_pp[:, None]
+            if op == "max":
+                return np.where(valid, mat, np.float32(-np.inf)).max(axis=1)
+            if op == "mean":
+                sums = np.where(valid, mat, np.float32(0.0)).sum(axis=1)
+                return (sums / np.maximum(counts_pp, 1)).astype(np.float32)
+            return mat[:, 0]
+
         streamable_dense = (
             view.kind in ("dense", "scalar")
             and view.table.ndim == 3
@@ -412,19 +580,18 @@ class Index(abc.ABC):
                 rows_flat = rows_mat.reshape(-1).astype(np.int64)
                 qno_flat = np.repeat(pair_qno, k)
                 # K-axis ranking reduction on device: fetch (P,) floats
-                # over the host link instead of (P, K) — sharded paths keep
-                # the host reduction (a cross-shard slot gather would cost
-                # an all-gather of every slot)
-                reduce_spec = None
-                if view.mesh is None:
-                    counts_dev = (
-                        plan.get("counts_dev") if plan is not None else None
-                    )
-                    if counts_dev is None:
-                        counts_dev = jnp.asarray(counts_pp.astype(np.int32))
-                        if plan is not None:
-                            plan["counts_dev"] = counts_dev
-                    reduce_spec = (op, k, counts_dev)
+                # over the host link instead of (P, K).  On a mesh the slot
+                # gather's cross-shard traffic rides ICI inside the jit —
+                # still P*K floats over the interconnect but only P over
+                # the (much slower) host link.
+                counts_dev = (
+                    plan.get("counts_dev") if plan is not None else None
+                )
+                if counts_dev is None:
+                    counts_dev = jnp.asarray(counts_pp.astype(np.int32))
+                    if plan is not None:
+                        plan["counts_dev"] = counts_dev
+                reduce_spec = (op, k, counts_dev)
             if streamable_pq and view.mesh is not None:
                 from fastforward_tpu.parallel.sharded import (
                     streamed_scores_sharded_pq,
@@ -438,6 +605,7 @@ class Index(abc.ABC):
                     rows_flat,
                     qno_flat,
                     plan=plan,
+                    reduce=reduce_spec,
                 )
             elif streamable_pq:
                 row_scores = ops.streamed_scores_pq(
@@ -449,6 +617,7 @@ class Index(abc.ABC):
                     plan=plan,
                     reduce=reduce_spec,
                     precision=view.precision,
+                    table_cache=view.aux,
                 )
             elif view.mesh is not None:
                 from fastforward_tpu.parallel.sharded import (
@@ -463,6 +632,7 @@ class Index(abc.ABC):
                     qno_flat,
                     precision=view.precision,
                     plan=plan,
+                    reduce=reduce_spec,
                 )
             else:
                 row_scores = ops.streamed_scores(
@@ -921,9 +1091,10 @@ class Index(abc.ABC):
                 break
             bounds_cum = np.cumsum(lens)
             offsets = np.concatenate(([0], bounds_cum[:-1]))
-            sel = np.arange(total, dtype=np.int64) - np.repeat(
+            within = np.arange(total, dtype=np.int64) - np.repeat(
                 offsets, lens
-            ) + np.repeat(lo, lens)
+            )
+            sel = within + np.repeat(lo, lens)
 
             need = sel[~have[sel]]
             if need.size:
@@ -976,10 +1147,23 @@ class Index(abc.ABC):
                 best_sem[act_rows], np.maximum.reduceat(ff, seg_starts)
             )
             scored_n[act_rows] += lens
-            for i, q in enumerate(act_rows):
-                seg = int_score[seg_starts[i] : bounds_cum[i]]
-                merged = np.concatenate((topk[q], seg))
-                topk[q] = -np.sort(-merged)[:cutoff]
+            # top-k maintenance, vectorized over active queries: pad each
+            # query's (old top-k ++ new chunk) into one -inf-filled row,
+            # partition the best `cutoff` into the tail columns, sort only
+            # those (the criterion reads topk desc-sorted).  Replaces a
+            # per-query python concatenate+sort loop that dominated at
+            # large Q (thousands of interpreter iterations per call).
+            n_act = act_rows.shape[0]
+            width = cutoff + int(lens.max())
+            mat = np.full((n_act, width), -np.inf)
+            mat[:, :cutoff] = topk[act_rows]
+            mat[
+                np.repeat(np.arange(n_act), lens), cutoff + within
+            ] = int_score
+            best = np.partition(mat, width - cutoff, axis=1)[
+                :, width - cutoff:
+            ]
+            topk[act_rows] = -np.sort(-best, axis=1)
 
             sels.append(sel)
             ffs.append(ff)

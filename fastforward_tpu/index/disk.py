@@ -52,6 +52,8 @@ class OnDiskIndex(Index):
         hbm_cache: bool = False,
         precision: str = "exact",
         mesh_config=None,
+        hbm_budget: int | None = None,
+        stream_chunk_rows: int | None = None,
     ) -> None:
         """Create an index on disk.
 
@@ -71,6 +73,12 @@ class OnDiskIndex(Index):
         :param precision: Scoring matmul precision (see ``InMemoryIndex``).
         :param mesh_config: With ``hbm_cache``, shard the cached table
             row-wise across a device mesh (see ``InMemoryIndex``).
+        :param hbm_budget: With ``hbm_cache``, the scoring-HBM budget in
+            bytes for dense tables; tables exceeding it serve from the
+            beyond-HBM hybrid tier (resident prefix + host-RAM tail
+            streamed in candidate blocks, see ``InMemoryIndex``).
+        :param stream_chunk_rows: Rows per streamed tail block for the
+            hybrid tier.
         :raises ValueError: When the file exists and ``overwrite=False``.
         """
         index_file = Path(index_file)
@@ -86,6 +94,13 @@ class OnDiskIndex(Index):
         self._hbm_cache = hbm_cache
         self._precision = precision
         self._mesh_config = mesh_config
+        if hbm_budget is not None and mesh_config is not None:
+            raise ValueError(
+                "hbm_budget cannot be combined with mesh_config (shard the "
+                "table across chips OR stream it from the host, not both)"
+            )
+        self._hbm_budget = hbm_budget
+        self._stream_chunk_rows = stream_chunk_rows
         self._mesh = None
         self._dev_view: DeviceView | None = None
         self._mmap_chunks: list[np.memmap] | None = None
@@ -361,6 +376,23 @@ class OnDiskIndex(Index):
             else:
                 if self._quantizer is not None:
                     raw = self._quantizer.decode(raw)
+                if (
+                    self._hbm_budget is not None
+                    and raw.shape[1] % 128 == 0
+                ):
+                    from fastforward_tpu.index.base import build_hybrid_view
+
+                    hybrid = build_hybrid_view(
+                        np.ascontiguousarray(raw, dtype=np.float32),
+                        num,
+                        raw.shape[1],
+                        self._hbm_budget,
+                        self._precision,
+                        chunk_rows=self._stream_chunk_rows,
+                    )
+                    if hybrid is not None:
+                        self._dev_view = hybrid
+                        return self._dev_view
                 data = np.zeros((n_pad, raw.shape[1]), dtype=np.float32)
                 data[:num] = raw
                 if data.shape[1] % 128 == 0:
@@ -417,6 +449,8 @@ class OnDiskIndex(Index):
         hbm_cache: bool = False,
         precision: str = "exact",
         mesh_config=None,
+        hbm_budget: int | None = None,
+        stream_chunk_rows: int | None = None,
     ) -> "OnDiskIndex":
         """Open an existing index file (reference- or TPU-built).
 
@@ -430,6 +464,10 @@ class OnDiskIndex(Index):
         :param precision: Scoring matmul precision (see ``InMemoryIndex``).
         :param mesh_config: With ``hbm_cache``, shard the cached table
             row-wise across a device mesh (see ``InMemoryIndex``).
+        :param hbm_budget: With ``hbm_cache``, serve dense tables larger
+            than this byte budget from the beyond-HBM hybrid tier (see
+            ``InMemoryIndex``).
+        :param stream_chunk_rows: Rows per streamed tail block.
         :return: The index.
         """
         index_file = Path(index_file)
@@ -447,6 +485,13 @@ class OnDiskIndex(Index):
         index._hbm_cache = hbm_cache
         index._precision = precision
         index._mesh_config = mesh_config
+        if hbm_budget is not None and mesh_config is not None:
+            raise ValueError(
+                "hbm_budget cannot be combined with mesh_config (shard the "
+                "table across chips OR stream it from the host, not both)"
+            )
+        index._hbm_budget = hbm_budget
+        index._stream_chunk_rows = stream_chunk_rows
         index._mesh = None
         index._dev_view = None
         index._mmap_chunks = None

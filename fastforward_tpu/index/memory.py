@@ -68,6 +68,8 @@ class InMemoryIndex(Index):
         mesh_config: "MeshConfig | None" = None,
         precision: str = "exact",
         store: str = "host",
+        hbm_budget: int | None = None,
+        stream_chunk_rows: int | None = None,
     ) -> None:
         """Create an in-memory index.
 
@@ -103,9 +105,22 @@ class InMemoryIndex(Index):
                bf16-rounded values (a warning is logged).  Under
                ``store="host"`` the fp32 canonical is preserved and only
                the HBM scoring mirror is bf16.
+        :param hbm_budget: Scoring-HBM budget in bytes for dense host-store
+            tables.  When the table exceeds it, the index serves from the
+            **beyond-HBM hybrid tier**: ~70% of the budget holds an
+            HBM-resident table prefix and the rest caches streamed
+            candidate blocks of the host-RAM tail (``ops.host_stream``).
+            ``None`` (default): upload the full table (must fit HBM).
+        :param stream_chunk_rows: Rows per streamed tail block for the
+            hybrid tier (default ``ops.host_stream.HOST_CHUNK_ROWS``).
         """
         if store not in ("host", "device"):
             raise ValueError(f"store must be 'host' or 'device', got {store!r}")
+        if store == "device" and mesh_config is not None:
+            # device-append composes with sharding: the growable buffer is
+            # allocated row-sharded and every donated update runs SPMD, so
+            # a mesh-sharded corpus builds without a host mirror
+            mesh_config.build()  # validate the topology early
         if store == "device" and device_dtype == "bfloat16":
             LOGGER.warning(
                 "store='device' with device_dtype='bfloat16' stores the "
@@ -113,11 +128,18 @@ class InMemoryIndex(Index):
                 "and quantizer fits see permanently rounded values (use "
                 "store='host' to keep an fp32 canonical copy)"
             )
-        if store == "device" and mesh_config is not None:
+        if hbm_budget is not None and store == "device":
             raise ValueError(
-                "store='device' with mesh_config is not supported yet; "
-                "sharded tables use the host-canonical store"
+                "hbm_budget requires store='host' (the hybrid tier streams "
+                "from the host canonical copy)"
             )
+        if hbm_budget is not None and mesh_config is not None:
+            raise ValueError(
+                "hbm_budget cannot be combined with mesh_config (shard the "
+                "table across chips OR stream it from the host, not both)"
+            )
+        self._hbm_budget = hbm_budget
+        self._stream_chunk_rows = stream_chunk_rows
         self._store_mode = store
         self._dev_table = None  # growable device buffer (store='device')
         self._dev_width = None
@@ -221,26 +243,51 @@ class InMemoryIndex(Index):
         """
         n_new, width = data.shape
         rowshape, dtype = self._device_layout(width)
+        if (
+            self._mesh_config is not None
+            and len(rowshape) == 1
+            and not isinstance(self._quantizer, PQ)
+        ):
+            raise ValueError(
+                "Sharded device stores require dim % 128 == 0 "
+                f"(got {width}); pad the embeddings."
+            )
         self._dev_width = width
 
         cap_needed = start + n_new
         if self._dev_table is None:
             cap = max(self._init_size, cap_needed)
             cap = -(-cap // _ROW_PAD) * _ROW_PAD
-            self._dev_table = jnp.zeros((cap, *rowshape), dtype)
+            self._dev_table = self._alloc_device(cap, rowshape, dtype)
         elif cap_needed > self._dev_table.shape[0]:
             cur = self._dev_table.shape[0]
             extra = -(-(cap_needed - cur) // self._alloc_size) * self._alloc_size
             cap = -(-(cur + extra) // _ROW_PAD) * _ROW_PAD
             LOGGER.debug("growing device store from %s to %s rows", cur, cap)
             self._dev_table = _dev_place(
-                jnp.zeros((cap, *rowshape), dtype),
+                self._alloc_device(cap, rowshape, dtype),
                 self._dev_table,
                 np.int32(0),
             )
 
         chunk = jnp.asarray(data.reshape(n_new, *rowshape)).astype(dtype)
         self._dev_table = _dev_place(self._dev_table, chunk, np.int32(start))
+
+    def _alloc_device(self, cap: int, rowshape: tuple, dtype) -> "jnp.ndarray":
+        """Allocate the growable device buffer — row-sharded over the mesh
+        when one is configured (the donated updates then run SPMD and the
+        sharded corpus builds without a host mirror)."""
+        if self._mesh_config is None:
+            return jnp.zeros((cap, *rowshape), dtype)
+        from fastforward_tpu.parallel.sharded import table_sharding
+
+        if self._mesh is None:
+            self._mesh = self._mesh_config.build()
+        sharding = table_sharding(self._mesh, ndim=1 + len(rowshape))
+        return jax.jit(
+            lambda: jnp.zeros((cap, *rowshape), dtype),
+            out_shardings=sharding,
+        )()
 
     def _fetch_device_rows(self, rows: np.ndarray) -> np.ndarray:
         """Gather rows of the device store back to the host, ``(n, width)``."""
@@ -279,6 +326,21 @@ class InMemoryIndex(Index):
 
     # -- device table --------------------------------------------------------
 
+    def _hybrid_view(self, data: np.ndarray, dim: int, n_pad: int) -> DeviceView | None:
+        """Beyond-HBM tier view, or ``None`` when the table fits the budget
+        (see :func:`fastforward_tpu.index.base.build_hybrid_view`)."""
+        from fastforward_tpu.index.base import build_hybrid_view
+
+        return build_hybrid_view(
+            data,
+            self._num,
+            dim,
+            self._hbm_budget,
+            self._precision,
+            chunk_rows=self._stream_chunk_rows,
+            bf16=self._device_dtype == "bfloat16",
+        )
+
     def _device_view(self) -> DeviceView | None:
         if self._num == 0:
             return None
@@ -286,14 +348,26 @@ class InMemoryIndex(Index):
             return self._dev_view
 
         if self._store_mode == "device":
-            # the growable HBM buffer IS the scoring table (zero-padded)
+            # the growable HBM buffer IS the scoring table (zero-padded);
+            # with a mesh it was allocated row-sharded (see _alloc_device)
             if isinstance(self._quantizer, PQ):
+                codebooks = np.asarray(
+                    self._quantizer.codewords, dtype=np.float32
+                )
+                if self._mesh is not None:
+                    from jax.sharding import NamedSharding
+                    from jax.sharding import PartitionSpec as P
+
+                    cb_dev = jax.device_put(
+                        codebooks, NamedSharding(self._mesh, P())
+                    )
+                else:
+                    cb_dev = jnp.asarray(codebooks)
                 self._dev_view = DeviceView(
                     kind="pq",
                     table=self._dev_table,
-                    codebooks=jnp.asarray(
-                        np.asarray(self._quantizer.codewords, dtype=np.float32)
-                    ),
+                    codebooks=cb_dev,
+                    mesh=self._mesh,
                     precision=self._precision,
                 )
             elif isinstance(self._quantizer, ScalarQuantizer):
@@ -301,12 +375,14 @@ class InMemoryIndex(Index):
                     kind="scalar",
                     table=self._dev_table,
                     scales=self._quantizer.scales,
+                    mesh=self._mesh,
                     precision=self._precision,
                 )
             else:
                 self._dev_view = DeviceView(
                     kind="dense",
                     table=self._dev_table,
+                    mesh=self._mesh,
                     precision=self._precision,
                 )
             return self._dev_view
@@ -424,6 +500,11 @@ class InMemoryIndex(Index):
             )
         else:
             dim = data.shape[1]
+            if self._hbm_budget is not None and dim % 128 == 0:
+                hybrid = self._hybrid_view(data, dim, n_pad)
+                if hybrid is not None:
+                    self._dev_view = hybrid
+                    return self._dev_view
             table = np.zeros((n_pad, dim), dtype=np.float32)
             table[: self._num] = data
             if dim % 128 == 0:

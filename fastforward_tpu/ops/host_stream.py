@@ -1,0 +1,392 @@
+"""Beyond-HBM tier: host-RAM tables streamed through the scoring kernel.
+
+Corpora whose fp32 tables exceed one chip's HBM (MS MARCO v1 at 8.8M x 768
+is ~27 GB against 16 GB on a v5e) are served from a **hybrid** view
+(SURVEY.md §7 step 5; the reference serves arbitrary N from disk,
+reference: ``index/disk.py:309-336``):
+
+- an HBM-**resident prefix** of the table, scored exactly like a normal
+  device table (streamed matmul-select, or a device gather-dot for sparse
+  candidate sets);
+- a host-RAM **tail**, scored by *candidate-block streaming*: the tail
+  candidates are compacted to unique rows, host-gathered into
+  ``chunk_rows``-row blocks, shipped to HBM slabs with a one-deep upload
+  prefetch (chunk ``c+1`` transfers while ``c``'s kernel runs), and each
+  block is scored by the same streaming-select kernel
+  (``ops.stream_kernel`` on TPU, the XLA scan on CPU) with the chunk's
+  scores accumulated into one device buffer — a single ``(P,)`` fetch per
+  call regardless of chunk count.
+
+Unique-row compaction makes one code path serve every density: a sparse
+candidate set (an early-stopping round) gathers and ships only the rows it
+touches, while a dense set degrades to streaming the whole tail.  Warm
+plans additionally cache the gathered blocks — host-side always, and
+**on device** when they fit the configured budget, in which case repeat
+calls pay no host->device table traffic at all.
+"""
+
+import functools
+import logging
+
+import jax
+import jax.numpy as jnp
+import ml_dtypes
+import numpy as np
+
+from fastforward_tpu.ops import scoring as _sc
+
+LOGGER = logging.getLogger(__name__)
+
+#: default unique rows per streamed tail chunk (x dim x 4B = slab bytes).
+#: Finer chunks cache with finer granularity: the device-block budget keeps
+#: whole chunks, so a chunk must be small relative to the leftover budget
+#: (32k rows x 768 x 4B = 96 MB) or caching becomes all-or-nothing.
+HOST_CHUNK_ROWS = 1 << 15
+
+
+def _chunk_accum_impl(
+    table, q, cand, tile_idx, out, slot, start, *, r, precision, use_pallas
+):
+    """Score one tail block and accumulate its candidate scores into ``out``.
+
+    ``slot`` is padded to a power-of-two bucket; padded entries write
+    garbage at positions >= this chunk's real count, which the NEXT chunk's
+    block (starting exactly there) overwrites — chunks must be processed in
+    increasing ``start`` order, and ``out`` is sized so even the last
+    chunk's padded write stays in bounds (``dynamic_update_slice`` clamps
+    out-of-bounds starts, which would corrupt earlier scores otherwise).
+    """
+    if use_pallas:
+        from fastforward_tpu.ops import stream_kernel
+
+        outs = stream_kernel.stream_select(
+            table, q, cand, tile_idx, r=r, precision=precision
+        )
+    else:
+        outs = _sc.stream_scan(table, q, cand, tile_idx, r, precision)
+    picked = jnp.take(outs.reshape(-1), slot, axis=0)
+    return jax.lax.dynamic_update_slice(out, picked, (start,))
+
+
+_chunk_accum = None
+
+
+def _get_chunk_accum():
+    """Jitted chunk accumulator (donating ``out`` on real devices only)."""
+    global _chunk_accum
+    if _chunk_accum is None:
+        donate = (4,) if jax.default_backend() == "tpu" else ()
+        _chunk_accum = jax.jit(
+            _chunk_accum_impl,
+            static_argnames=("r", "precision", "use_pallas"),
+            donate_argnums=donate,
+        )
+    return _chunk_accum
+
+
+@functools.partial(jax.jit, static_argnames=("precision",))
+def _gather_dot(table, q_pad, rows, qno, precision):
+    """Device gather-dot for sparse candidate sets against a device table."""
+    d = jnp.take(table, rows, axis=0).astype(jnp.float32)
+    d = d.reshape(d.shape[0], -1)
+    q = jnp.take(q_pad.reshape(q_pad.shape[0], -1), qno, axis=0)
+    return jnp.einsum(
+        "pd,pd->p",
+        d,
+        q,
+        precision=_sc.LAX_PRECISION[precision],
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _pad_pow2(arr: np.ndarray, fill) -> np.ndarray:
+    size = _sc.bucket(arr.shape[0])
+    if size == arr.shape[0]:
+        return arr
+    out = np.full((size,), fill, dtype=arr.dtype)
+    out[: arr.shape[0]] = arr
+    return out
+
+
+def _score_resident(table, q_pad, rows, qno, precision, plan) -> np.ndarray:
+    """Score resident-prefix candidates (streamed when dense, gather-dot
+    when sparse — XLA's row gather is per-row-overhead bound, see
+    ``ops.scoring``)."""
+    p = rows.shape[0]
+    n = table.shape[0]
+    if p * 500 > n:
+        out = _sc.streamed_scores(
+            table,
+            q_pad,
+            rows.astype(np.int64),
+            qno.astype(np.int64),
+            precision=precision,
+            plan=plan,
+        )
+        if out is not None:
+            return out[:p]
+    rows_d = _pad_pow2(rows.astype(np.int32), 0)
+    qno_d = _pad_pow2(qno.astype(np.int32), 0)
+    scores = _gather_dot(
+        table,
+        _sc._cached_q_upload(
+            np.asarray(q_pad, dtype=np.float32), plan, "q_dev"
+        ),
+        jnp.asarray(rows_d),
+        jnp.asarray(qno_d),
+        precision,
+    )
+    return np.asarray(jax.device_get(scores))[:p]
+
+
+def _build_tail_chunks(
+    u_rows: np.ndarray,
+    u_of_pair: np.ndarray,
+    qno: np.ndarray,
+    qb: int,
+    chunk_rows: int,
+    r: int,
+    use_pallas: bool,
+) -> tuple[list[dict], np.ndarray]:
+    """Chunk unique tail rows and build each chunk's candidate layout.
+
+    Returns ``(chunks, order)`` where ``order`` permutes the tail pairs
+    into chunk-major order (each chunk's scores land contiguously in the
+    accumulator at ``chunk["start"]``).  Raises when the streamed layout
+    cannot represent the geometry (query counts beyond 2^31 / tile rows —
+    not reachable with real workloads).
+    """
+    chunk_of = u_of_pair // chunk_rows
+    order = np.argsort(chunk_of, kind="stable")
+    n_chunks = -(-u_rows.shape[0] // chunk_rows)
+    counts = np.bincount(chunk_of, minlength=n_chunks)
+    starts = np.zeros(n_chunks + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+
+    chunks: list[dict] = []
+    for c in range(n_chunks):
+        lo, hi = int(starts[c]), int(starts[c + 1])
+        sel = order[lo:hi]
+        local = (u_of_pair[sel] - c * chunk_rows).astype(np.int64)
+        layout = _sc.build_streamed_layout(
+            local,
+            qno[sel].astype(np.int64),
+            chunk_rows,
+            qb,
+            r=r,
+            cap=_sc._adaptive_cap(max(1, hi - lo), chunk_rows // r),
+        )
+        if layout is None:  # pragma: no cover - 2^31 packing guard
+            raise RuntimeError(
+                "host-streamed layout cannot pack "
+                f"{qb} queries x {r} tile rows"
+            )
+        cand, tile_idx, slot_of_pair = layout
+        if use_pallas:
+            cand = cand.reshape(cand.shape[0], -1, 128)
+        chunks.append(
+            {
+                "rows": u_rows[c * chunk_rows : (c + 1) * chunk_rows],
+                "cand": jnp.asarray(cand),
+                "tile": jnp.asarray(tile_idx),
+                "slot": jnp.asarray(
+                    _pad_pow2(slot_of_pair.astype(np.int32), 0)
+                ),
+                "start": np.int32(lo),
+                "n": hi - lo,
+            }
+        )
+    return chunks, order
+
+
+def _chunk_block(
+    chunk: dict, host_tail: np.ndarray, chunk_rows: int, stage_dtype
+) -> np.ndarray:
+    """Host-gather one chunk's unique rows into an upload-ready block."""
+    rows = chunk["rows"]
+    if rows.shape[0] == chunk_rows and host_tail.dtype == stage_dtype:
+        return host_tail[rows]
+    k, lanes = host_tail.shape[1], host_tail.shape[2]
+    block = np.zeros((chunk_rows, k, lanes), dtype=stage_dtype)
+    block[: rows.shape[0]] = host_tail[rows]
+    return block
+
+
+def _upload_block(
+    chunk: dict,
+    host_tail: np.ndarray,
+    chunk_rows: int,
+    stage_dtype,
+    cache_bytes: int,
+    budget: int,
+) -> tuple[jax.Array, int]:
+    """Return the chunk's device block, caching per the HBM budget.
+
+    Host-side the gathered block stays on the chunk dict (the random host
+    gather is paid once per plan); the *device* copy is kept only while
+    the running total stays under ``budget`` (and then the host copy is
+    dropped — the device one is canonical for the plan's lifetime).
+    """
+    dev = chunk.get("block_dev")
+    if dev is not None:
+        return dev, cache_bytes + dev.nbytes
+    host = chunk.get("block_host")
+    if host is None:
+        host = _chunk_block(chunk, host_tail, chunk_rows, stage_dtype)
+        chunk["block_host"] = host
+    dev = jax.device_put(host)
+    if cache_bytes + host.nbytes <= budget:
+        chunk["block_dev"] = dev
+        chunk.pop("block_host", None)
+        cache_bytes += host.nbytes
+    return dev, cache_bytes
+
+
+def hybrid_scores(
+    resident: jax.Array,
+    host_tail: np.ndarray,
+    tail_start: int,
+    chunk_rows: int,
+    q_pad: np.ndarray,
+    rows: np.ndarray,
+    qno: np.ndarray,
+    precision: str = "exact",
+    plan: dict | None = None,
+    cache_device_blocks_budget: int = 0,
+) -> np.ndarray:
+    """Score ``table[rows[i]] . q_pad[qno[i]]`` against a hybrid table.
+
+    :param resident: HBM-resident table prefix, ``(R, dim//128, 128)``
+        (``R`` may be 0), fp32 or bf16; rows ``< tail_start`` score here.
+    :param host_tail: Host-RAM tail, ``(N - tail_start, dim//128, 128)``
+        fp32 (a zero-copy view of the canonical store).
+    :param tail_start: First global row held by ``host_tail``.
+    :param chunk_rows: Unique tail rows per streamed block.
+    :param q_pad: Padded query vectors, ``(Qb, dim)`` fp32.
+    :param rows: Global table row per flattened pair, ``(P,)``.
+    :param qno: Query per flattened pair, ``(P,)``.
+    :param precision: Dot precision tier.
+    :param plan: Optional prepared-run cache; holds the chunk layouts, the
+        gathered host blocks, and (within budget) device-resident blocks.
+    :param cache_device_blocks_budget: Bytes of HBM the plan may spend on
+        keeping gathered tail blocks device-resident across calls (0:
+        host-cache only — every call re-ships the blocks).
+    :return: Per-pair scores in input order, ``(P,)`` fp32 numpy.
+    """
+    p = rows.shape[0]
+    qb = q_pad.shape[0]
+    state = plan.get("hybrid") if plan is not None else None
+    if state is None:
+        res_mask = rows < tail_start
+        res_pos = np.flatnonzero(res_mask)
+        tail_pos = np.flatnonzero(~res_mask)
+        u_rows, u_of_pair = np.unique(
+            rows[tail_pos] - tail_start, return_inverse=True
+        )
+        use_pallas = _sc.pallas_stream_enabled()
+        if use_pallas:
+            from fastforward_tpu.ops import stream_kernel
+
+            r = stream_kernel.KERNEL_TILE_ROWS
+        else:
+            r = _sc.STREAM_TILE_ROWS
+        chunk_rows_eff = max(r, (chunk_rows // r) * r)
+        chunks, order = _build_tail_chunks(
+            u_rows.astype(np.int64),
+            u_of_pair.astype(np.int64),
+            qno[tail_pos],
+            qb,
+            chunk_rows_eff,
+            r,
+            use_pallas,
+        )
+        # accumulator sized for the padded write of EVERY chunk (see
+        # _chunk_accum_impl: dynamic_update_slice must never clamp)
+        acc_size = _sc.bucket(
+            max(
+                [tail_pos.shape[0]]
+                + [int(c["start"]) + c["slot"].shape[0] for c in chunks]
+            )
+        ) if chunks else 0
+        state = {
+            "res_pos": res_pos,
+            "res_rows": rows[res_pos].astype(np.int32),
+            "res_qno": qno[res_pos].astype(np.int32),
+            "res_plan": {},
+            "tail_pos_ordered": tail_pos[order],
+            "p_tail": tail_pos.shape[0],
+            "chunks": chunks,
+            "acc_size": acc_size,
+            "r": r,
+            "chunk_rows": chunk_rows_eff,
+            "use_pallas": use_pallas,
+        }
+        if plan is not None:
+            plan["hybrid"] = state
+
+    out = np.empty(p, dtype=np.float32)
+
+    # resident prefix
+    if state["res_pos"].shape[0]:
+        out[state["res_pos"]] = _score_resident(
+            resident,
+            q_pad,
+            state["res_rows"],
+            state["res_qno"],
+            precision,
+            state["res_plan"],
+        )
+
+    # streamed tail blocks
+    chunks = state["chunks"]
+    if chunks:
+        use_pallas = state["use_pallas"]
+        r = state["r"]
+        chunk_rows_eff = state["chunk_rows"]
+        stage_dtype = (
+            ml_dtypes.bfloat16
+            if resident.dtype == jnp.bfloat16
+            else np.float32
+        )
+        if use_pallas:
+            q_dev = _sc._cached_q_upload(
+                np.ascontiguousarray(q_pad.T.astype(np.float32)),
+                plan,
+                "q_t_dev",
+            )
+        else:
+            q_dev = _sc._cached_q_upload(
+                np.asarray(q_pad, dtype=np.float32), plan, "q_dev"
+            )
+        accum = _get_chunk_accum()
+        acc = jnp.zeros((state["acc_size"],), jnp.float32)
+
+        # one-deep block prefetch: ship chunk c+1 while c's kernel runs
+        # (device_put is async; transfers overlap the kernel dispatches)
+        dev0, cache_bytes = _upload_block(
+            chunks[0], host_tail, chunk_rows_eff, stage_dtype,
+            0, cache_device_blocks_budget,
+        )
+        pending = dev0
+        for c, chunk in enumerate(chunks):
+            block_dev = pending
+            if c + 1 < len(chunks):
+                pending, cache_bytes = _upload_block(
+                    chunks[c + 1], host_tail, chunk_rows_eff, stage_dtype,
+                    cache_bytes, cache_device_blocks_budget,
+                )
+            acc = accum(
+                block_dev,
+                q_dev,
+                chunk["cand"],
+                chunk["tile"],
+                acc,
+                chunk["slot"],
+                chunk["start"],
+                r=r,
+                precision=precision,
+                use_pallas=use_pallas,
+            )
+        tail_scores = np.asarray(jax.device_get(acc))[: state["p_tail"]]
+        out[state["tail_pos_ordered"]] = tail_scores
+    return out

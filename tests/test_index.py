@@ -465,11 +465,15 @@ class TestInMemoryIndexDeviceStore(TestIndex):
         vecs, ids = index._get_vectors(psg_ids)
         _assert_vectors_match(vecs, ids, data, psg_ids)
 
-    def test_mesh_config_rejected(self):
+    def test_device_store_option_validation(self):
         from fastforward_tpu.parallel import MeshConfig
 
+        # store='device' + mesh_config is supported (sharded device append,
+        # tests/test_parallel.py::test_device_store_sharded); hbm_budget is
+        # not (the hybrid tier streams from the host canonical copy)
+        InMemoryIndex(store="device", mesh_config=MeshConfig(shard=8))
         with self.assertRaises(ValueError):
-            InMemoryIndex(store="device", mesh_config=MeshConfig(shard=8))
+            InMemoryIndex(store="device", hbm_budget=1 << 20)
 
     def test_bad_store_rejected(self):
         with self.assertRaises(ValueError):
