@@ -135,14 +135,18 @@ def streamed_scores_sharded(
     qno: "np.ndarray",
     precision: str = "exact",
     plan: dict | None = None,
+    reduce: "tuple | None" = None,
 ) -> "np.ndarray | None":
     """Sharded equivalent of ``ops.streamed_scores``.
 
     Partitions candidates by their owning shard on the host, builds one
     streamed layout per shard (padded to a common virtual-tile count), and
     runs the per-shard streaming program.  Returns per-row scores in input
-    order, or ``None`` when the layout doesn't apply.  ``plan`` optionally
-    caches the per-shard grids (see ``ops.scoring.streamed_scores``).
+    order (or per-pair scores with ``reduce=(op, k, counts_dev)`` — the
+    slot gather and the ranking-mode K reduction then run on device, so
+    only ``P`` floats cross the host link; the cross-shard slot traffic
+    rides ICI inside the jit).  ``None`` when the layout doesn't apply.
+    ``plan`` optionally caches the per-shard grids.
     """
     import numpy as np
 
@@ -199,7 +203,11 @@ def streamed_scores_sharded(
     outs = _cached_stream_scorer(mesh, r, precision)(
         table, q_pad.astype(np.float32), cand_all, tile_idx_all
     )
-    return np.asarray(jax.device_get(outs))[slot_of_pair]
+    from fastforward_tpu.ops.scoring import _finalize_streamed
+
+    return _finalize_streamed(
+        outs, slot_of_pair, reduce, plan, "stream_sharded_slot"
+    )
 
 
 def _sharded_pq_score_fn(mesh: Mesh, op: str):
@@ -328,12 +336,15 @@ def streamed_scores_sharded_pq(
     rows: "np.ndarray",
     qno: "np.ndarray",
     plan: dict | None = None,
+    reduce: "tuple | None" = None,
 ) -> "np.ndarray | None":
     """Sharded equivalent of ``ops.streamed_scores_pq``.
 
     Same host-side candidate partitioning as ``streamed_scores_sharded``;
     each chip dequantize-streams its own code rows.  Returns per-row scores
-    in input order, or ``None`` when the layout doesn't apply.
+    in input order (or per-pair scores with ``reduce`` — gather + K
+    reduction on device, see ``streamed_scores_sharded``), or ``None`` when
+    the layout doesn't apply.
     """
     import numpy as np
 
@@ -387,7 +398,11 @@ def streamed_scores_sharded_pq(
     outs = _cached_pq_stream_scorer(mesh, r)(
         codes, codebooks, q_pad.astype(np.float32), cand_all, tile_idx_all
     )
-    return np.asarray(jax.device_get(outs))[slot_of_pair]
+    from fastforward_tpu.ops.scoring import _finalize_streamed
+
+    return _finalize_streamed(
+        outs, slot_of_pair, reduce, plan, "stream_sharded_pq_slot"
+    )
 
 
 def score_pairs_sharded(

@@ -206,6 +206,103 @@ class TestShardedQuantized(unittest.TestCase):
 
         self._pq_parity(lambda: OPQ(8, 16, opq_iters=2))
 
+    def test_dense_sharded_streamed_device_reduce(self):
+        """Large-enough tables route dense candidate sets through the
+        per-shard streamed program; the slot gather and (for doc modes)
+        the K reduction run on device — only ``P`` floats cross the host
+        link.  Parity vs the unsharded index, and the streamed plan keys
+        prove which path ran."""
+        n = 8192  # n_local = 1024 per shard: tile-aligned for streaming
+        vectors = RNG.normal(size=(n, DIM)).astype(np.float32)
+        qvec = RNG.normal(size=DIM).astype(np.float32)
+        enc = LambdaEncoder(lambda _: qvec)
+        doc_ids = [f"d{i // 4}" for i in range(n)]
+        psg_ids = [f"p{i}" for i in range(n)]
+        doc_run = {
+            "q1": {f"d{i}": float(i) for i in range(400)},
+            "q2": {f"d{i}": float(i) for i in range(100, 500)},
+        }
+        psg_run = {"q1": {f"p{i}": float(i) for i in range(1200)}}
+        queries = {"q1": "a", "q2": "b"}
+
+        for mode, run in [
+            (Mode.MAXP, doc_run),
+            (Mode.AVEP, doc_run),
+            (Mode.PASSAGE, psg_run),
+        ]:
+            ranking = Ranking.from_run(
+                run, queries={q: queries[q] for q in run}
+            )
+            sharded = InMemoryIndex(
+                enc, mode=mode, mesh_config=MeshConfig(data=1, shard=8)
+            )
+            sharded.add(vectors, doc_ids=doc_ids, psg_ids=psg_ids)
+            plain = InMemoryIndex(enc, mode=mode)
+            plain.add(vectors, doc_ids=doc_ids, psg_ids=psg_ids)
+            got = sharded(ranking)
+            plan = next(iter(sharded._plans.values()))
+            self.assertIn("stream_sharded", plan, mode)  # streamed path ran
+            self.assertIn("stream_sharded_slot", plan, mode)  # device gather
+            expected = plain(ranking)
+            for q_id in expected.q_ids:
+                g, e = got[q_id], expected[q_id]
+                self.assertEqual(set(g), set(e), mode)
+                for doc in e:
+                    self.assertAlmostEqual(
+                        e[doc], g[doc], places=3, msg=(mode, doc)
+                    )
+            # warm call reuses the cached grids and stays correct
+            self.assertEqual(got, sharded(ranking), mode)
+
+    def test_device_store_sharded(self):
+        """store='device' composes with mesh_config: the growable buffer is
+        allocated row-sharded, donated appends run SPMD, and no host mirror
+        ever exists — parity vs the unsharded host-store index (dense and
+        int8), including growth across the allocation boundary."""
+        from fastforward_tpu.quantizer import ScalarQuantizer
+
+        n = 300
+        vectors = RNG.normal(size=(n, DIM)).astype(np.float32)
+        qvec = RNG.normal(size=DIM).astype(np.float32)
+        enc = LambdaEncoder(lambda _: qvec)
+        run = {"q1": {f"p{i}": float(i) for i in range(200)}}
+        ranking = Ranking.from_run(run, queries={"q1": "a"})
+
+        for tag, make_q in [("dense", lambda: None), ("int8", ScalarQuantizer)]:
+            results = []
+            for store, mesh_config in [
+                ("host", None),
+                ("device", MeshConfig(data=2, shard=4)),
+            ]:
+                quantizer = make_q()
+                if quantizer is not None:
+                    quantizer.fit(vectors)
+                index = InMemoryIndex(
+                    enc,
+                    quantizer=quantizer,
+                    mode=Mode.PASSAGE,
+                    store=store,
+                    mesh_config=mesh_config,
+                    init_size=128,  # force device-buffer growth mid-add
+                    alloc_size=128,
+                )
+                for i in range(0, n, 100):
+                    index.add(
+                        vectors[i : i + 100],
+                        psg_ids=[f"p{j}" for j in range(i, i + 100)],
+                    )
+                results.append(index(ranking)["q1"])
+                if mesh_config is not None:
+                    view = index._device_view()
+                    self.assertIsNotNone(view.mesh, tag)
+                    self.assertIsNone(index._store, tag)  # no host mirror
+            plain, sharded = results
+            self.assertEqual(set(plain), set(sharded), tag)
+            for pid in plain:
+                self.assertAlmostEqual(
+                    plain[pid], sharded[pid], places=3, msg=(tag, pid)
+                )
+
     def test_pq_disk_hbm_cache_sharded(self):
         """OnDiskIndex(hbm_cache, mesh_config) with PQ codes."""
         import shutil
