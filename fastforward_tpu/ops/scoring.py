@@ -759,6 +759,110 @@ def streamed_scores(
     return _finalize_streamed(outs, slot_of_pair, reduce, plan, "stream_xla_slot")
 
 
+@partial(jax.jit, static_argnames=("m_pad",))
+def _pad_pq_codes(codes, m_pad):
+    """Lane-align the code table for the Pallas ADC kernel (device, once):
+    ``(N, M) -> (N, M_PAD)``.  Spare columns are never read (the kernel
+    slices the real ``m``)."""
+    return jnp.pad(codes, ((0, 0), (0, m_pad - codes.shape[1])))
+
+
+@partial(jax.jit, static_argnames=("m", "r", "precision", "k", "op"))
+def _stream_select_pq_finalized(
+    codes_p, bd_hi, bd_lo, q_t, cand, tile_idx, slot, counts,
+    m, r, precision, k, op,
+):
+    """Pallas ADC kernel + slot gather (+ K reduction) as ONE dispatch."""
+    from fastforward_tpu.ops import stream_kernel_pq
+
+    outs = stream_kernel_pq.stream_select_pq(
+        codes_p, bd_hi, bd_lo, q_t, cand, tile_idx,
+        m=m, r=r, precision=precision,
+    )
+    if counts is None:
+        return jnp.take(outs.reshape(-1), slot, axis=0)
+    picked = jnp.take(outs.reshape(-1), slot, axis=0).reshape(-1, k)
+    valid = jnp.arange(k, dtype=jnp.int32)[None, :] < counts[:, None]
+    if op == "max":
+        return jnp.where(valid, picked, -jnp.inf).max(axis=1)
+    if op == "mean":
+        sums = jnp.where(valid, picked, 0.0).sum(axis=1)
+        return (sums / jnp.maximum(counts, 1)).astype(jnp.float32)
+    return picked[:, 0]
+
+
+def _streamed_pq_pallas(
+    codes, codebooks, q_pad, rows, qno, plan, reduce, precision, table_cache
+):
+    """Fused Pallas streamed-ADC path, or ``None`` to use the XLA scan."""
+    from fastforward_tpu.ops import stream_kernel_pq
+
+    m = codebooks.shape[0]
+    m_pad = stream_kernel_pq.M_PAD
+    r = stream_kernel_pq.KERNEL_PQ_TILE_ROWS
+    n_pad = codes.shape[0]
+    qb = q_pad.shape[0]
+    if m > m_pad or table_cache is None or n_pad % r:
+        return None
+    padded = table_cache.get("pq_padded")
+    if padded is None:
+        bd = stream_kernel_pq.build_blockdiag_codebooks(
+            np.asarray(jax.device_get(codebooks), dtype=np.float32)
+        )
+        if bd is None:  # geometry the kernel can't tile
+            table_cache["pq_padded"] = False
+            return None
+        padded = (
+            _pad_pq_codes(codes, m_pad),
+            jnp.asarray(bd[0]),
+            jnp.asarray(bd[1]),
+        )
+        table_cache["pq_padded"] = padded
+    if padded is False:
+        return None
+    cached = plan.get("stream_pq_pallas") if plan is not None else None
+    if cached is None:
+        cap = _adaptive_cap(rows.shape[0], n_pad // r)
+        layout = build_streamed_layout(rows, qno, n_pad, qb, r=r, cap=cap)
+        # scalar-prefetch tile indices live in SMEM; bound the grid size
+        if layout is not None and layout[1].shape[0] > 32768:
+            layout = None
+        if layout is None:
+            return None
+        cand, tile_idx, slot_of_pair = layout
+        cached = (
+            jnp.asarray(cand.reshape(cand.shape[0], cap // 128, 128)),
+            jnp.asarray(tile_idx),
+            slot_of_pair,
+        )
+        if plan is not None:
+            plan["stream_pq_pallas"] = cached
+    cand_dev, tile_dev, slot_of_pair = cached
+    try:
+        codes_p, bd_hi, bd_lo = padded
+        q_t = np.ascontiguousarray(q_pad.T.astype(np.float32))
+        q_dev = _cached_q_upload(q_t, plan, "q_t_pq_dev")
+        slot_dev = _slot_dev_cached(slot_of_pair, plan, "stream_pq_pallas_slot")
+        if slot_dev is None:
+            return None
+        if reduce is not None:
+            op, k, counts_dev = reduce
+        else:
+            op, k, counts_dev = "first", 1, None
+        out = _stream_select_pq_finalized(
+            codes_p, bd_hi, bd_lo, q_dev, cand_dev, tile_dev, slot_dev,
+            counts_dev, m, r, precision, k, op,
+        )
+        result = np.asarray(jax.device_get(out))
+        _pallas_success()
+        return result
+    except Exception as e:  # pragma: no cover - device-specific
+        _note_pallas_failure(e)
+        if plan is not None:
+            plan.pop("stream_pq_pallas", None)
+        return None
+
+
 def streamed_scores_pq(
     codes: jnp.ndarray,
     codebooks: jnp.ndarray,
@@ -768,16 +872,28 @@ def streamed_scores_pq(
     plan: dict | None = None,
     reduce: "tuple[str, int, jnp.ndarray] | None" = None,
     precision: str = "exact",
+    table_cache: dict | None = None,
 ) -> np.ndarray | None:
     """ADC-score ``codes[rows[i]] . q_pad[qno[i]]`` via code-table streaming.
 
     Same candidate bucketing (and optional layout ``plan`` cache) as
     :func:`streamed_scores`; scores are exact decode-then-dot (see
-    :func:`score_pairs_streamed_pq`).  Returns per-row scores in input
-    order, or ``None`` when the layout doesn't apply.
+    :func:`score_pairs_streamed_pq`).  On TPU the fused Pallas ADC kernel
+    runs first (``stream_kernel_pq`` — VMEM-resident dequantize, no HBM
+    round trips; ``table_cache`` holds the lane-aligned code/codebook
+    copies), falling back to the XLA scan on any failure.  Returns per-row
+    scores in input order, or ``None`` when the layout doesn't apply.
     """
     n_pad = codes.shape[0]
     qb = q_pad.shape[0]
+
+    if pallas_stream_enabled():
+        result = _streamed_pq_pallas(
+            codes, codebooks, q_pad, rows, qno, plan, reduce, precision,
+            table_cache,
+        )
+        if result is not None:
+            return result
     cached = plan.get("stream_pq") if plan is not None else None
     if cached is None:
         cap = _adaptive_cap(rows.shape[0], max(1, n_pad // STREAM_TILE_ROWS))

@@ -1,0 +1,233 @@
+"""Pallas streamed-ADC kernel: PQ scoring fused in VMEM.
+
+The XLA scan formulation (``ops.scoring.stream_scan_pq``) materializes the
+dequantized tile (``r x dim`` fp32) to HBM every step and runs the
+dequantize as per-subspace ``(R, Ks) @ (Ks, 8)`` dots that waste ~16x of
+the MXU's lanes.  This kernel keeps everything in VMEM and restructures
+the ADC math for the systolic array:
+
+- subspaces are grouped so one group spans exactly 128 output lanes
+  (``g = 128 // Ds``); each group's codebooks form a **block-diagonal**
+  ``(g*Ks, 128)`` matrix, so one full-width matmul dequantizes ``g``
+  subspaces at once;
+- the dequantize runs as two native-bf16 passes over a hi/lo split of
+  the codebooks.  For a one-hot LHS this is *exact*: each output element
+  is a sum of ``g`` selected ``hi + lo`` pairs accumulated in fp32.  (The
+  same split is unsound in plain XLA — the simplifier merges the dots and
+  re-truncates — but safe inside Pallas.)
+- the group loop lives in the **grid** (``(Tv, G)``), not unrolled in the
+  kernel body: per-group score contributions accumulate into a VMEM
+  scratch and the candidate selection runs on the last group step.  (An
+  unrolled 6-group body with lane concatenations sent the Mosaic
+  compiler into 450-1000 s compiles; the small per-step body is the fix.)
+- codes are stored TRANSPOSED ``(M_PAD, N_pad)`` so each (tile, group)
+  step fetches a legal ``(g, r)`` block through the index map — no
+  dynamic lane slicing in the kernel.
+
+Mosaic layout constraints honored (probed on v5e): trailing reshapes only
+in f32 with lane-multiple minor dims, leading-batch matmuls only, no
+dynamic gathers.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import ml_dtypes
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fastforward_tpu.ops.stream_kernel import _dot_bf16x3, _split_bf16
+
+#: rows per code tile
+KERNEL_PQ_TILE_ROWS = 512
+#: padded code rows in the transposed layout (spare rows never fetched)
+M_PAD = 128
+
+
+def build_blockdiag_codebooks(
+    codebooks: np.ndarray,
+) -> "tuple[np.ndarray, np.ndarray] | None":
+    """Block-diagonal hi/lo codebook matrices for the ADC kernel.
+
+    Returns ``(bd_hi, bd_lo)`` of shape ``(G, g*Ks, 128)`` bf16 with
+    ``hi + lo`` exactly the fp32 codeword values, or ``None`` when the
+    geometry doesn't fit the kernel (``Ds`` must divide 128 and the group
+    size must divide ``M``).
+    """
+    m, ks, ds = codebooks.shape
+    if ds > 128 or 128 % ds:
+        return None
+    g = 128 // ds
+    if m % g:
+        return None
+    num_groups = m // g
+    bd = np.zeros((num_groups, g * ks, 128), dtype=np.float32)
+    for grp in range(num_groups):
+        for j in range(g):
+            bd[grp, j * ks : (j + 1) * ks, j * ds : (j + 1) * ds] = codebooks[
+                grp * g + j
+            ]
+    hi = bd.astype(ml_dtypes.bfloat16)
+    lo = (bd - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return hi, lo
+
+
+def _adc_kernel(
+    tile_idx_ref, codes_ref, bdhi_ref, bdlo_ref, qt_ref, cand_ref, out_ref,
+    *, num_groups, g, ks, precision
+):
+    r = codes_ref.shape[1]
+    qb = qt_ref.shape[1]
+
+    codes = codes_ref[0].astype(jnp.int32)  # (R, M_pad)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, ks), 2)
+
+    def dot(a, b):
+        return jax.lax.dot(a, b, preferred_element_type=jnp.float32)
+
+    # per group (static unroll): one lane slice + broadcast compare + f32
+    # lane-aligned collapse builds the (R, g*Ks) one-hot — no transposes
+    # (sublane relayouts measured as the dominant per-tile cost in the
+    # transpose-based variant); the dequantize is two native-bf16 passes
+    # over the resident block-diagonal codebooks, exact for one-hot LHS.
+    deq_groups = []
+    for grp in range(num_groups):
+        cg = codes[:, grp * g : (grp + 1) * g]  # (R, g) static lane slice
+        oh = (
+            (cg[:, :, None] == k_iota)
+            .astype(jnp.float32)
+            .reshape(r, g * ks)
+            .astype(jnp.bfloat16)
+        )
+        deq_groups.append(dot(oh, bdhi_ref[grp]) + dot(oh, bdlo_ref[grp]))
+    deq = jnp.concatenate(deq_groups, axis=1)  # (R, dim) fp32
+
+    if precision == "high":
+        tile_scores = _dot_bf16x3(deq, qt_ref[...])
+    else:
+        tile_scores = jax.lax.dot(
+            deq,
+            qt_ref[...],
+            precision=precision,
+            preferred_element_type=jnp.float32,
+        )  # (R, Qb)
+
+    cand = cand_ref[0]  # (CAP//128, 128) int32 packed local * Qb + qno
+    local = cand // qb
+    qsel = cand % qb
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, r), 2)
+
+    def select(scores, dot_precision):
+        onehot = (local[:, :, None] == row_iota).astype(jnp.bfloat16)
+        return jax.lax.dot_general(
+            onehot,
+            scores,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            precision=dot_precision,
+            preferred_element_type=jnp.float32,
+        )  # (CAP//128, 128, Qb)
+
+    # selection copies single values exactly via hi/lo bf16 passes
+    s_hi, s_lo = _split_bf16(tile_scores)
+    picked = select(s_hi, jax.lax.Precision.DEFAULT) + select(
+        s_lo, jax.lax.Precision.DEFAULT
+    )
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, qb), 2)
+    q_onehot = (qsel[:, :, None] == q_iota).astype(jnp.float32)
+    out_ref[0] = jnp.sum(picked * q_onehot, axis=-1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("m", "r", "interpret", "precision")
+)
+def stream_select_pq(
+    codes_t: jax.Array,
+    bd_hi: jax.Array,
+    bd_lo: jax.Array,
+    qvecs_t: jax.Array,
+    cand3: jax.Array,
+    tile_idx: jax.Array,
+    m: int,
+    r: int = KERNEL_PQ_TILE_ROWS,
+    interpret: bool = False,
+    precision: str = "exact",
+) -> jax.Array:
+    """Fused streamed-ADC scoring over PQ codes.
+
+    :param codes_t: PQ codes, ``(N_pad, M_PAD)`` uint8/int8 with
+        ``N_pad % r == 0`` (columns beyond ``m`` are never read).
+    :param bd_hi: Block-diagonal codebook hi parts, ``(G, g*Ks, 128)``
+        bf16 (see :func:`build_blockdiag_codebooks`).
+    :param bd_lo: Matching lo parts, same shape.
+    :param qvecs_t: Transposed query vectors ``(dim, Qb)`` fp32 (already
+        OPQ-rotated by the caller where applicable).
+    :param cand3: Packed candidates ``local * Qb + qno``,
+        ``(Tv, CAP//128, 128)`` int32.
+    :param tile_idx: Base code tile per virtual tile, ``(Tv,)`` int32.
+    :param m: Real subspace count (static).
+    :param r: Rows per code tile (static).
+    :param interpret: Pallas interpreter mode (CPU tests).
+    :param precision: Tier for the scores matmul; the dequantize itself is
+        always exact.
+    :return: Scores per candidate slot, ``(Tv, CAP//128, 128)`` fp32.
+    """
+    t_virtual = cand3.shape[0]
+    capr = cand3.shape[1]
+    num_groups, gks, _ = bd_hi.shape
+    g = m // num_groups
+    ks = gks // g
+    qb = qvecs_t.shape[1]
+    n_pad, m_pad = codes_t.shape
+    codes3 = codes_t.reshape(n_pad // r, r, m_pad)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t_virtual,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, r, m_pad),
+                lambda t, tidx: (tidx[t], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bd_hi, fully resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bd_lo, fully resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # q^T, fully resident
+            pl.BlockSpec(
+                (1, capr, 128),
+                lambda t, tidx: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, capr, 128),
+            lambda t, tidx: (t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    lax_precision = {
+        "exact": jax.lax.Precision.HIGHEST,
+        "high": "high",  # manual bf16x3 (see stream_kernel._dot_bf16x3)
+        "fast": jax.lax.Precision.DEFAULT,
+    }[precision]
+    return pl.pallas_call(
+        functools.partial(
+            _adc_kernel,
+            num_groups=num_groups,
+            g=g,
+            ks=ks,
+            precision=lax_precision,
+        ),
+        out_shape=jax.ShapeDtypeStruct((t_virtual, capr, 128), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t_virtual * r * (2 * num_groups * gks * 128 + m * (128 // g) * qb),
+            bytes_accessed=t_virtual * r * m + t_virtual * capr * 128 * 8,
+            transcendentals=0,
+        ),
+    )(tile_idx, codes3, bd_hi, bd_lo, qvecs_t, cand3)
