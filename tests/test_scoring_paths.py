@@ -466,3 +466,39 @@ class TestPrecisionTiers(unittest.TestCase):
             truth = dec @ qvec
             for i in range(8):
                 self.assertAlmostEqual(float(truth[i]), result[f"p{i}"], places=3)
+
+
+class TestPreloadWarm(unittest.TestCase):
+    def test_warm_compiles_and_leaves_no_plan(self):
+        from fastforward_tpu.encoder import LambdaEncoder
+        from fastforward_tpu.index import InMemoryIndex, Mode
+        from fastforward_tpu.ranking import Ranking
+
+        rng = np.random.default_rng(9)
+        n, dim = 3000, 128
+        corpus = rng.normal(size=(n, dim)).astype(np.float32)
+        qvec = rng.normal(size=dim).astype(np.float32)
+        index = InMemoryIndex(LambdaEncoder(lambda _: qvec), mode=Mode.PASSAGE)
+        index.add(corpus, psg_ids=[f"p{i}" for i in range(n)])
+        self.assertTrue(index.preload(warm=(4, 100)))
+        self.assertEqual(0, len(index._plans))  # synthetic plan dropped
+        run = {"q1": {f"p{i}": float(i) for i in range(100)}}
+        result = index(Ranking.from_run(run, queries={"q1": "x"}))
+        self.assertAlmostEqual(
+            result["q1"]["p0"], float(corpus[0] @ qvec), places=3
+        )
+
+    def test_warm_without_encoder(self):
+        from fastforward_tpu.index import InMemoryIndex, Mode
+
+        rng = np.random.default_rng(10)
+        corpus = rng.normal(size=(500, 128)).astype(np.float32)
+        index = InMemoryIndex(mode=Mode.MAXP)
+        index.add(corpus, doc_ids=[f"d{i // 2}" for i in range(500)])
+        self.assertTrue(index.preload(warm=(2, 50)))
+        self.assertIsNone(index.query_encoder)  # restored
+
+    def test_warm_empty_index(self):
+        from fastforward_tpu.index import InMemoryIndex
+
+        self.assertFalse(InMemoryIndex().preload(warm=(2, 10)))
