@@ -63,7 +63,7 @@ class DeviceView:
     scales: np.ndarray | None = None
     mesh: "jax.sharding.Mesh | None" = None
     precision: str = "exact"
-    #: hybrid tier: host tail ``(N - tail_start, dim//128, 128)``, the
+    #: hybrid tier: host tail ``(N - tail_start, dim)``, the
     #: global row where it starts, streamed-block size, and the HBM bytes a
     #: plan may spend keeping tail blocks device-resident across calls
     host_tail: np.ndarray | None = None
@@ -110,20 +110,18 @@ def build_hybrid_view(
     resident = (int(hbm_budget * 0.7) // row_bytes) // 1024 * 1024
     if resident >= num:
         return None
-    k = dim // 128
+    # 2D (N, dim) tables everywhere: lanes are exact 128-multiples, so the
+    # device layout has no sublane padding and row_bytes is exact
     if resident > 0:
-        res3 = np.ascontiguousarray(
-            data[:resident], dtype=np.float32
-        ).reshape(resident, k, 128)
-        res_dev = jnp.asarray(res3)
+        res2 = np.ascontiguousarray(data[:resident], dtype=np.float32)
+        res_dev = jnp.asarray(res2)
         if bf16:
             res_dev = res_dev.astype(jnp.bfloat16)
     else:
-        res_dev = jnp.zeros((0, k, 128), jnp.bfloat16 if bf16 else jnp.float32)
+        res_dev = jnp.zeros((0, dim), jnp.bfloat16 if bf16 else jnp.float32)
     tail = data[resident:num]
     if tail.dtype != np.float32 or not tail.flags["C_CONTIGUOUS"]:
         tail = np.ascontiguousarray(tail, dtype=np.float32)
-    tail3 = tail.reshape(tail.shape[0], k, 128)
     LOGGER.info(
         "table (%d rows x %d B) exceeds the %d-byte HBM budget: serving "
         "from the hybrid tier (%d resident rows, %d host-streamed)",
@@ -131,13 +129,13 @@ def build_hybrid_view(
         row_bytes,
         hbm_budget,
         resident,
-        tail3.shape[0],
+        tail.shape[0],
     )
     return DeviceView(
         kind="hybrid",
         table=res_dev,
         precision=precision,
-        host_tail=tail3,
+        host_tail=tail,
         tail_start=resident,
         chunk_rows=chunk_rows or host_stream.HOST_CHUNK_ROWS,
         tail_cache_budget=max(0, hbm_budget - resident * row_bytes),
@@ -555,7 +553,13 @@ class Index(abc.ABC):
 
         streamable_dense = (
             view.kind in ("dense", "scalar")
-            and view.table.ndim == 3
+            and (
+                view.table.ndim == 3
+                or (
+                    view.table.ndim == 2
+                    and view.table.shape[1] % 128 == 0
+                )
+            )
             and n_pairs * k * 500 > view.table.shape[0]
         )
         # PQ code tiles are M bytes/row (vs 3072 dense) while the per-row

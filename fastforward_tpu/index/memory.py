@@ -224,7 +224,9 @@ class InMemoryIndex(Index):
                 "tables (unknown quantizers decode on the host)"
             )
         else:
-            dtype = (
+            # dense buffers stay 2D (N, dim): no sublane padding (the 3D
+            # form wastes 33% HBM at dim=768, see _device_view)
+            return (width,), (
                 jnp.bfloat16
                 if self._device_dtype == "bfloat16"
                 else jnp.float32
@@ -245,7 +247,7 @@ class InMemoryIndex(Index):
         rowshape, dtype = self._device_layout(width)
         if (
             self._mesh_config is not None
-            and len(rowshape) == 1
+            and width % 128 != 0
             and not isinstance(self._quantizer, PQ)
         ):
             raise ValueError(
@@ -491,10 +493,7 @@ class InMemoryIndex(Index):
                 self._mesh = self._mesh_config.build()
             table = np.zeros((n_pad, dim), dtype=np.float32)
             table[: self._num] = data
-            dev = jax.device_put(
-                table.reshape(n_pad, dim // 128, 128),
-                table_sharding(self._mesh),
-            )
+            dev = jax.device_put(table, table_sharding(self._mesh, ndim=2))
             self._dev_view = DeviceView(
                 kind="dense", table=dev, mesh=self._mesh, precision=self._precision
             )
@@ -505,12 +504,12 @@ class InMemoryIndex(Index):
                 if hybrid is not None:
                     self._dev_view = hybrid
                     return self._dev_view
+            # dense tables stay 2D (N, dim): lanes are exact 128-multiples
+            # so the device layout has NO sublane padding — the 3D
+            # (N, dim//128, 128) form wastes 33% HBM at dim=768 (T(8,128)
+            # tiling pads the middle dim 6 -> 8; caught as an OOM at N=8M)
             table = np.zeros((n_pad, dim), dtype=np.float32)
             table[: self._num] = data
-            if dim % 128 == 0:
-                # (N, dim//128, 128): row-DMA-friendly layout for the fused
-                # Pallas gather-dot kernel (free reshape on the host side)
-                table = table.reshape(n_pad, dim // 128, 128)
             dev = jnp.asarray(table)
             if self._device_dtype == "bfloat16":
                 # halves HBM footprint and gather bandwidth; dots still

@@ -206,8 +206,9 @@ def _chunk_block(
     rows = chunk["rows"]
     if rows.shape[0] == chunk_rows and host_tail.dtype == stage_dtype:
         return host_tail[rows]
-    k, lanes = host_tail.shape[1], host_tail.shape[2]
-    block = np.zeros((chunk_rows, k, lanes), dtype=stage_dtype)
+    block = np.zeros(
+        (chunk_rows, *host_tail.shape[1:]), dtype=stage_dtype
+    )
     block[: rows.shape[0]] = host_tail[rows]
     return block
 
@@ -256,9 +257,9 @@ def hybrid_scores(
 ) -> np.ndarray:
     """Score ``table[rows[i]] . q_pad[qno[i]]`` against a hybrid table.
 
-    :param resident: HBM-resident table prefix, ``(R, dim//128, 128)``
+    :param resident: HBM-resident table prefix, ``(R, dim)``
         (``R`` may be 0), fp32 or bf16; rows ``< tail_start`` score here.
-    :param host_tail: Host-RAM tail, ``(N - tail_start, dim//128, 128)``
+    :param host_tail: Host-RAM tail, ``(N - tail_start, dim)``
         fp32 (a zero-copy view of the canonical store).
     :param tail_start: First global row held by ``host_tail``.
     :param chunk_rows: Unique tail rows per streamed block.

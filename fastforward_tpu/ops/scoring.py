@@ -421,27 +421,43 @@ def stream_scan(
     precision: str = "exact",
 ) -> jnp.ndarray:
     """Traceable scan body of :func:`score_pairs_streamed` (also used inside
-    the sharded SPMD program)."""
+    the sharded SPMD program).  Tables may be 2D ``(N_pad, dim)`` (no
+    sublane padding — preferred for dense fp32/bf16) or 3D
+    ``(N_pad, dim//128, 128)`` (int8 code tables)."""
     qb = qvecs.shape[0]
-    k, lanes = table.shape[1], table.shape[2]
-    q3 = qvecs.reshape(qb, k, lanes)
+    is3d = table.ndim == 3
+    if is3d:
+        k, lanes = table.shape[1], table.shape[2]
+        q3 = qvecs.reshape(qb, k, lanes)
     prec = LAX_PRECISION[precision]
 
     def step(_, inp):
         t_idx, cand_t = inp
-        tile = jax.lax.dynamic_slice(
-            table, (t_idx * r, 0, 0), (r, k, lanes)
-        ).astype(jnp.float32)
         # all-queries scores for this tile: one MXU matmul.  "exact" is full
         # fp32 — the TPU default truncates matmul inputs to bf16, which
         # breaks exact-score parity with the reference.
-        tile_scores = jnp.einsum(
-            "rkl,qkl->rq",
-            tile,
-            q3,
-            preferred_element_type=jnp.float32,
-            precision=prec,
-        )  # (r, Qb)
+        if is3d:
+            tile = jax.lax.dynamic_slice(
+                table, (t_idx * r, 0, 0), (r, k, lanes)
+            ).astype(jnp.float32)
+            tile_scores = jnp.einsum(
+                "rkl,qkl->rq",
+                tile,
+                q3,
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )  # (r, Qb)
+        else:
+            tile = jax.lax.dynamic_slice(
+                table, (t_idx * r, 0), (r, table.shape[1])
+            ).astype(jnp.float32)
+            tile_scores = jnp.einsum(
+                "rd,qd->rq",
+                tile,
+                qvecs,
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )  # (r, Qb)
         local = cand_t // qb
         qsel = cand_t % qb
         # row selection: one-hot (CAP, r) @ (r, Qb) on the MXU

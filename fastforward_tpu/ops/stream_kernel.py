@@ -54,11 +54,15 @@ def _dot_bf16x3(a, b):
 
 
 def _select_kernel(tile_idx_ref, table_ref, qt_ref, cand_ref, out_ref, *, precision):
-    r = table_ref.shape[1]
-    k, lanes = table_ref.shape[2], table_ref.shape[3]
     qb = qt_ref.shape[1]
 
-    tile = table_ref[0].reshape(r, k * lanes)  # (R, dim)
+    if table_ref.ndim == 4:  # legacy 3D tables: (1, R, dim//128, 128) block
+        r = table_ref.shape[1]
+        k, lanes = table_ref.shape[2], table_ref.shape[3]
+        tile = table_ref[0].reshape(r, k * lanes)  # (R, dim)
+    else:  # 2D tables: (R, dim) block — no sublane padding, no reshape
+        r = table_ref.shape[0]
+        tile = table_ref[...]
     # tile scores against all queries: (R, dim) @ (dim, Qb) on the MXU
     if precision == "high":
         tile_scores = _dot_bf16x3(tile.astype(jnp.float32), qt_ref[...])
@@ -117,9 +121,12 @@ def stream_select(
 ) -> jax.Array:
     """Fused streaming matmul-select scoring.
 
-    :param table: Embedding table, ``(N_pad, dim//128, 128)``
-        (``N_pad % r == 0``); reshaped to tiles inside the jit so no device
-        copy is materialized.
+    :param table: Embedding table, ``(N_pad, dim)`` (preferred: lanes are
+        exact multiples of 128, so the device layout has NO sublane
+        padding) or legacy ``(N_pad, dim//128, 128)`` (padded 33% at
+        dim=768 — T(8,128) tiling rounds the middle dim up to 8, and the
+        in-program 4D reshape materializes a second padded copy);
+        ``N_pad % r == 0``.
     :param qvecs_t: Transposed query vectors, ``(dim, Qb)`` fp32.
     :param cand3: Packed candidates ``local * Qb + qno``,
         ``(Tv, CAP//128, 128)`` int32.
@@ -132,19 +139,30 @@ def stream_select(
     :return: Scores per candidate slot, ``(Tv, CAP//128, 128)`` fp32.
     """
     t_virtual = cand3.shape[0]
-    n_pad, k, lanes = table.shape
-    table4 = table.reshape(n_pad // r, r, k, lanes)
     capr = cand3.shape[1]
+    if table.ndim == 3:
+        n_pad, k, lanes = table.shape
+        table_in = table.reshape(n_pad // r, r, k, lanes)
+        table_spec = pl.BlockSpec(
+            (1, r, k, lanes),
+            lambda t, tidx: (tidx[t], 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        dim = k * lanes
+    else:
+        n_pad, dim = table.shape
+        table_in = table
+        table_spec = pl.BlockSpec(
+            (r, dim),
+            lambda t, tidx: (tidx[t], 0),
+            memory_space=pltpu.VMEM,
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(t_virtual,),
         in_specs=[
-            pl.BlockSpec(
-                (1, r, k, lanes),
-                lambda t, tidx: (tidx[t], 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            table_spec,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # q^T, full
             pl.BlockSpec(
                 (1, capr, 128),
@@ -172,8 +190,8 @@ def stream_select(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * t_virtual * (r * k * lanes * qvecs_t.shape[1]),
-            bytes_accessed=t_virtual * r * k * lanes * 4,
+            flops=2 * t_virtual * (r * dim * qvecs_t.shape[1]),
+            bytes_accessed=t_virtual * r * dim * 4,
             transcendentals=0,
         ),
-    )(tile_idx, table4, qvecs_t, cand3)
+    )(tile_idx, table_in, qvecs_t, cand3)

@@ -33,7 +33,7 @@ def table_sharding(mesh: Mesh, ndim: int = 3) -> NamedSharding:
     return NamedSharding(mesh, P("shard", *([None] * (ndim - 1))))
 
 
-def _sharded_score_fn(mesh: Mesh, op: str, precision: str):
+def _sharded_score_fn(mesh: Mesh, op: str, precision: str, ndim: int = 3):
     """Build the shard_map scoring program for one aggregation op."""
     prec = LAX_PRECISION[precision]
 
@@ -82,7 +82,7 @@ def _sharded_score_fn(mesh: Mesh, op: str, precision: str):
         body,
         mesh=mesh,
         in_specs=(
-            P("shard", *([None] * 2)),  # table (rows sharded)
+            P("shard", *([None] * (ndim - 1))),  # table (rows sharded)
             P(),  # qvecs replicated
             P(None, "data"),  # stacked (K+2, S) pair arrays split over data
         ),
@@ -93,11 +93,11 @@ def _sharded_score_fn(mesh: Mesh, op: str, precision: str):
 
 
 @lru_cache(maxsize=16)
-def _cached_scorer(mesh: Mesh, op: str, precision: str = "exact"):
-    return _sharded_score_fn(mesh, op, precision)
+def _cached_scorer(mesh: Mesh, op: str, precision: str = "exact", ndim: int = 3):
+    return _sharded_score_fn(mesh, op, precision, ndim)
 
 
-def _sharded_stream_fn(mesh: Mesh, r: int, precision: str):
+def _sharded_stream_fn(mesh: Mesh, r: int, precision: str, ndim: int = 3):
     """Per-shard streaming program: each chip streams only its own table
     shard through the MXU (see ``ops.scoring.stream_scan``); candidates are
     pre-partitioned by owning shard on the host, so no collective is needed
@@ -111,7 +111,7 @@ def _sharded_stream_fn(mesh: Mesh, r: int, precision: str):
         body,
         mesh=mesh,
         in_specs=(
-            P("shard", None, None),  # table rows sharded
+            P("shard", *([None] * (ndim - 1))),  # table rows sharded
             P(),  # qvecs replicated
             P("shard", None, None),  # per-shard candidate grids
             P("shard", None),  # per-shard tile indices
@@ -123,8 +123,10 @@ def _sharded_stream_fn(mesh: Mesh, r: int, precision: str):
 
 
 @lru_cache(maxsize=16)
-def _cached_stream_scorer(mesh: Mesh, r: int, precision: str = "exact"):
-    return _sharded_stream_fn(mesh, r, precision)
+def _cached_stream_scorer(
+    mesh: Mesh, r: int, precision: str = "exact", ndim: int = 3
+):
+    return _sharded_stream_fn(mesh, r, precision, ndim)
 
 
 def streamed_scores_sharded(
@@ -200,7 +202,7 @@ def streamed_scores_sharded(
             plan["stream_sharded"] = cached
 
     cand_all, tile_idx_all, slot_of_pair, r = cached
-    outs = _cached_stream_scorer(mesh, r, precision)(
+    outs = _cached_stream_scorer(mesh, r, precision, table.ndim)(
         table, q_pad.astype(np.float32), cand_all, tile_idx_all
     )
     from fastforward_tpu.ops.scoring import _finalize_streamed
@@ -425,4 +427,4 @@ def score_pairs_sharded(
     :param precision: Dot precision tier (see ``ops.scoring.LAX_PRECISION``).
     :return: Per-pair scores, ``(Sb,)``.
     """
-    return _cached_scorer(mesh, op, precision)(table, qvecs, idx)
+    return _cached_scorer(mesh, op, precision, table.ndim)(table, qvecs, idx)
