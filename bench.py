@@ -87,9 +87,18 @@ def measure_ours(
     index.add(corpus, psg_ids=[f"p{i}" for i in range(corpus.shape[0])])
     ranking = Ranking.from_run(run, queries=queries)
 
+    # production warm-start: upload the table and compile the serving
+    # programs off the request path (the dev-tunnel upload of an N=2M fp32
+    # table alone is ~5 minutes at ~20 MB/s; PCIe-local hosts pay ~2 s)
+    t0 = time.perf_counter()
+    index.preload(warm=(len(queries), depth))
+    preload_s = time.perf_counter() - t0
+    log(f"ours: preload (table upload + program warm) {preload_s:.1f}s")
+
     t0 = time.perf_counter()
     result = index(ranking)
-    log(f"ours: first call (incl. compile) {time.perf_counter() - t0:.1f}s")
+    first_s = time.perf_counter() - t0
+    log(f"ours: first serving call (after preload) {first_s:.1f}s")
 
     # best of two timing loops: a transient tunnel hiccup (or a one-off
     # Pallas failure falling back to XLA) must not be recorded as the
@@ -245,8 +254,11 @@ def measure_ours_pq(corpus, qvecs, run, queries, repeats, precision="exact"):
     ranking = Ranking.from_run(run, queries=queries)
 
     t0 = time.perf_counter()
+    index.preload(warm=(len(queries), max(len(r) for r in run.values())))
+    log(f"PQ preload (upload + warm): {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
     index(ranking)
-    log(f"PQ first call (incl. compile): {time.perf_counter() - t0:.1f}s")
+    log(f"PQ first serving call (after preload): {time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
     for _ in range(repeats):
         index(ranking)
@@ -280,8 +292,11 @@ def measure_ours_int8(corpus, qvecs, run, queries, repeats, precision):
     log(f"encode+add: {time.perf_counter() - t0:.1f}s")
     ranking = Ranking.from_run(run, queries=queries)
     t0 = time.perf_counter()
+    index.preload(warm=(len(queries), max(len(r) for r in run.values())))
+    log(f"int8 preload (upload + warm): {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
     index(ranking)
-    log(f"int8 first call (incl. compile): {time.perf_counter() - t0:.1f}s")
+    log(f"int8 first serving call (after preload): {time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
     for _ in range(repeats):
         index(ranking)

@@ -415,13 +415,15 @@ class Index(abc.ABC):
         ranking = Ranking.from_run(run, queries=queries)
         encoder = self._query_encoder
         try:
-            if encoder is None:
-                from fastforward_tpu.encoder import LambdaEncoder
+            # always bypass the user's encoder for the synthetic queries:
+            # it may reject texts outside its corpus (LambdaEncoder over a
+            # fixed map), and the warm scores are dropped anyway
+            from fastforward_tpu.encoder import LambdaEncoder
 
-                dim = self.dim
-                self._query_encoder = LambdaEncoder(
-                    lambda _t: np.zeros(dim, dtype=np.float32)
-                )
+            dim = self.dim
+            self._query_encoder = LambdaEncoder(
+                lambda _t: np.zeros(dim, dtype=np.float32)
+            )
             LOGGER.info(
                 "warming scoring programs for Q=%d depth=%d", num_q, len(ids)
             )

@@ -488,6 +488,29 @@ class TestPreloadWarm(unittest.TestCase):
             result["q1"]["p0"], float(corpus[0] @ qvec), places=3
         )
 
+    def test_warm_bypasses_user_encoder(self):
+        # an encoder that only accepts known corpus queries must never see
+        # the synthetic warm queries (regression: KeyError in preload)
+        from fastforward_tpu.encoder import LambdaEncoder
+        from fastforward_tpu.index import InMemoryIndex, Mode
+        from fastforward_tpu.ranking import Ranking
+
+        rng = np.random.default_rng(11)
+        corpus = rng.normal(size=(400, 128)).astype(np.float32)
+        qvec = rng.normal(size=128).astype(np.float32)
+        strict = {"real query": qvec}
+        index = InMemoryIndex(
+            LambdaEncoder(lambda t: strict[t]), mode=Mode.PASSAGE
+        )
+        index.add(corpus, psg_ids=[f"p{i}" for i in range(400)])
+        self.assertTrue(index.preload(warm=(3, 40)))
+        self.assertIs(index.query_encoder._f("real query"), qvec)  # restored
+        run = {"q1": {f"p{i}": float(i) for i in range(40)}}
+        result = index(Ranking.from_run(run, queries={"q1": "real query"}))
+        self.assertAlmostEqual(
+            result["q1"]["p0"], float(corpus[0] @ qvec), places=3
+        )
+
     def test_warm_without_encoder(self):
         from fastforward_tpu.index import InMemoryIndex, Mode
 
