@@ -985,8 +985,13 @@ class Index(abc.ABC):
         alpha: float,
         depths: Iterable[int],
         plan: dict | None = None,
-    ) -> pd.DataFrame:
+    ) -> tuple[np.ndarray, np.ndarray]:
         """Score progressively deeper chunks, dropping queries that stopped.
+
+        Returns ``(take, ff)``: positional indices of the scored rows of
+        ``df`` (in depth-round order) and their semantic scores — callers
+        assemble the result frame (the whole-frame path via the trusted
+        fast ctor, the batched path via ``iloc``/``assign``).
 
         Semantics match the reference (reference: ``index/base.py:316-387``):
         only scored rows are returned; a query stops once its ``cutoff``-th
@@ -1003,7 +1008,7 @@ class Index(abc.ABC):
         """
         n = len(df)
         if n == 0:
-            return df.iloc[:0].assign(ff_score=[])
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
 
         # cross-call ES state: candidate resolution, run offsets, and the
         # alpha-INDEPENDENT semantic scores (an alpha sweep over the same
@@ -1019,6 +1024,10 @@ class Index(abc.ABC):
             or not np.array_equal(state["qv"], query_vectors)
         ):
             state = None
+        if plan is not None:
+            # tells _assemble_es this plan is hot (a repeat call): only
+            # then is building cached categorical ID columns worth it
+            plan["es_hot"] = state is not None
         if state is None:
             q_no = df["q_no"].to_numpy(dtype=np.int64)
             lex = df["score"].to_numpy(dtype=np.float32)
@@ -1067,7 +1076,6 @@ class Index(abc.ABC):
 
         sels: list[np.ndarray] = []
         ffs: list[np.ndarray] = []
-        ints: list[np.ndarray] = []
         a = 0
         for b in sorted(depths):
             if b < cutoff:
@@ -1143,8 +1151,12 @@ class Index(abc.ABC):
                 ff_cache[need] = scored
                 have[need] = True
             ff = ff_cache[sel]
-            int_score = np.asarray(
-                ops.interpolate_scores(lex[sel], ff, alpha), dtype=np.float32
+            # interpolate on HOST: inputs are host numpy and the result
+            # feeds the host criterion — a device round trip here costs
+            # 2 tunnel RTTs per depth round (measured ~44 ms each at
+            # Q=512) for a memory-bound axpy numpy does in <1 ms
+            int_score = (alpha * lex[sel] + (1.0 - alpha) * ff).astype(
+                np.float32
             )
 
             # per-query state updates (reduceat over contiguous segments)
@@ -1173,15 +1185,81 @@ class Index(abc.ABC):
 
             sels.append(sel)
             ffs.append(ff)
-            ints.append(int_score)
             a = b
 
         if not sels:
-            return df.iloc[:0].assign(ff_score=[])
-        take = np.concatenate(sels)
-        return df.iloc[take].assign(
-            ff_score=np.concatenate(ffs), int_score=np.concatenate(ints)
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        return np.concatenate(sels), np.concatenate(ffs)
+
+    def _assemble_es(
+        self,
+        df: pd.DataFrame,
+        take: np.ndarray,
+        ff: np.ndarray,
+        q_uniques,
+        score_dtype,
+        plan: dict | None,
+    ) -> Ranking:
+        """Assemble the ES result ranking from scored-row indices.
+
+        Mirrors ``_score_and_sort``'s assembly: categorical ID columns
+        (plan-cached — reordering is then a take on int codes), a host
+        lexsort for (q_id desc, score desc), and the trusted-frame fast
+        ctor.  The previous frame-based path (``iloc`` + ``assign`` + the
+        full validating ctor with its duplicate scan) cost ~100 ms per
+        warm alpha-sweep call at 512k rows.
+        """
+        n_q = len(q_uniques)
+        arrs = plan.get("es_arrays") if plan is not None else None
+        if arrs is None:
+            q_rank = np.empty(n_q, dtype=np.uint64)
+            q_rank[np.argsort(np.asarray(q_uniques, dtype=object))[::-1]] = (
+                np.arange(n_q, dtype=np.uint64)
+            )
+            # per-row high key bits (query rank) — candidate-layout only,
+            # so they amortize over the plan like the dense path's qkey
+            qhi = q_rank[df["q_no"].to_numpy()] << np.uint64(32)
+            if plan is not None and plan.get("es_hot"):
+                # repeat call on this plan: the categorical dictionaries
+                # (~200 ms to build at 512k rows) amortize — reordering
+                # becomes a take on int codes.  One-shot rankings (cold
+                # serving) stay on the plain arrow arrays.
+                qid_arr = pd.Categorical(df["q_id"])
+                id_arr = pd.Categorical(df["id"])
+                query_arr = pd.Categorical(df["query"])
+                plan["es_arrays"] = (qhi, qid_arr, id_arr, query_arr)
+            else:
+                qid_arr = df["q_id"].array
+                id_arr = df["id"].array
+                query_arr = df["query"].array
+        else:
+            qhi, qid_arr, id_arr, query_arr = arrs
+        # (q_id desc, score desc) via one composite-key radix argsort:
+        # query rank in the high 32 bits, bit-twiddled descending float32
+        # score in the low 32 (same scheme as ``_score_and_sort``; a
+        # np.lexsort here measured ~60 ms per call at 512k rows)
+        from fastforward_tpu.runtime.idmap import radix_argsort
+
+        bits = np.ascontiguousarray(ff, dtype=np.float32).view(np.uint32)
+        score_asc = np.where(
+            bits >> 31 != 0, ~bits, bits | np.uint32(0x80000000)
         )
+        key = qhi[take] | (np.uint32(0xFFFFFFFF) - score_asc).astype(
+            np.uint64
+        )
+        order = radix_argsort(key)
+        if order is None:
+            order = np.argsort(key, kind="stable")
+        final = take[order]
+        out = pd.DataFrame(
+            {
+                "q_id": qid_arr.take(final),
+                "id": id_arr.take(final),
+                "score": ff[order].astype(score_dtype),
+                "query": query_arr.take(final),
+            }
+        )
+        return Ranking._from_trusted_frame(out, "fast-forward")
 
     def __call__(
         self,
@@ -1254,12 +1332,19 @@ class Index(abc.ABC):
         # unique queries -> dense query numbers (device batch indices),
         # vectorized: factorize numbers queries by first appearance, and the
         # first-occurrence rows carry the matching query strings
-        df = ranking._df.copy()
-        q_codes, q_uniques = pd.factorize(df["q_id"], sort=False)
-        df["q_no"] = q_codes
-        queries = df.loc[~df["q_id"].duplicated(), "query"].tolist()
-        # early stopping splits the frame; remember provenance
-        df["orig_index"] = df.index
+        es_prep = plan.get("es_prep") if plan is not None else None
+        if es_prep is not None:
+            df, queries, q_uniques = es_prep
+        else:
+            df = ranking._df.copy()
+            q_codes, q_uniques = pd.factorize(df["q_id"], sort=False)
+            df["q_no"] = q_codes
+            queries = df.loc[~df["q_id"].duplicated(), "query"].tolist()
+            if plan is not None and early_stopping is not None:
+                # warm ES calls (alpha sweeps, re-evaluation) reuse the
+                # prepared frame: the plan is keyed on the ranking's frame
+                # object, which is treated as immutable
+                plan["es_prep"] = (df, queries, q_uniques)
 
         query_vectors = self.encode_queries(queries)
 
@@ -1283,6 +1368,27 @@ class Index(abc.ABC):
                 )
                 return fast
 
+        if early_stopping is not None and (
+            batch_size is None or batch_size >= num_queries
+        ):
+            assert early_stopping_alpha is not None
+            assert early_stopping_depths is not None
+            take, ff = self._early_stopping(
+                df,
+                query_vectors,
+                early_stopping,
+                early_stopping_alpha,
+                early_stopping_depths,
+                plan=plan,
+            )
+            result = self._assemble_es(
+                df, take, ff, q_uniques, ranking._df.dtypes["score"], plan
+            )
+            LOGGER.info(
+                "computed scores in %s seconds", perf_counter() - t0
+            )
+            return result
+
         def _get_result(frame: pd.DataFrame) -> pd.DataFrame:
             if early_stopping is None:
                 return frame.assign(
@@ -1290,18 +1396,17 @@ class Index(abc.ABC):
                 )
             assert early_stopping_alpha is not None
             assert early_stopping_depths is not None
-            return self._early_stopping(
+            # ES state (resolution, run offsets, semantic-score cache) is
+            # frame-aligned: never plan-cache for per-batch subframes
+            take, ff = self._early_stopping(
                 frame,
                 query_vectors,
                 early_stopping,
                 early_stopping_alpha,
                 early_stopping_depths,
-                # ES state (resolution, run offsets, semantic-score cache)
-                # is frame-aligned: only cache when scoring the full frame
-                plan=plan
-                if (batch_size is None or batch_size >= num_queries)
-                else None,
+                plan=None,
             )
+            return frame.iloc[take].assign(ff_score=ff)
 
         num_queries = len(queries)
         if batch_size is None or batch_size >= num_queries:
