@@ -394,24 +394,35 @@ class Index(abc.ABC):
         if warm is None:
             return True
         num_q, depth = warm
-        doc_ids, psg_ids = self._ids.inverse(min(len(self), depth * 4))
-        if self._mode == Mode.PASSAGE:
-            ids = [i for i in psg_ids if i is not None][:depth]
-        else:
-            seen: dict[str, None] = {}
-            for i in doc_ids:
-                if i is not None and i not in seen:
-                    seen[i] = None
-                    if len(seen) >= depth:
-                        break
-            ids = list(seen)
-        if not ids:
+        n = len(self)
+        if n == 0 or num_q <= 0 or depth <= 0:
             return True
-        run = {
-            f"ff-warm-q{i}": {d: float(j) for j, d in enumerate(ids)}
-            for i in range(num_q)
-        }
-        queries = {f"ff-warm-q{i}": f"ff warm query {i}" for i in range(num_q)}
+        # candidates must SPREAD over the whole table like a production
+        # run: the streamed kernel's grid is bucketed by the number of
+        # candidate-bearing table tiles, so a warm run concentrated in the
+        # first rows compiles a smaller grid variant and the first real
+        # call recompiles anyway (measured: a 270 s "first serving call"
+        # after a front-loaded warm at N=2M)
+        doc_ids, psg_ids = self._ids.inverse(n)
+        pool = np.asarray(
+            psg_ids if self._mode == Mode.PASSAGE else doc_ids, dtype=object
+        )
+        total = num_q * depth
+        pos = (np.arange(total, dtype=np.int64) * n) // total
+        cands = pool[pos]
+        run = {}
+        for i in range(num_q):
+            block = cands[i * depth : (i + 1) * depth]
+            ids_i = {
+                c: float(depth - j)
+                for j, c in enumerate(block)
+                if c is not None
+            }
+            if ids_i:
+                run[f"ff-warm-q{i}"] = ids_i
+        if not run:
+            return True
+        queries = {q: f"ff warm query {q}" for q in run}
         ranking = Ranking.from_run(run, queries=queries)
         encoder = self._query_encoder
         try:
@@ -425,7 +436,7 @@ class Index(abc.ABC):
                 lambda _t: np.zeros(dim, dtype=np.float32)
             )
             LOGGER.info(
-                "warming scoring programs for Q=%d depth=%d", num_q, len(ids)
+                "warming scoring programs for Q=%d depth=%d", len(run), depth
             )
             self(ranking)
         finally:

@@ -101,7 +101,17 @@ def _adc_kernel(
             .reshape(r, g * ks)
             .astype(jnp.bfloat16)
         )
-        deq_groups.append(dot(oh, bdhi_ref[grp]) + dot(oh, bdlo_ref[grp]))
+        # "exact" arrives as Precision.HIGHEST (see the lax_precision map)
+        if precision == jax.lax.Precision.HIGHEST:
+            # hi/lo dual pass reconstructs the fp32 codebook exactly
+            # (one-hot LHS: the only rounding is the codebook split)
+            deq_groups.append(dot(oh, bdhi_ref[grp]) + dot(oh, bdlo_ref[grp]))
+        else:
+            # "high"/"fast": single pass against the bf16-rounded codebook.
+            # Centroid rounding (~0.4% relative) is noise next to the PQ
+            # quantization error itself and halves the dominant dequantize
+            # FLOPs (measured 1366 -> 2000+ QPS at N=2M Q=512).
+            deq_groups.append(dot(oh, bdhi_ref[grp]))
     deq = jnp.concatenate(deq_groups, axis=1)  # (R, dim) fp32
 
     if precision == "high":

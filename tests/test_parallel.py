@@ -341,5 +341,47 @@ class TestShardedQuantized(unittest.TestCase):
             shutil.rmtree(tmp)
 
 
+class TestShardedEarlyStopping(unittest.TestCase):
+    def test_early_stopping_sharded_parity(self):
+        """ES on a mesh-sharded index matches the unsharded ES result."""
+        kwargs = dict(
+            early_stopping=5,
+            early_stopping_alpha=0.3,
+            early_stopping_depths=(20, 120),
+        )
+        run = {
+            f"q{j}": {f"p{i}": float(120 - i) for i in range(120)}
+            for j in range(3)
+        }
+        queries = {f"q{j}": "x" for j in range(3)}
+        sharded_index, vectors, qvec = _build(
+            MeshConfig(data=2, shard=4), Mode.PASSAGE
+        )
+        plain_index = InMemoryIndex(
+            sharded_index.query_encoder, mode=Mode.PASSAGE
+        )
+        plain_index.add(
+            vectors,
+            doc_ids=[f"d{i // 4}" for i in range(len(vectors))],
+            psg_ids=[f"p{i}" for i in range(len(vectors))],
+        )
+        results = []
+        for index in (plain_index, sharded_index):
+            ranking = Ranking.from_run(run, queries=queries)
+            out = index(ranking, **kwargs)
+            # repeat on the same ranking: the warm path (cached ES state +
+            # categorical assembly) must agree with the first call
+            again = index(ranking, **kwargs)
+            self.assertEqual(out, again)
+            results.append(out)
+        plain, sharded = results
+        self.assertEqual(set(plain.q_ids), set(sharded.q_ids))
+        for q_id in plain.q_ids:
+            p, s = plain[q_id], sharded[q_id]
+            self.assertEqual(set(p), set(s))
+            for pid in p:
+                self.assertAlmostEqual(p[pid], s[pid], places=3, msg=pid)
+
+
 if __name__ == "__main__":
     unittest.main()

@@ -53,7 +53,7 @@ class TestStreamKernelInterpret(unittest.TestCase):
 class TestStreamKernelPQInterpret(unittest.TestCase):
     """Fused Pallas streamed-ADC kernel vs numpy decode-then-dot."""
 
-    def _run(self, k_reduce=None):
+    def _run(self, k_reduce=None, precision="exact"):
         import jax.numpy as jnp
 
         from fastforward_tpu.ops import stream_kernel_pq as skpq
@@ -82,6 +82,7 @@ class TestStreamKernelPQInterpret(unittest.TestCase):
             m=m,
             r=r,
             interpret=True,
+            precision=precision,
         )
         got = np.asarray(outs).reshape(-1)[slot]
         deq = cb[np.arange(m)[None, :], codes[rows]]  # (p, m, ds)
@@ -93,6 +94,15 @@ class TestStreamKernelPQInterpret(unittest.TestCase):
     def test_matches_decode_dot(self):
         got, expected = self._run()
         np.testing.assert_allclose(got, expected, atol=1e-3, rtol=1e-4)
+
+    def test_high_tier_single_pass_dequant(self):
+        """precision != "exact" drops the lo codebook pass: the dequantized
+        centroids are bf16-rounded (~0.4% relative) — noise next to the PQ
+        quantization error, half the dominant dequantize FLOPs."""
+        got, expected = self._run(precision="high")
+        scale = np.abs(expected).mean()
+        self.assertLess(np.abs(got - expected).mean(), 0.01 * scale)
+        self.assertGreater(np.corrcoef(got, expected)[0, 1], 0.999)
 
     def test_fused_finalize_with_k_reduce(self):
         """Kernel + slot gather + masked MAXP reduce as one program."""
