@@ -138,8 +138,33 @@ def build_hybrid_view(
         host_tail=tail,
         tail_start=resident,
         chunk_rows=chunk_rows or host_stream.HOST_CHUNK_ROWS,
+        # leftover budget caches tail blocks device-side (shared across
+        # plans via view.aux).  NOTE: the one-deep upload prefetch keeps
+        # up to two TRANSIENT chunk slabs in flight on top of this; size
+        # hbm_budget with ~2 x chunk_rows x row_bytes of headroom.
         tail_cache_budget=max(0, hbm_budget - resident * row_bytes),
     )
+
+
+def _desc_rank_order(qhi: np.ndarray, scores: np.ndarray) -> np.ndarray:
+    """Stable result order for (q_id desc, score desc) in ONE pass.
+
+    ``qhi`` holds the per-row query rank pre-shifted into the high 32 bits
+    of a uint64; the low 32 bits get the bit-twiddled descending float32
+    score (sign-flip trick: negatives map below positives, larger scores
+    to smaller keys).  Sorted by the native radix argsort with a stable
+    numpy argsort fallback.  Shared by the dense fast path and the ES
+    assembly so the key scheme lives in exactly one place.
+    """
+    from fastforward_tpu.runtime.idmap import radix_argsort
+
+    bits = np.ascontiguousarray(scores, dtype=np.float32).view(np.uint32)
+    score_asc = np.where(bits >> 31 != 0, ~bits, bits | np.uint32(0x80000000))
+    key = qhi | (np.uint32(0xFFFFFFFF) - score_asc).astype(np.uint64)
+    order = radix_argsort(key)
+    if order is None:
+        order = np.argsort(key, kind="stable")
+    return order
 
 
 class Index(abc.ABC):
@@ -552,17 +577,13 @@ class Index(abc.ABC):
                 precision=view.precision,
                 plan=plan,
                 cache_device_blocks_budget=view.tail_cache_budget,
+                cache_store=view.aux,
             )
             if k == 1:
                 return row_scores
-            mat = row_scores.reshape(n_pairs, k)
-            valid = np.arange(k)[None, :] < counts_pp[:, None]
-            if op == "max":
-                return np.where(valid, mat, np.float32(-np.inf)).max(axis=1)
-            if op == "mean":
-                sums = np.where(valid, mat, np.float32(0.0)).sum(axis=1)
-                return (sums / np.maximum(counts_pp, 1)).astype(np.float32)
-            return mat[:, 0]
+            return ops.masked_reduce_host(
+                row_scores.reshape(n_pairs, k), counts_pp, op
+            )
 
         streamable_dense = (
             view.kind in ("dense", "scalar")
@@ -865,23 +886,13 @@ class Index(abc.ABC):
                 out_starts[by_rank] = cum[:-1]
                 segments = (seg_starts, out_starts)
         scores_np = np.asarray(jax.device_get(scores_dev))[:n_pairs]
-        from fastforward_tpu.runtime.idmap import (
-            radix_argsort,
-            segmented_rank_argsort,
-        )
+        from fastforward_tpu.runtime.idmap import segmented_rank_argsort
 
         take = None
         if segments is not None:
             take = segmented_rank_argsort(scores_np, *segments)
         if take is None:
-            bits = scores_np.view(np.uint32)
-            score_asc = np.where(
-                bits >> 31 != 0, ~bits, bits | np.uint32(0x80000000)
-            )
-            key = qkey | (np.uint32(0xFFFFFFFF) - score_asc).astype(np.uint64)
-            take = radix_argsort(key)
-            if take is None:
-                take = np.argsort(key, kind="stable")
+            take = _desc_rank_order(qkey, scores_np)
         # ExtensionArray.take keeps arrow-backed string columns arrow-native
         # (no object round trip when assembling the result frame)
         out = pd.DataFrame(
@@ -918,6 +929,46 @@ class Index(abc.ABC):
     ) -> np.ndarray:
         """Segment-reduction fallback for extremely ragged documents."""
         op = REDUCE_OP[self.mode]
+        if view.kind == "hybrid":
+            # beyond-HBM tier: view.table is only the HBM-resident PREFIX —
+            # rows in the host tail would read out of bounds (NaN/clamped)
+            # through the plain dense program.  Score per row through the
+            # hybrid engine, then segment-reduce on the host (this is the
+            # rare very-ragged-documents path; ufunc.at is fine here).
+            from fastforward_tpu.ops.host_stream import hybrid_scores
+
+            q_pad = self._pad_queries(query_vectors, view)
+            row_scores = np.asarray(
+                hybrid_scores(
+                    view.table,
+                    view.host_tail,
+                    view.tail_start,
+                    view.chunk_rows,
+                    q_pad,
+                    rows.astype(np.int64),
+                    qno.astype(np.int64),
+                    precision=view.precision,
+                    cache_device_blocks_budget=view.tail_cache_budget,
+                    cache_store=view.aux,
+                ),
+                dtype=np.float32,
+            )
+            seg = np.asarray(seg, dtype=np.int64)
+            if op == "max":
+                out = np.full(n_pairs, -np.inf, dtype=np.float32)
+                np.maximum.at(out, seg, row_scores)
+                return out
+            if op == "mean":
+                out = np.zeros(n_pairs, dtype=np.float64)
+                np.add.at(out, seg, row_scores)
+                cnt = np.bincount(seg, minlength=n_pairs)
+                return (out / np.maximum(cnt, 1)).astype(np.float32)
+            # "first": rows are emitted pair-by-pair, so the first row of
+            # each segment is its first occurrence
+            uniq, first_idx = np.unique(seg, return_index=True)
+            out = np.zeros(n_pairs, dtype=np.float32)
+            out[uniq] = row_scores[first_idx]
+            return out
         p_bucket = ops.bucket(rows.shape[0])
         s_bucket = ops.bucket(n_pairs)
         idx = np.zeros((3, p_bucket), dtype=np.int32)
@@ -1245,22 +1296,9 @@ class Index(abc.ABC):
                 query_arr = df["query"].array
         else:
             qhi, qid_arr, id_arr, query_arr = arrs
-        # (q_id desc, score desc) via one composite-key radix argsort:
-        # query rank in the high 32 bits, bit-twiddled descending float32
-        # score in the low 32 (same scheme as ``_score_and_sort``; a
-        # np.lexsort here measured ~60 ms per call at 512k rows)
-        from fastforward_tpu.runtime.idmap import radix_argsort
-
-        bits = np.ascontiguousarray(ff, dtype=np.float32).view(np.uint32)
-        score_asc = np.where(
-            bits >> 31 != 0, ~bits, bits | np.uint32(0x80000000)
-        )
-        key = qhi[take] | (np.uint32(0xFFFFFFFF) - score_asc).astype(
-            np.uint64
-        )
-        order = radix_argsort(key)
-        if order is None:
-            order = np.argsort(key, kind="stable")
+        # (q_id desc, score desc) via the shared composite-key radix
+        # argsort (a np.lexsort here measured ~60 ms per call at 512k rows)
+        order = _desc_rank_order(qhi[take], ff)
         final = take[order]
         out = pd.DataFrame(
             {

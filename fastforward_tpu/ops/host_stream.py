@@ -139,6 +139,12 @@ def _score_resident(table, q_pad, rows, qno, precision, plan) -> np.ndarray:
     return np.asarray(jax.device_get(scores))[:p]
 
 
+#: SMEM scalar-prefetch grid bound for the Pallas kernel (the dense path
+#: uses the same cap, ``ops.scoring``); chunk layouts beyond it fall back
+#: to the XLA scan, which has no prefetch grid
+_PALLAS_GRID_MAX = 8192
+
+
 def _build_tail_chunks(
     u_rows: np.ndarray,
     u_of_pair: np.ndarray,
@@ -147,12 +153,14 @@ def _build_tail_chunks(
     chunk_rows: int,
     r: int,
     use_pallas: bool,
-) -> tuple[list[dict], np.ndarray]:
+) -> "tuple[list[dict], np.ndarray] | None":
     """Chunk unique tail rows and build each chunk's candidate layout.
 
     Returns ``(chunks, order)`` where ``order`` permutes the tail pairs
     into chunk-major order (each chunk's scores land contiguously in the
-    accumulator at ``chunk["start"]``).  Raises when the streamed layout
+    accumulator at ``chunk["start"]``), or ``None`` when ``use_pallas``
+    and a chunk's virtual-tile grid exceeds the SMEM prefetch bound (the
+    caller rebuilds for the XLA scan).  Raises when the streamed layout
     cannot represent the geometry (query counts beyond 2^31 / tile rows —
     not reachable with real workloads).
     """
@@ -183,6 +191,8 @@ def _build_tail_chunks(
             )
         cand, tile_idx, slot_of_pair = layout
         if use_pallas:
+            if tile_idx.shape[0] > _PALLAS_GRID_MAX:
+                return None
             cand = cand.reshape(cand.shape[0], -1, 128)
         chunks.append(
             {
@@ -213,34 +223,56 @@ def _chunk_block(
     return block
 
 
+def _block_cache_key(chunk: dict, stage_dtype) -> tuple:
+    """Content key for a chunk's gathered block (plan-independent: two
+    plans whose candidate sets share a chunk's unique-row list share the
+    cached device block)."""
+    key = chunk.get("cache_key")
+    if key is None:
+        rows = chunk["rows"]
+        key = (
+            np.dtype(stage_dtype).char,
+            rows.shape[0],
+            hash(rows.tobytes()),
+        )
+        chunk["cache_key"] = key
+    return key
+
+
 def _upload_block(
     chunk: dict,
     host_tail: np.ndarray,
     chunk_rows: int,
     stage_dtype,
-    cache_bytes: int,
+    store: dict | None,
     budget: int,
-) -> tuple[jax.Array, int]:
+) -> jax.Array:
     """Return the chunk's device block, caching per the HBM budget.
 
     Host-side the gathered block stays on the chunk dict (the random host
-    gather is paid once per plan); the *device* copy is kept only while
-    the running total stays under ``budget`` (and then the host copy is
-    dropped — the device one is canonical for the plan's lifetime).
+    gather is paid once per plan).  Device copies live in ``store`` — a
+    VIEW-lifetime dict shared by every plan — so the budget bounds the
+    total HBM spent on cached blocks for the whole index, not per plan
+    (with per-plan accounting, ``_MAX_PLANS`` concurrent rankings could
+    pin plans x budget bytes and OOM the chip the budget was sized for).
     """
-    dev = chunk.get("block_dev")
-    if dev is not None:
-        return dev, cache_bytes + dev.nbytes
+    key = _block_cache_key(chunk, stage_dtype) if store is not None else None
+    if store is not None:
+        dev = store.setdefault("tail_blocks", {}).get(key)
+        if dev is not None:
+            return dev
     host = chunk.get("block_host")
     if host is None:
         host = _chunk_block(chunk, host_tail, chunk_rows, stage_dtype)
         chunk["block_host"] = host
     dev = jax.device_put(host)
-    if cache_bytes + host.nbytes <= budget:
-        chunk["block_dev"] = dev
-        chunk.pop("block_host", None)
-        cache_bytes += host.nbytes
-    return dev, cache_bytes
+    if store is not None:
+        used = store.get("tail_bytes", 0)
+        if used + host.nbytes <= budget:
+            store["tail_blocks"][key] = dev
+            store["tail_bytes"] = used + host.nbytes
+            chunk.pop("block_host", None)
+    return dev
 
 
 def hybrid_scores(
@@ -254,6 +286,8 @@ def hybrid_scores(
     precision: str = "exact",
     plan: dict | None = None,
     cache_device_blocks_budget: int = 0,
+    cache_store: dict | None = None,
+    _force_scan: bool = False,
 ) -> np.ndarray:
     """Score ``table[rows[i]] . q_pad[qno[i]]`` against a hybrid table.
 
@@ -269,14 +303,25 @@ def hybrid_scores(
     :param precision: Dot precision tier.
     :param plan: Optional prepared-run cache; holds the chunk layouts, the
         gathered host blocks, and (within budget) device-resident blocks.
-    :param cache_device_blocks_budget: Bytes of HBM the plan may spend on
+    :param cache_device_blocks_budget: Bytes of HBM that may be spent
         keeping gathered tail blocks device-resident across calls (0:
         host-cache only — every call re-ships the blocks).
+    :param cache_store: View-lifetime dict holding the cached device
+        blocks; the budget bounds the TOTAL across every plan served
+        from this view.  ``None``: no device-block caching.
+    :param _force_scan: Internal — rebuild on the XLA scan path after a
+        Pallas failure or an SMEM-grid overflow.
     :return: Per-pair scores in input order, ``(P,)`` fp32 numpy.
     """
     p = rows.shape[0]
     qb = q_pad.shape[0]
     state = plan.get("hybrid") if plan is not None else None
+    if state is not None and state["use_pallas"] and (
+        _force_scan or not _sc.pallas_stream_enabled()
+    ):
+        # the kernel was disabled (3-strike) after this plan warmed, or
+        # this call is a post-failure retry: rebuild for the scan path
+        state = None
     if state is None:
         res_mask = rows < tail_start
         res_pos = np.flatnonzero(res_mask)
@@ -284,7 +329,7 @@ def hybrid_scores(
         u_rows, u_of_pair = np.unique(
             rows[tail_pos] - tail_start, return_inverse=True
         )
-        use_pallas = _sc.pallas_stream_enabled()
+        use_pallas = not _force_scan and _sc.pallas_stream_enabled()
         if use_pallas:
             from fastforward_tpu.ops import stream_kernel
 
@@ -292,7 +337,7 @@ def hybrid_scores(
         else:
             r = _sc.STREAM_TILE_ROWS
         chunk_rows_eff = max(r, (chunk_rows // r) * r)
-        chunks, order = _build_tail_chunks(
+        built = _build_tail_chunks(
             u_rows.astype(np.int64),
             u_of_pair.astype(np.int64),
             qno[tail_pos],
@@ -301,6 +346,22 @@ def hybrid_scores(
             r,
             use_pallas,
         )
+        if built is None:
+            # virtual-tile grid too large for the kernel's SMEM prefetch:
+            # this geometry runs on the XLA scan
+            use_pallas = False
+            r = _sc.STREAM_TILE_ROWS
+            chunk_rows_eff = max(r, (chunk_rows // r) * r)
+            built = _build_tail_chunks(
+                u_rows.astype(np.int64),
+                u_of_pair.astype(np.int64),
+                qno[tail_pos],
+                qb,
+                chunk_rows_eff,
+                r,
+                False,
+            )
+        chunks, order = built
         # accumulator sized for the padded write of EVERY chunk (see
         # _chunk_accum_impl: dynamic_update_slice must never clamp)
         acc_size = _sc.bucket(
@@ -362,32 +423,51 @@ def hybrid_scores(
         accum = _get_chunk_accum()
         acc = jnp.zeros((state["acc_size"],), jnp.float32)
 
-        # one-deep block prefetch: ship chunk c+1 while c's kernel runs
-        # (device_put is async; transfers overlap the kernel dispatches)
-        dev0, cache_bytes = _upload_block(
-            chunks[0], host_tail, chunk_rows_eff, stage_dtype,
-            0, cache_device_blocks_budget,
-        )
-        pending = dev0
-        for c, chunk in enumerate(chunks):
-            block_dev = pending
-            if c + 1 < len(chunks):
-                pending, cache_bytes = _upload_block(
-                    chunks[c + 1], host_tail, chunk_rows_eff, stage_dtype,
-                    cache_bytes, cache_device_blocks_budget,
-                )
-            acc = accum(
-                block_dev,
-                q_dev,
-                chunk["cand"],
-                chunk["tile"],
-                acc,
-                chunk["slot"],
-                chunk["start"],
-                r=r,
-                precision=precision,
-                use_pallas=use_pallas,
+        try:
+            # one-deep block prefetch: ship chunk c+1 while c's kernel
+            # runs (device_put is async; transfers overlap the kernel
+            # dispatches)
+            pending = _upload_block(
+                chunks[0], host_tail, chunk_rows_eff, stage_dtype,
+                cache_store, cache_device_blocks_budget,
             )
-        tail_scores = np.asarray(jax.device_get(acc))[: state["p_tail"]]
+            for c, chunk in enumerate(chunks):
+                block_dev = pending
+                if c + 1 < len(chunks):
+                    pending = _upload_block(
+                        chunks[c + 1], host_tail, chunk_rows_eff,
+                        stage_dtype, cache_store,
+                        cache_device_blocks_budget,
+                    )
+                acc = accum(
+                    block_dev,
+                    q_dev,
+                    chunk["cand"],
+                    chunk["tile"],
+                    acc,
+                    chunk["slot"],
+                    chunk["start"],
+                    r=r,
+                    precision=precision,
+                    use_pallas=use_pallas,
+                )
+            tail_scores = np.asarray(jax.device_get(acc))[: state["p_tail"]]
+        except Exception as e:  # pragma: no cover - device-specific
+            if not use_pallas:
+                raise
+            # same contract as every other Pallas call site: note the
+            # failure (3 strikes disable the kernel process-wide) and
+            # serve THIS call through the XLA scan
+            _sc._note_pallas_failure(e)
+            if plan is not None:
+                plan.pop("hybrid", None)
+            return hybrid_scores(
+                resident, host_tail, tail_start, chunk_rows, q_pad, rows,
+                qno, precision=precision, plan=plan,
+                cache_device_blocks_budget=cache_device_blocks_budget,
+                cache_store=cache_store, _force_scan=True,
+            )
+        if use_pallas:
+            _sc._pallas_success()
         out[state["tail_pos_ordered"]] = tail_scores
     return out

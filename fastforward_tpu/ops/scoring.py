@@ -80,13 +80,7 @@ def _reduce_k_device(flat, slot, counts, k, op):
     fetch, not the reduction).
     """
     picked = jnp.take(flat.reshape(-1), slot, axis=0).reshape(-1, k)
-    valid = jnp.arange(k, dtype=jnp.int32)[None, :] < counts[:, None]
-    if op == "max":
-        return jnp.where(valid, picked, -jnp.inf).max(axis=1)
-    if op == "mean":
-        sums = jnp.where(valid, picked, 0.0).sum(axis=1)
-        return (sums / jnp.maximum(counts, 1)).astype(jnp.float32)
-    return picked[:, 0]
+    return _masked_reduce(picked, counts, op)
 
 
 @jax.jit
@@ -112,13 +106,7 @@ def _stream_select_finalized(
     if counts is None:
         return jnp.take(outs.reshape(-1), slot, axis=0)
     picked = jnp.take(outs.reshape(-1), slot, axis=0).reshape(-1, k)
-    valid = jnp.arange(k, dtype=jnp.int32)[None, :] < counts[:, None]
-    if op == "max":
-        return jnp.where(valid, picked, -jnp.inf).max(axis=1)
-    if op == "mean":
-        sums = jnp.where(valid, picked, 0.0).sum(axis=1)
-        return (sums / jnp.maximum(counts, 1)).astype(jnp.float32)
-    return picked[:, 0]
+    return _masked_reduce(picked, counts, op)
 
 
 def _slot_dev_cached(slot_of_pair, plan, slot_key):
@@ -798,13 +786,7 @@ def _stream_select_pq_finalized(
     if counts is None:
         return jnp.take(outs.reshape(-1), slot, axis=0)
     picked = jnp.take(outs.reshape(-1), slot, axis=0).reshape(-1, k)
-    valid = jnp.arange(k, dtype=jnp.int32)[None, :] < counts[:, None]
-    if op == "max":
-        return jnp.where(valid, picked, -jnp.inf).max(axis=1)
-    if op == "mean":
-        sums = jnp.where(valid, picked, 0.0).sum(axis=1)
-        return (sums / jnp.maximum(counts, 1)).astype(jnp.float32)
-    return picked[:, 0]
+    return _masked_reduce(picked, counts, op)
 
 
 def _streamed_pq_pallas(
@@ -1001,6 +983,20 @@ def build_streamed_layout(
     slot_of_pair = np.empty(p, dtype=np.int64)
     slot_of_pair[order] = vtile * cap + slot
     return cand, tile_idx, slot_of_pair
+
+
+def masked_reduce_host(
+    mat: np.ndarray, counts: np.ndarray, op: str
+) -> np.ndarray:
+    """Numpy twin of :func:`_masked_reduce` for host-side K reductions."""
+    k = mat.shape[1]
+    if op == "first" or k == 1:
+        return mat[:, 0]
+    valid = np.arange(k)[None, :] < counts[:, None]
+    if op == "max":
+        return np.where(valid, mat, np.float32(-np.inf)).max(axis=1)
+    sums = np.where(valid, mat, np.float32(0.0)).sum(axis=1)
+    return (sums / np.maximum(counts, 1)).astype(np.float32)
 
 
 def _masked_reduce(scores: jnp.ndarray, counts: jnp.ndarray, op: str):

@@ -10,19 +10,25 @@ the ADC math for the systolic array:
   (``g = 128 // Ds``); each group's codebooks form a **block-diagonal**
   ``(g*Ks, 128)`` matrix, so one full-width matmul dequantizes ``g``
   subspaces at once;
-- the dequantize runs as two native-bf16 passes over a hi/lo split of
-  the codebooks.  For a one-hot LHS this is *exact*: each output element
-  is a sum of ``g`` selected ``hi + lo`` pairs accumulated in fp32.  (The
-  same split is unsound in plain XLA — the simplifier merges the dots and
-  re-truncates — but safe inside Pallas.)
-- the group loop lives in the **grid** (``(Tv, G)``), not unrolled in the
-  kernel body: per-group score contributions accumulate into a VMEM
-  scratch and the candidate selection runs on the last group step.  (An
-  unrolled 6-group body with lane concatenations sent the Mosaic
-  compiler into 450-1000 s compiles; the small per-step body is the fix.)
-- codes are stored TRANSPOSED ``(M_PAD, N_pad)`` so each (tile, group)
-  step fetches a legal ``(g, r)`` block through the index map — no
-  dynamic lane slicing in the kernel.
+- under ``precision="exact"`` the dequantize runs as two native-bf16
+  passes over a hi/lo split of the codebooks.  For a one-hot LHS this is
+  *exact*: each output element is a sum of ``g`` selected ``hi + lo``
+  pairs accumulated in fp32.  (The same split is unsound in plain XLA —
+  the simplifier merges the dots and re-truncates — but safe inside
+  Pallas.)  ``"high"``/``"fast"`` run a single pass against the
+  bf16-rounded codebooks — centroid rounding (~0.4% relative) is noise
+  next to the PQ quantization error, at half the dequantize FLOPs;
+- the grid is one step per virtual tile (``(Tv,)``) with the group loop
+  STATICALLY UNROLLED in the kernel body, ending in one lane
+  concatenation of the per-group ``(R, 128)`` dequantized slices.  (A
+  ``(Tv, G)`` grid with per-group VMEM scratch accumulation was probed as
+  an alternative when early unrolled variants hit 450-1000 s Mosaic
+  compiles; the compile blowup traced to *per-group lane concatenations
+  inside the loop* — one trailing f32 concat after the unrolled dots
+  compiles fine, so the simpler unrolled body shipped.)
+- codes are stored row-major ``(N_pad, M_PAD)``; each grid step fetches
+  its tile's ``(r, M_PAD)`` block through the index map and takes static
+  lane slices per group — no dynamic lane slicing in the kernel.
 
 Mosaic layout constraints honored (probed on v5e): trailing reshapes only
 in f32 with lane-multiple minor dims, leading-batch matmuls only, no
@@ -42,7 +48,7 @@ from fastforward_tpu.ops.stream_kernel import _dot_bf16x3, _split_bf16
 
 #: rows per code tile
 KERNEL_PQ_TILE_ROWS = 512
-#: padded code rows in the transposed layout (spare rows never fetched)
+#: padded code columns (lane dimension; spare columns never read)
 M_PAD = 128
 
 

@@ -139,13 +139,14 @@ class TestHybridTier(unittest.TestCase):
         plan = next(iter(hybrid._plans.values()))
         chunks = plan["hybrid"]["chunks"]
         self.assertTrue(chunks)
-        cached = [c for c in chunks if "block_dev" in c]
-        self.assertTrue(cached, "no block was cached despite leftover budget")
         view = hybrid._device_view()
+        cached = view.aux.get("tail_blocks", {})
+        self.assertTrue(cached, "no block was cached despite leftover budget")
         self.assertLessEqual(
-            sum(c["block_dev"].nbytes for c in cached),
+            sum(b.nbytes for b in cached.values()),
             view.tail_cache_budget,
         )
+        self.assertEqual(view.aux["tail_bytes"], sum(b.nbytes for b in cached.values()))
         self.assertEqual(first, hybrid(ranking))
 
     def test_add_invalidates_hybrid_view(self):
@@ -202,6 +203,80 @@ class TestHybridOnDisk(unittest.TestCase):
         expected = ref(ranking)
         self.assertEqual(expected, hybrid(ranking))
         self.assertEqual(expected, hybrid(ranking))  # warm
+
+
+class TestHybridBlockCacheBudget(unittest.TestCase):
+    def test_budget_bounds_total_across_plans(self):
+        """The device-block cache budget is VIEW-global: serving many
+        distinct rankings must not pin plans x budget bytes of HBM
+        (regression: per-plan accounting defeated the hbm_budget
+        guarantee)."""
+        index = _psg_index(hbm_budget=BUDGET, stream_chunk_rows=1024)
+        view = index._device_view()
+        self.assertEqual("hybrid", view.kind)
+        expected_scores = {}
+        for start in (0, 1, 2, 3, 4):
+            run = {
+                "q1": {
+                    f"p{i}": float(i) for i in range(start, N, 5)
+                }
+            }
+            ranking = Ranking.from_run(run, queries={"q1": "a"})
+            out = index(ranking)["q1"]
+            expected_scores.update(
+                {pid: out[pid] for pid in list(out)[:3]}
+            )
+        used = view.aux.get("tail_bytes", 0)
+        self.assertLessEqual(used, view.tail_cache_budget)
+        # and correctness held for each distinct plan
+        for pid, score in expected_scores.items():
+            truth = float(CORPUS[int(pid[1:])] @ QVECS["a"])
+            self.assertAlmostEqual(truth, score, places=3, msg=pid)
+
+
+class TestHybridVeryRaggedDocs(unittest.TestCase):
+    def test_flat_segment_fallback_uses_hybrid_engine(self):
+        """A document with > _MAX_GROUP_K passages routes scoring through
+        the flat segment fallback; with a hybrid view that path must score
+        host-tail rows through the hybrid engine, not read out of bounds
+        on the resident prefix (regression: tail documents silently
+        dropped with NaN scores)."""
+        doc_ids = ["dBIG"] * 100 + [
+            f"d{i}" for i in range(100, N)
+        ]  # one 100-passage doc, the rest single-passage
+        run = {"q1": {"dBIG": 3.0, "d5000": 2.0, "d5999": 1.0}}
+        ranking = Ranking.from_run(run, queries={"q1": "a"})
+        results = []
+        for kwargs in ({}, dict(hbm_budget=BUDGET, stream_chunk_rows=1024)):
+            index = InMemoryIndex(ENC, mode=Mode.MAXP, **kwargs)
+            index.add(CORPUS, doc_ids=doc_ids)
+            results.append(index(ranking)["q1"])
+        plain, hybrid = results
+        self.assertEqual(set(plain), set(hybrid))
+        self.assertEqual({"dBIG", "d5000", "d5999"}, set(hybrid))
+        for doc in plain:
+            self.assertAlmostEqual(plain[doc], hybrid[doc], places=3, msg=doc)
+
+    def test_flat_fallback_modes(self):
+        """AVEP / FIRSTP through the same ragged hybrid fallback."""
+        doc_ids = ["dBIG"] * 100 + [f"d{i}" for i in range(100, N)]
+        run = {"q1": {"dBIG": 3.0, "d4000": 2.0, "d5999": 1.0}}
+        for mode in (Mode.AVEP, Mode.FIRSTP):
+            results = []
+            for kwargs in (
+                {},
+                dict(hbm_budget=BUDGET, stream_chunk_rows=1024),
+            ):
+                index = InMemoryIndex(ENC, mode=mode, **kwargs)
+                index.add(CORPUS, doc_ids=doc_ids)
+                ranking = Ranking.from_run(run, queries={"q1": "b"})
+                results.append(index(ranking)["q1"])
+            plain, hybrid = results
+            self.assertEqual(set(plain), set(hybrid), msg=mode)
+            for doc in plain:
+                self.assertAlmostEqual(
+                    plain[doc], hybrid[doc], places=3, msg=(mode, doc)
+                )
 
 
 if __name__ == "__main__":
