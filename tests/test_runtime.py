@@ -100,3 +100,26 @@ class TestStreamedLayout(unittest.TestCase):
 
 if __name__ == "__main__":
     unittest.main()
+
+
+class TestDescRankOrder(unittest.TestCase):
+    def test_matches_lexsort(self):
+        """The composite-key order (shared by the dense fast path and ES
+        assembly) must equal a plain lexsort on (rank asc, score desc),
+        including negative/zero scores and ties."""
+        from fastforward_tpu.index.base import _desc_rank_order
+
+        rng = np.random.default_rng(7)
+        n = 5000
+        rank = rng.integers(0, 40, size=n).astype(np.uint64)
+        scores = rng.normal(size=n).astype(np.float32)
+        scores[:50] = 0.0  # ties at zero
+        scores[50:100] = scores[0]  # more ties
+        order = _desc_rank_order(rank << np.uint64(32), scores)
+        expected = np.lexsort((-scores.astype(np.float64), rank))
+        # same (rank, score) sequence; tie order may differ between the
+        # two stable sorts only if keys differ — assert key equality
+        np.testing.assert_array_equal(rank[order], rank[expected])
+        np.testing.assert_array_equal(scores[order], scores[expected])
+        # within ties both sorts are stable -> identical permutations
+        np.testing.assert_array_equal(order, expected)
