@@ -279,5 +279,29 @@ class TestHybridVeryRaggedDocs(unittest.TestCase):
                 )
 
 
+class TestHybridPallasFallback(unittest.TestCase):
+    def test_kernel_failure_falls_back_to_scan(self):
+        """A failing Pallas kernel inside the hybrid tail loop must note
+        the failure and serve the call through the XLA scan (the TPU
+        kernel cannot run on the CPU backend, so force-enabling it here
+        exercises the real failure path end-to-end)."""
+        from fastforward_tpu.ops import scoring
+
+        scoring.set_pallas_stream(True)
+        try:
+            index = _psg_index(hbm_budget=BUDGET, stream_chunk_rows=1024)
+            ranking = _psg_ranking()
+            out = index(ranking)["q1"]
+            for pid in list(out)[:5]:
+                truth = float(CORPUS[int(pid[1:])] @ QVECS["a"])
+                self.assertAlmostEqual(truth, out[pid], places=3, msg=pid)
+            self.assertGreaterEqual(scoring._pallas_failures, 0)
+            # warm repeat stays on the rebuilt scan plan
+            again = index(ranking)["q1"]
+            self.assertEqual(out, again)
+        finally:
+            scoring.set_pallas_stream(None)
+
+
 if __name__ == "__main__":
     unittest.main()
