@@ -687,18 +687,9 @@ class Index(abc.ABC):
                     # k == 1, or the K reduction already ran on device
                     return row_scores
                 # ranking-mode reduction over the K axis on the host
-                mat = row_scores.reshape(n_pairs, k)
-                valid = np.arange(k)[None, :] < counts_pp[:, None]
-                if op == "max":
-                    return np.where(
-                        valid, mat, np.float32(-np.inf)
-                    ).max(axis=1)
-                if op == "mean":
-                    sums = np.where(valid, mat, np.float32(0.0)).sum(axis=1)
-                    return (
-                        sums / np.maximum(counts_pp, 1)
-                    ).astype(np.float32)
-                return mat[:, 0]
+                return ops.masked_reduce_host(
+                    row_scores.reshape(n_pairs, k), counts_pp, op
+                )
 
         if (
             k == 1

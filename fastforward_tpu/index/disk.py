@@ -379,23 +379,31 @@ class OnDiskIndex(Index):
             else:
                 if self._quantizer is not None:
                     raw = self._quantizer.decode(raw)
-                if (
-                    self._hbm_budget is not None
-                    and raw.shape[1] % 128 == 0
-                ):
-                    from fastforward_tpu.index.base import build_hybrid_view
+                if self._hbm_budget is not None:
+                    if raw.shape[1] % 128 == 0:
+                        from fastforward_tpu.index.base import (
+                            build_hybrid_view,
+                        )
 
-                    hybrid = build_hybrid_view(
-                        np.ascontiguousarray(raw, dtype=np.float32),
-                        num,
-                        raw.shape[1],
-                        self._hbm_budget,
-                        self._precision,
-                        chunk_rows=self._stream_chunk_rows,
-                    )
-                    if hybrid is not None:
-                        self._dev_view = hybrid
-                        return self._dev_view
+                        hybrid = build_hybrid_view(
+                            np.ascontiguousarray(raw, dtype=np.float32),
+                            num,
+                            raw.shape[1],
+                            self._hbm_budget,
+                            self._precision,
+                            chunk_rows=self._stream_chunk_rows,
+                        )
+                        if hybrid is not None:
+                            self._dev_view = hybrid
+                            return self._dev_view
+                    else:
+                        LOGGER.warning(
+                            "hbm_budget is ignored: the hybrid beyond-HBM "
+                            "tier requires dim %% 128 == 0 (got %d); the "
+                            "full table will be uploaded to HBM — pad the "
+                            "embeddings or quantize to stay within budget",
+                            raw.shape[1],
+                        )
                 # dense tables stay 2D (N, dim): no sublane padding (the
                 # 3D form wastes 33% HBM at dim=768, see InMemoryIndex)
                 data = np.zeros((n_pad, raw.shape[1]), dtype=np.float32)

@@ -328,7 +328,7 @@ class InMemoryIndex(Index):
 
     # -- device table --------------------------------------------------------
 
-    def _hybrid_view(self, data: np.ndarray, dim: int, n_pad: int) -> DeviceView | None:
+    def _hybrid_view(self, data: np.ndarray, dim: int) -> DeviceView | None:
         """Beyond-HBM tier view, or ``None`` when the table fits the budget
         (see :func:`fastforward_tpu.index.base.build_hybrid_view`)."""
         from fastforward_tpu.index.base import build_hybrid_view
@@ -499,11 +499,20 @@ class InMemoryIndex(Index):
             )
         else:
             dim = data.shape[1]
-            if self._hbm_budget is not None and dim % 128 == 0:
-                hybrid = self._hybrid_view(data, dim, n_pad)
-                if hybrid is not None:
-                    self._dev_view = hybrid
-                    return self._dev_view
+            if self._hbm_budget is not None:
+                if dim % 128 == 0:
+                    hybrid = self._hybrid_view(data, dim)
+                    if hybrid is not None:
+                        self._dev_view = hybrid
+                        return self._dev_view
+                else:
+                    LOGGER.warning(
+                        "hbm_budget is ignored: the hybrid beyond-HBM tier "
+                        "requires dim %% 128 == 0 (got %d); the full table "
+                        "will be uploaded to HBM — pad the embeddings or "
+                        "quantize to stay within budget",
+                        dim,
+                    )
             # dense tables stay 2D (N, dim): lanes are exact 128-multiples
             # so the device layout has NO sublane padding — the 3D
             # (N, dim//128, 128) form wastes 33% HBM at dim=768 (T(8,128)

@@ -43,6 +43,13 @@ LOGGER = logging.getLogger(__name__)
 #: (32k rows x 768 x 4B = 96 MB) or caching becomes all-or-nothing.
 HOST_CHUNK_ROWS = 1 << 15
 
+#: per-plan cap on host RAM spent keeping gathered (non-view) tail blocks
+#: across calls.  Dense candidate sets gather contiguous chunks, which are
+#: served as zero-copy views of the canonical tail and never cached; this
+#: bounds the scattered-gather case, where ``_MAX_PLANS`` concurrent plans
+#: could otherwise each pin up to a full tail copy.
+HOST_BLOCK_CACHE_BUDGET = 2 << 30
+
 
 def _chunk_accum_impl(
     table, q, cand, tile_idx, out, slot, start, *, r, precision, use_pallas
@@ -211,16 +218,26 @@ def _build_tail_chunks(
 
 def _chunk_block(
     chunk: dict, host_tail: np.ndarray, chunk_rows: int, stage_dtype
-) -> np.ndarray:
-    """Host-gather one chunk's unique rows into an upload-ready block."""
+) -> "tuple[np.ndarray, bool]":
+    """Host-gather one chunk's unique rows into an upload-ready block.
+
+    Returns ``(block, is_view)``; ``is_view`` blocks are zero-copy slices
+    of the canonical tail (the dense-candidate case, where ``rows`` is a
+    full contiguous run) — free to recompute, never worth caching.
+    """
     rows = chunk["rows"]
     if rows.shape[0] == chunk_rows and host_tail.dtype == stage_dtype:
-        return host_tail[rows]
+        # rows come sorted-unique from np.unique: contiguous iff the span
+        # equals the count
+        lo = int(rows[0])
+        if int(rows[-1]) - lo == chunk_rows - 1:
+            return host_tail[lo : lo + chunk_rows], True
+        return host_tail[rows], False
     block = np.zeros(
         (chunk_rows, *host_tail.shape[1:]), dtype=stage_dtype
     )
     block[: rows.shape[0]] = host_tail[rows]
-    return block
+    return block, False
 
 
 def _block_cache_key(chunk: dict, stage_dtype) -> tuple:
@@ -246,32 +263,52 @@ def _upload_block(
     stage_dtype,
     store: dict | None,
     budget: int,
+    host_acct: dict | None = None,
 ) -> jax.Array:
     """Return the chunk's device block, caching per the HBM budget.
 
-    Host-side the gathered block stays on the chunk dict (the random host
-    gather is paid once per plan).  Device copies live in ``store`` — a
-    VIEW-lifetime dict shared by every plan — so the budget bounds the
+    Host-side the gathered block stays on the chunk dict when it is a real
+    copy (the random host gather is paid once per plan), bounded per plan
+    by ``HOST_BLOCK_CACHE_BUDGET`` via ``host_acct``; zero-copy view
+    blocks (dense contiguous chunks) are recomputed for free and never
+    cached.  Device copies live in ``store`` — a VIEW-lifetime dict shared
+    by every plan — as an LRU bounded by ``budget``: the budget caps the
     total HBM spent on cached blocks for the whole index, not per plan
     (with per-plan accounting, ``_MAX_PLANS`` concurrent rankings could
-    pin plans x budget bytes and OOM the chip the budget was sized for).
+    pin plans x budget bytes and OOM the chip the budget was sized for),
+    and least-recently-used blocks are evicted so early one-off plans
+    (e.g. ``preload``'s synthetic warm run) can't permanently strand the
+    budget on blocks no later plan hits.
     """
-    key = _block_cache_key(chunk, stage_dtype) if store is not None else None
+    blocks = None
     if store is not None:
-        dev = store.setdefault("tail_blocks", {}).get(key)
-        if dev is not None:
-            return dev
+        blocks = store.setdefault("tail_blocks", {})
+        key = _block_cache_key(chunk, stage_dtype)
+        ent = blocks.get(key)
+        if ent is not None:
+            del blocks[key]  # LRU touch: re-insert at the back
+            blocks[key] = ent
+            return ent[0]
     host = chunk.get("block_host")
     if host is None:
-        host = _chunk_block(chunk, host_tail, chunk_rows, stage_dtype)
-        chunk["block_host"] = host
+        host, is_view = _chunk_block(chunk, host_tail, chunk_rows, stage_dtype)
+        if not is_view and host_acct is not None:
+            cached = host_acct.get("host_cached_bytes", 0)
+            if cached + host.nbytes <= HOST_BLOCK_CACHE_BUDGET:
+                chunk["block_host"] = host
+                host_acct["host_cached_bytes"] = cached + host.nbytes
     dev = jax.device_put(host)
-    if store is not None:
+    if blocks is not None and host.nbytes <= budget:
         used = store.get("tail_bytes", 0)
-        if used + host.nbytes <= budget:
-            store["tail_blocks"][key] = dev
-            store["tail_bytes"] = used + host.nbytes
-            chunk.pop("block_host", None)
+        while used + host.nbytes > budget and blocks:
+            old_key = next(iter(blocks))
+            used -= blocks.pop(old_key)[1]
+        blocks[key] = (dev, host.nbytes)
+        store["tail_bytes"] = used + host.nbytes
+        if chunk.pop("block_host", None) is not None and host_acct:
+            host_acct["host_cached_bytes"] = max(
+                0, host_acct.get("host_cached_bytes", 0) - host.nbytes
+            )
     return dev
 
 
@@ -322,6 +359,17 @@ def hybrid_scores(
         # the kernel was disabled (3-strike) after this plan warmed, or
         # this call is a post-failure retry: rebuild for the scan path
         state = None
+    elif (
+        state is not None
+        and not state["use_pallas"]
+        and state.get("retry_pallas")
+        and not _force_scan
+        and _sc.pallas_stream_enabled()
+    ):
+        # the scan state exists only because of a TRANSIENT kernel failure
+        # (same per-call contract as the dense/PQ call sites): retry the
+        # kernel path instead of serving the slower scan forever
+        state = None
     if state is None:
         res_mask = rows < tail_start
         res_pos = np.flatnonzero(res_mask)
@@ -346,9 +394,11 @@ def hybrid_scores(
             r,
             use_pallas,
         )
+        overflow = False
         if built is None:
             # virtual-tile grid too large for the kernel's SMEM prefetch:
             # this geometry runs on the XLA scan
+            overflow = True
             use_pallas = False
             r = _sc.STREAM_TILE_ROWS
             chunk_rows_eff = max(r, (chunk_rows // r) * r)
@@ -382,6 +432,11 @@ def hybrid_scores(
             "r": r,
             "chunk_rows": chunk_rows_eff,
             "use_pallas": use_pallas,
+            # scan states built by the post-failure retry path (or while
+            # the kernel was disabled) go back to the kernel once it is
+            # enabled again; grid-overflow scan states don't — their
+            # geometry can never fit the SMEM prefetch bound
+            "retry_pallas": not use_pallas and not overflow,
         }
         if plan is not None:
             plan["hybrid"] = state
@@ -429,7 +484,7 @@ def hybrid_scores(
             # dispatches)
             pending = _upload_block(
                 chunks[0], host_tail, chunk_rows_eff, stage_dtype,
-                cache_store, cache_device_blocks_budget,
+                cache_store, cache_device_blocks_budget, state,
             )
             for c, chunk in enumerate(chunks):
                 block_dev = pending
@@ -437,7 +492,7 @@ def hybrid_scores(
                     pending = _upload_block(
                         chunks[c + 1], host_tail, chunk_rows_eff,
                         stage_dtype, cache_store,
-                        cache_device_blocks_budget,
+                        cache_device_blocks_budget, state,
                     )
                 acc = accum(
                     block_dev,

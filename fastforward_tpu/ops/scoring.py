@@ -773,14 +773,14 @@ def _pad_pq_codes(codes, m_pad):
 
 @partial(jax.jit, static_argnames=("m", "r", "precision", "k", "op"))
 def _stream_select_pq_finalized(
-    codes_p, bd_hi, bd_lo, q_t, cand, tile_idx, slot, counts,
+    codes_p, bd_hi, bd_mid, bd_lo, q_t, cand, tile_idx, slot, counts,
     m, r, precision, k, op,
 ):
     """Pallas ADC kernel + slot gather (+ K reduction) as ONE dispatch."""
     from fastforward_tpu.ops import stream_kernel_pq
 
     outs = stream_kernel_pq.stream_select_pq(
-        codes_p, bd_hi, bd_lo, q_t, cand, tile_idx,
+        codes_p, bd_hi, bd_mid, bd_lo, q_t, cand, tile_idx,
         m=m, r=r, precision=precision,
     )
     if counts is None:
@@ -804,6 +804,9 @@ def _streamed_pq_pallas(
         return None
     padded = table_cache.get("pq_padded")
     if padded is None:
+        # the lane-aligned copy costs M_PAD/m x the code-table HBM (8x at
+        # m=16) on top of the original codes; released when the kernel is
+        # disabled (see streamed_scores_pq)
         bd = stream_kernel_pq.build_blockdiag_codebooks(
             np.asarray(jax.device_get(codebooks), dtype=np.float32)
         )
@@ -814,6 +817,7 @@ def _streamed_pq_pallas(
             _pad_pq_codes(codes, m_pad),
             jnp.asarray(bd[0]),
             jnp.asarray(bd[1]),
+            jnp.asarray(bd[2]),
         )
         table_cache["pq_padded"] = padded
     if padded is False:
@@ -837,7 +841,7 @@ def _streamed_pq_pallas(
             plan["stream_pq_pallas"] = cached
     cand_dev, tile_dev, slot_of_pair = cached
     try:
-        codes_p, bd_hi, bd_lo = padded
+        codes_p, bd_hi, bd_mid, bd_lo = padded
         q_t = np.ascontiguousarray(q_pad.T.astype(np.float32))
         q_dev = _cached_q_upload(q_t, plan, "q_t_pq_dev")
         slot_dev = _slot_dev_cached(slot_of_pair, plan, "stream_pq_pallas_slot")
@@ -848,8 +852,8 @@ def _streamed_pq_pallas(
         else:
             op, k, counts_dev = "first", 1, None
         out = _stream_select_pq_finalized(
-            codes_p, bd_hi, bd_lo, q_dev, cand_dev, tile_dev, slot_dev,
-            counts_dev, m, r, precision, k, op,
+            codes_p, bd_hi, bd_mid, bd_lo, q_dev, cand_dev, tile_dev,
+            slot_dev, counts_dev, m, r, precision, k, op,
         )
         result = np.asarray(jax.device_get(out))
         _pallas_success()
@@ -892,6 +896,11 @@ def streamed_scores_pq(
         )
         if result is not None:
             return result
+    elif table_cache is not None and table_cache.get("pq_padded"):
+        # kernel disabled (3-strike or forced off): the lane-aligned code
+        # copy (up to 128/m x the code-table bytes) and codebook splits
+        # are dead weight in HBM — release them; rebuilt if re-enabled
+        table_cache.pop("pq_padded", None)
     cached = plan.get("stream_pq") if plan is not None else None
     if cached is None:
         cap = _adaptive_cap(rows.shape[0], max(1, n_pad // STREAM_TILE_ROWS))

@@ -36,6 +36,19 @@ def _split_bf16(x):
     return hi, lo
 
 
+def _split_bf16x3(x):
+    """Split fp32 into (hi, mid, lo) bf16 parts with x == hi + mid + lo.
+
+    Three 8-bit-mantissa chunks cover the 24-bit fp32 significand, so the
+    fp32 sum of the parts reconstructs ``x`` exactly (a two-part split
+    leaves ~2^-17 relative error — NOT exact)."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
 def _dot_bf16x3(a, b):
     """~fp32-accurate matmul from three native-bf16 MXU passes.
 

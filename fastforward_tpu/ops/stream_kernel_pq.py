@@ -10,14 +10,18 @@ the ADC math for the systolic array:
   (``g = 128 // Ds``); each group's codebooks form a **block-diagonal**
   ``(g*Ks, 128)`` matrix, so one full-width matmul dequantizes ``g``
   subspaces at once;
-- under ``precision="exact"`` the dequantize runs as two native-bf16
-  passes over a hi/lo split of the codebooks.  For a one-hot LHS this is
-  *exact*: each output element is a sum of ``g`` selected ``hi + lo``
-  pairs accumulated in fp32.  (The same split is unsound in plain XLA —
-  the simplifier merges the dots and re-truncates — but safe inside
-  Pallas.)  ``"high"``/``"fast"`` run a single pass against the
-  bf16-rounded codebooks — centroid rounding (~0.4% relative) is noise
-  next to the PQ quantization error, at half the dequantize FLOPs;
+- under ``precision="exact"`` the dequantize runs as THREE native-bf16
+  passes over a hi/mid/lo split of the codebooks (8 mantissa bits per
+  part = the full 24-bit fp32 significand; a two-part split leaves
+  ~1e-5 relative error — measured — which breaks the exact tier's fp32
+  parity).  For a one-hot LHS the passes select single addends, so each
+  output element is ``hi + mid + lo`` accumulated in fp32 — fp32-exact
+  up to the final two-add rounding (<= 1 ulp).  (The same split is
+  unsound in plain XLA — the simplifier merges the dots and
+  re-truncates — but safe inside Pallas.)  ``"high"``/``"fast"`` run a
+  single pass against the bf16-rounded codebooks — centroid rounding
+  (~0.4% relative) is noise next to the PQ quantization error, at a
+  third of the dequantize FLOPs;
 - the grid is one step per virtual tile (``(Tv,)``) with the group loop
   STATICALLY UNROLLED in the kernel body, ending in one lane
   concatenation of the per-group ``(R, 128)`` dequantized slices.  (A
@@ -44,7 +48,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from fastforward_tpu.ops.stream_kernel import _dot_bf16x3, _split_bf16
+from fastforward_tpu.ops.stream_kernel import (
+    _dot_bf16x3,
+    _split_bf16,
+    _split_bf16x3,
+)
 
 #: rows per code tile
 KERNEL_PQ_TILE_ROWS = 512
@@ -54,13 +62,14 @@ M_PAD = 128
 
 def build_blockdiag_codebooks(
     codebooks: np.ndarray,
-) -> "tuple[np.ndarray, np.ndarray] | None":
-    """Block-diagonal hi/lo codebook matrices for the ADC kernel.
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray] | None":
+    """Block-diagonal hi/mid/lo codebook matrices for the ADC kernel.
 
-    Returns ``(bd_hi, bd_lo)`` of shape ``(G, g*Ks, 128)`` bf16 with
-    ``hi + lo`` exactly the fp32 codeword values, or ``None`` when the
-    geometry doesn't fit the kernel (``Ds`` must divide 128 and the group
-    size must divide ``M``).
+    Returns ``(bd_hi, bd_mid, bd_lo)`` of shape ``(G, g*Ks, 128)`` bf16
+    with ``hi + mid + lo`` the fp32 codeword values to full fp32
+    precision (three 8-bit mantissa chunks cover the 24-bit significand),
+    or ``None`` when the geometry doesn't fit the kernel (``Ds`` must
+    divide 128 and the group size must divide ``M``).
     """
     m, ks, ds = codebooks.shape
     if ds > 128 or 128 % ds:
@@ -76,13 +85,15 @@ def build_blockdiag_codebooks(
                 grp * g + j
             ]
     hi = bd.astype(ml_dtypes.bfloat16)
-    lo = (bd - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
-    return hi, lo
+    r1 = bd - hi.astype(np.float32)
+    mid = r1.astype(ml_dtypes.bfloat16)
+    lo = (r1 - mid.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return hi, mid, lo
 
 
 def _adc_kernel(
-    tile_idx_ref, codes_ref, bdhi_ref, bdlo_ref, qt_ref, cand_ref, out_ref,
-    *, num_groups, g, ks, precision
+    tile_idx_ref, codes_ref, bdhi_ref, bdmid_ref, bdlo_ref, qt_ref,
+    cand_ref, out_ref, *, num_groups, g, ks, precision
 ):
     r = codes_ref.shape[1]
     qb = qt_ref.shape[1]
@@ -109,13 +120,18 @@ def _adc_kernel(
         )
         # "exact" arrives as Precision.HIGHEST (see the lax_precision map)
         if precision == jax.lax.Precision.HIGHEST:
-            # hi/lo dual pass reconstructs the fp32 codebook exactly
-            # (one-hot LHS: the only rounding is the codebook split)
-            deq_groups.append(dot(oh, bdhi_ref[grp]) + dot(oh, bdlo_ref[grp]))
+            # hi/mid/lo triple pass reconstructs the fp32 codebook to full
+            # 24-bit precision (one-hot LHS selects single addends; a
+            # two-part split leaves ~1e-5 relative error and is NOT exact)
+            deq_groups.append(
+                dot(oh, bdhi_ref[grp])
+                + dot(oh, bdmid_ref[grp])
+                + dot(oh, bdlo_ref[grp])
+            )
         else:
             # "high"/"fast": single pass against the bf16-rounded codebook.
             # Centroid rounding (~0.4% relative) is noise next to the PQ
-            # quantization error itself and halves the dominant dequantize
+            # quantization error itself and cuts the dominant dequantize
             # FLOPs (measured 1366 -> 2000+ QPS at N=2M Q=512).
             deq_groups.append(dot(oh, bdhi_ref[grp]))
     deq = jnp.concatenate(deq_groups, axis=1)  # (R, dim) fp32
@@ -145,11 +161,16 @@ def _adc_kernel(
             preferred_element_type=jnp.float32,
         )  # (CAP//128, 128, Qb)
 
-    # selection copies single values exactly via hi/lo bf16 passes
-    s_hi, s_lo = _split_bf16(tile_scores)
-    picked = select(s_hi, jax.lax.Precision.DEFAULT) + select(
-        s_lo, jax.lax.Precision.DEFAULT
-    )
+    # selection copies single values via bf16 part passes (exact one-hot
+    # products): three parts reconstruct the full fp32 score for "exact";
+    # the lossy tiers keep two (~16-bit scores, below their own noise)
+    if precision == jax.lax.Precision.HIGHEST:
+        parts = _split_bf16x3(tile_scores)
+    else:
+        parts = _split_bf16(tile_scores)
+    picked = select(parts[0], jax.lax.Precision.DEFAULT)
+    for part in parts[1:]:
+        picked = picked + select(part, jax.lax.Precision.DEFAULT)
     q_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, qb), 2)
     q_onehot = (qsel[:, :, None] == q_iota).astype(jnp.float32)
     out_ref[0] = jnp.sum(picked * q_onehot, axis=-1)
@@ -161,6 +182,7 @@ def _adc_kernel(
 def stream_select_pq(
     codes_t: jax.Array,
     bd_hi: jax.Array,
+    bd_mid: jax.Array,
     bd_lo: jax.Array,
     qvecs_t: jax.Array,
     cand3: jax.Array,
@@ -176,6 +198,7 @@ def stream_select_pq(
         ``N_pad % r == 0`` (columns beyond ``m`` are never read).
     :param bd_hi: Block-diagonal codebook hi parts, ``(G, g*Ks, 128)``
         bf16 (see :func:`build_blockdiag_codebooks`).
+    :param bd_mid: Matching mid parts, same shape.
     :param bd_lo: Matching lo parts, same shape.
     :param qvecs_t: Transposed query vectors ``(dim, Qb)`` fp32 (already
         OPQ-rotated by the caller where applicable).
@@ -208,6 +231,7 @@ def stream_select_pq(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bd_hi, fully resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bd_mid, fully resident
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bd_lo, fully resident
             pl.BlockSpec(memory_space=pltpu.VMEM),  # q^T, fully resident
             pl.BlockSpec(
@@ -242,8 +266,11 @@ def stream_select_pq(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * t_virtual * r * (2 * num_groups * gks * 128 + m * (128 // g) * qb),
+            flops=2 * t_virtual * r * (
+                (3 if precision == "exact" else 1) * num_groups * gks * 128
+                + m * (128 // g) * qb
+            ),
             bytes_accessed=t_virtual * r * m + t_virtual * capr * 128 * 8,
             transcendentals=0,
         ),
-    )(tile_idx, codes3, bd_hi, bd_lo, qvecs_t, cand3)
+    )(tile_idx, codes3, bd_hi, bd_mid, bd_lo, qvecs_t, cand3)

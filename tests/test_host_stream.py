@@ -143,10 +143,13 @@ class TestHybridTier(unittest.TestCase):
         cached = view.aux.get("tail_blocks", {})
         self.assertTrue(cached, "no block was cached despite leftover budget")
         self.assertLessEqual(
-            sum(b.nbytes for b in cached.values()),
+            sum(nbytes for _, nbytes in cached.values()),
             view.tail_cache_budget,
         )
-        self.assertEqual(view.aux["tail_bytes"], sum(b.nbytes for b in cached.values()))
+        self.assertEqual(
+            view.aux["tail_bytes"],
+            sum(nbytes for _, nbytes in cached.values()),
+        )
         self.assertEqual(first, hybrid(ranking))
 
     def test_add_invalidates_hybrid_view(self):
@@ -232,6 +235,76 @@ class TestHybridBlockCacheBudget(unittest.TestCase):
         for pid, score in expected_scores.items():
             truth = float(CORPUS[int(pid[1:])] @ QVECS["a"])
             self.assertAlmostEqual(truth, score, places=3, msg=pid)
+
+
+class TestHybridCacheEvictionAndViews(unittest.TestCase):
+    def test_lru_eviction_reclaims_stale_blocks(self):
+        """The device-block cache is an LRU: blocks cached by an early
+        plan (e.g. preload's synthetic warm run) must be evicted for a
+        later plan's blocks instead of permanently stranding the budget
+        (regression: tail_bytes never decremented, so the first plans'
+        blocks froze out every later plan)."""
+        index = _psg_index(hbm_budget=BUDGET, stream_chunk_rows=1024)
+        view = index._device_view()
+        self.assertEqual("hybrid", view.kind)
+        # many distinct sparse plans, each with its own block keys
+        for start in range(8):
+            run = {"q1": {f"p{i}": 1.0 for i in range(start, N, 11)}}
+            index(Ranking.from_run(run, queries={"q1": "a"}))
+        blocks = view.aux.get("tail_blocks", {})
+        used = view.aux.get("tail_bytes", 0)
+        self.assertLessEqual(used, view.tail_cache_budget)
+        self.assertEqual(used, sum(nb for _, nb in blocks.values()))
+        # the LAST plan's blocks are the cached (most recent) ones: a
+        # repeat of it must hit without growing the cache
+        before = dict.fromkeys(blocks)
+        run = {"q1": {f"p{i}": 1.0 for i in range(7, N, 11)}}
+        index(Ranking.from_run(run, queries={"q1": "a"}))
+        self.assertEqual(set(before), set(view.aux["tail_blocks"]))
+
+    def test_dense_contiguous_blocks_are_views_not_cached(self):
+        """A dense candidate set's full contiguous chunks are zero-copy
+        views of the canonical tail: the plan must not pin a host-side
+        copy of the tail (regression: up to a full tail copy per plan,
+        x _MAX_PLANS plans)."""
+        index = _psg_index(hbm_budget=BUDGET, stream_chunk_rows=1024)
+        run = {"q1": {f"p{i}": float(i) for i in range(N)}}  # every row
+        ranking = Ranking.from_run(run, queries={"q1": "a"})
+        index(ranking)  # plan cache is weakref-keyed: keep the ranking
+        plan = next(iter(index._plans.values()))
+        state = plan["hybrid"]
+        host_cached = sum(
+            c["block_host"].nbytes
+            for c in state["chunks"]
+            if c.get("block_host") is not None
+        )
+        # at most the final ragged chunk may be a real (padded) copy
+        chunk_bytes = state["chunk_rows"] * DIM * 4
+        self.assertLessEqual(host_cached, chunk_bytes)
+
+    def test_scan_state_retries_pallas_after_transient_failure(self):
+        """One transient kernel failure must not downgrade the plan to
+        the XLA scan forever: the rebuilt scan state carries
+        retry_pallas and the next call goes back to the kernel path
+        while it is enabled (mirrors the dense/PQ per-call contract)."""
+        from fastforward_tpu.ops import scoring
+
+        scoring.set_pallas_stream(True)  # CPU: kernel calls always fail
+        try:
+            index = _psg_index(hbm_budget=BUDGET, stream_chunk_rows=1024)
+            ranking = _psg_ranking()
+            index(ranking)  # fails once, serves via scan
+            plan = next(iter(index._plans.values()))
+            state = plan["hybrid"]
+            self.assertFalse(state["use_pallas"])
+            self.assertTrue(state["retry_pallas"])
+            # the first call also burned resident-path failures; reset the
+            # strike counter as a real recovery would, keeping the plan
+            scoring.set_pallas_stream(True)
+            index(ranking)  # retries the kernel (fails again on CPU)
+            self.assertGreater(scoring._pallas_failures, 0)
+        finally:
+            scoring.set_pallas_stream(None)
 
 
 class TestHybridVeryRaggedDocs(unittest.TestCase):

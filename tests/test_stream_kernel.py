@@ -71,10 +71,11 @@ class TestStreamKernelPQInterpret(unittest.TestCase):
             rows, qno, n_pad, qb, r=r, cap=cap
         )
         codes_p = scoring._pad_pq_codes(jnp.asarray(codes), skpq.M_PAD)
-        bd_hi, bd_lo = skpq.build_blockdiag_codebooks(cb)
+        bd_hi, bd_mid, bd_lo = skpq.build_blockdiag_codebooks(cb)
         outs = skpq.stream_select_pq(
             codes_p,
             jnp.asarray(bd_hi),
+            jnp.asarray(bd_mid),
             jnp.asarray(bd_lo),
             np.ascontiguousarray(q.T),
             cand.reshape(cand.shape[0], cap // 128, 128),
@@ -92,13 +93,17 @@ class TestStreamKernelPQInterpret(unittest.TestCase):
         return got, expected
 
     def test_matches_decode_dot(self):
+        """exact tier: hi/mid/lo codebook split reconstructs fp32 — parity
+        with the numpy decode-then-dot at fp32 rounding level (a two-part
+        split leaves ~1e-5 relative error and needed atol=1e-3 here)."""
         got, expected = self._run()
-        np.testing.assert_allclose(got, expected, atol=1e-3, rtol=1e-4)
+        np.testing.assert_allclose(got, expected, atol=1e-5, rtol=1e-6)
 
     def test_high_tier_single_pass_dequant(self):
-        """precision != "exact" drops the lo codebook pass: the dequantized
-        centroids are bf16-rounded (~0.4% relative) — noise next to the PQ
-        quantization error, half the dominant dequantize FLOPs."""
+        """precision != "exact" keeps only the hi codebook pass: the
+        dequantized centroids are bf16-rounded (~0.4% relative) — noise
+        next to the PQ quantization error, a third of the dequantize
+        FLOPs."""
         got, expected = self._run(precision="high")
         scale = np.abs(expected).mean()
         self.assertLess(np.abs(got - expected).mean(), 0.01 * scale)
@@ -126,13 +131,14 @@ class TestStreamKernelPQInterpret(unittest.TestCase):
             rows, qno, n_pad, qb, r=r, cap=cap
         )
         codes_p = scoring._pad_pq_codes(jnp.asarray(codes), skpq.M_PAD)
-        bd_hi, bd_lo = skpq.build_blockdiag_codebooks(cb)
+        bd_hi, bd_mid, bd_lo = skpq.build_blockdiag_codebooks(cb)
         counts = jnp.asarray(np.full(pairs, k, dtype=np.int32))
 
         # interpret mode must be forced through the inner kernel: call the
         # fused program's stages by hand (jit of pallas interpret is fine)
         outs = skpq.stream_select_pq(
-            codes_p, jnp.asarray(bd_hi), jnp.asarray(bd_lo),
+            codes_p, jnp.asarray(bd_hi), jnp.asarray(bd_mid),
+            jnp.asarray(bd_lo),
             np.ascontiguousarray(q.T),
             cand.reshape(cand.shape[0], cap // 128, 128),
             tile_idx, m=m, r=r, interpret=True,
