@@ -103,6 +103,10 @@ def measure_ours(
     # best of two timing loops: a transient tunnel hiccup (or a one-off
     # Pallas failure falling back to XLA) must not be recorded as the
     # steady-state rate
+    if hbm_budget:
+        from fastforward_tpu.ops import host_stream
+
+        host_stream.reset_stats()
     qps = 0.0
     for attempt in range(2):
         t0 = time.perf_counter()
@@ -115,6 +119,14 @@ def measure_ours(
             f"-> {attempt_qps:.1f} QPS"
         )
         qps = max(qps, attempt_qps)
+    if hbm_budget:
+        s = host_stream.STATS
+        log(
+            f"hybrid tier over {2 * repeats} warm calls: "
+            f"{s['upload_bytes'] / 2**20:.1f} MiB host->device table "
+            f"traffic ({s['uploads']} uploads, {s['block_cache_hits']} "
+            f"device-block cache hits)"
+        )
 
     # sanity: scores against host-numpy fp32 ground truth
     tolerance = {"exact": 0.05, "high": 0.05, "fast": 1.0}[precision]

@@ -50,6 +50,16 @@ HOST_CHUNK_ROWS = 1 << 15
 #: could otherwise each pin up to a full tail copy.
 HOST_BLOCK_CACHE_BUDGET = 2 << 30
 
+#: cumulative host->device transfer counters for the hybrid tier
+#: (diagnostics: warm plans whose blocks fit the device budget should show
+#: ``upload_bytes`` flat across calls).  Reset with :func:`reset_stats`.
+STATS = {"uploads": 0, "upload_bytes": 0, "block_cache_hits": 0}
+
+
+def reset_stats() -> None:
+    """Zero the hybrid-tier transfer counters."""
+    STATS.update(uploads=0, upload_bytes=0, block_cache_hits=0)
+
 
 def _chunk_accum_impl(
     table, q, cand, tile_idx, out, slot, start, *, r, precision, use_pallas
@@ -288,6 +298,7 @@ def _upload_block(
         if ent is not None:
             del blocks[key]  # LRU touch: re-insert at the back
             blocks[key] = ent
+            STATS["block_cache_hits"] += 1
             return ent[0]
     host = chunk.get("block_host")
     if host is None:
@@ -298,6 +309,8 @@ def _upload_block(
                 chunk["block_host"] = host
                 host_acct["host_cached_bytes"] = cached + host.nbytes
     dev = jax.device_put(host)
+    STATS["uploads"] += 1
+    STATS["upload_bytes"] += host.nbytes
     if blocks is not None and host.nbytes <= budget:
         used = store.get("tail_bytes", 0)
         while used + host.nbytes > budget and blocks:

@@ -262,6 +262,28 @@ class TestHybridCacheEvictionAndViews(unittest.TestCase):
         index(Ranking.from_run(run, queries={"q1": "a"}))
         self.assertEqual(set(before), set(view.aux["tail_blocks"]))
 
+    def test_warm_calls_ship_no_table_bytes_within_budget(self):
+        """When the device-block budget covers the plan's working set,
+        repeat calls must pay ZERO host->device table traffic (the
+        documented warm-path guarantee, now observable via STATS)."""
+        from fastforward_tpu.ops import host_stream
+
+        # 3.5 MiB: below the 4 MiB padded table (forces the hybrid view)
+        # but with enough leftover that every tail block of this sparse
+        # plan stays device-resident
+        index = _psg_index(
+            hbm_budget=(7 << 20) // 2, stream_chunk_rows=256
+        )
+        view = index._device_view()
+        self.assertEqual("hybrid", view.kind)
+        run = {"q1": {f"p{i}": 1.0 for i in range(0, N, 7)}}
+        ranking = Ranking.from_run(run, queries={"q1": "a"})
+        index(ranking)  # cold: builds the plan, uploads + caches blocks
+        host_stream.reset_stats()
+        index(ranking)  # warm
+        self.assertEqual(0, host_stream.STATS["upload_bytes"])
+        self.assertGreater(host_stream.STATS["block_cache_hits"], 0)
+
     def test_dense_contiguous_blocks_are_views_not_cached(self):
         """A dense candidate set's full contiguous chunks are zero-copy
         views of the canonical tail: the plan must not pin a host-side
