@@ -626,7 +626,12 @@ class Index(abc.ABC):
                     plan.get("counts_dev") if plan is not None else None
                 )
                 if counts_dev is None:
-                    counts_dev = jnp.asarray(counts_pp.astype(np.int32))
+                    if jax.process_count() > 1:
+                        # multi-host: a process-committed device copy can't
+                        # feed a global-mesh jit; replicated numpy can
+                        counts_dev = counts_pp.astype(np.int32)
+                    else:
+                        counts_dev = jnp.asarray(counts_pp.astype(np.int32))
                     if plan is not None:
                         plan["counts_dev"] = counts_dev
                 reduce_spec = (op, k, counts_dev)
@@ -756,7 +761,7 @@ class Index(abc.ABC):
             )
         if not fetch:
             return scores
-        return np.asarray(jax.device_get(scores))[:n_pairs]
+        return ops.fetch_np(scores)[:n_pairs]
 
     def _candidate_arrays(
         self, df: pd.DataFrame
@@ -876,7 +881,7 @@ class Index(abc.ABC):
                 out_starts = np.empty(n_q, dtype=np.int64)
                 out_starts[by_rank] = cum[:-1]
                 segments = (seg_starts, out_starts)
-        scores_np = np.asarray(jax.device_get(scores_dev))[:n_pairs]
+        scores_np = ops.fetch_np(scores_dev)[:n_pairs]
         from fastforward_tpu.runtime.idmap import segmented_rank_argsort
 
         take = None

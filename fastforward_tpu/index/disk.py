@@ -308,14 +308,12 @@ class OnDiskIndex(Index):
                 "Sharded tables require dim % 128 == 0 "
                 f"(table shape {table.shape}); pad the embeddings."
             )
-        import jax
-
-        from fastforward_tpu.parallel.sharded import table_sharding
+        from fastforward_tpu.parallel.multihost import put_row_sharded
 
         if self._mesh is None:
             self._mesh = self._mesh_config.build()
         return (
-            jax.device_put(table, table_sharding(self._mesh, ndim=table.ndim)),
+            put_row_sharded(self._mesh, table, ndim=table.ndim),
             self._mesh,
         )
 
@@ -337,22 +335,17 @@ class OnDiskIndex(Index):
                 )
                 if self._mesh_config is not None:
                     # code rows shard like dense tables; codebooks replicate
-                    import jax
-                    from jax.sharding import NamedSharding
-                    from jax.sharding import PartitionSpec as P
-
-                    from fastforward_tpu.parallel.sharded import table_sharding
+                    from fastforward_tpu.parallel.multihost import (
+                        put_replicated,
+                        put_row_sharded,
+                    )
 
                     if self._mesh is None:
                         self._mesh = self._mesh_config.build()
                     self._dev_view = DeviceView(
                         kind="pq",
-                        table=jax.device_put(
-                            codes, table_sharding(self._mesh, ndim=2)
-                        ),
-                        codebooks=jax.device_put(
-                            codebooks, NamedSharding(self._mesh, P())
-                        ),
+                        table=put_row_sharded(self._mesh, codes, ndim=2),
+                        codebooks=put_replicated(self._mesh, codebooks),
                         mesh=self._mesh,
                         precision=self._precision,
                     )

@@ -120,6 +120,13 @@ class InMemoryIndex(Index):
             # device-append composes with sharding: the growable buffer is
             # allocated row-sharded and every donated update runs SPMD, so
             # a mesh-sharded corpus builds without a host mirror
+            if jax.process_count() > 1:
+                raise ValueError(
+                    "store='device' is not supported under multi-process "
+                    "(multi-host) JAX: the growable donated-append buffer "
+                    "is process-local.  Use store='host' — the table is "
+                    "laid out per host at view build."
+                )
             mesh_config.build()  # validate the topology early
         if store == "device" and device_dtype == "bfloat16":
             LOGGER.warning(
@@ -357,12 +364,11 @@ class InMemoryIndex(Index):
                     self._quantizer.codewords, dtype=np.float32
                 )
                 if self._mesh is not None:
-                    from jax.sharding import NamedSharding
-                    from jax.sharding import PartitionSpec as P
-
-                    cb_dev = jax.device_put(
-                        codebooks, NamedSharding(self._mesh, P())
+                    from fastforward_tpu.parallel.multihost import (
+                        put_replicated,
                     )
+
+                    cb_dev = put_replicated(self._mesh, codebooks)
                 else:
                     cb_dev = jnp.asarray(codebooks)
                 self._dev_view = DeviceView(
@@ -400,22 +406,17 @@ class InMemoryIndex(Index):
                 # codes shard row-wise exactly like dense tables; the
                 # codebooks (M x Ks x Ds — tiny) replicate onto every chip,
                 # and OPQ's rotation is already folded into the queries
-                import jax
-                from jax.sharding import NamedSharding
-                from jax.sharding import PartitionSpec as P
-
-                from fastforward_tpu.parallel.sharded import table_sharding
+                from fastforward_tpu.parallel.multihost import (
+                    put_replicated,
+                    put_row_sharded,
+                )
 
                 if self._mesh is None:
                     self._mesh = self._mesh_config.build()
                 self._dev_view = DeviceView(
                     kind="pq",
-                    table=jax.device_put(
-                        codes, table_sharding(self._mesh, ndim=2)
-                    ),
-                    codebooks=jax.device_put(
-                        codebooks, NamedSharding(self._mesh, P())
-                    ),
+                    table=put_row_sharded(self._mesh, codes, ndim=2),
+                    codebooks=put_replicated(self._mesh, codebooks),
                     mesh=self._mesh,
                     precision=self._precision,
                 )
@@ -437,9 +438,7 @@ class InMemoryIndex(Index):
             if self._mesh_config is not None:
                 # int8 codes shard row-wise like dense tables; the scales
                 # are folded into the (replicated) query vectors
-                import jax
-
-                from fastforward_tpu.parallel.sharded import table_sharding
+                from fastforward_tpu.parallel.multihost import put_row_sharded
 
                 if dim % 128 != 0:
                     raise ValueError(
@@ -448,9 +447,7 @@ class InMemoryIndex(Index):
                     )
                 if self._mesh is None:
                     self._mesh = self._mesh_config.build()
-                codes_dev = jax.device_put(
-                    codes, table_sharding(self._mesh)
-                )
+                codes_dev = put_row_sharded(self._mesh, codes)
                 self._dev_view = DeviceView(
                     kind="scalar",
                     table=codes_dev,
@@ -478,10 +475,8 @@ class InMemoryIndex(Index):
                 kind="dense", table=jnp.asarray(table), precision=self._precision
             )
         elif self._mesh_config is not None:
-            # multi-chip: row-sharded 3D table over the mesh's shard axis
-            import jax
-
-            from fastforward_tpu.parallel.sharded import table_sharding
+            # multi-chip: row-sharded table over the mesh's shard axis
+            from fastforward_tpu.parallel.multihost import put_row_sharded
 
             dim = data.shape[1]
             if dim % 128 != 0:
@@ -493,7 +488,7 @@ class InMemoryIndex(Index):
                 self._mesh = self._mesh_config.build()
             table = np.zeros((n_pad, dim), dtype=np.float32)
             table[: self._num] = data
-            dev = jax.device_put(table, table_sharding(self._mesh, ndim=2))
+            dev = put_row_sharded(self._mesh, table, ndim=2)
             self._dev_view = DeviceView(
                 kind="dense", table=dev, mesh=self._mesh, precision=self._precision
             )

@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from fastforward_tpu.parallel.multihost import fetch_np
+
 _BUCKET_MIN = 256
 
 #: str precision tier -> lax dot precision.  TPU matmuls DEFAULT to bf16
@@ -146,19 +148,39 @@ def _finalize_streamed(outs, slot_of_pair, reduce, plan, slot_key):
     - fallback: fetch all slots, index on host.
 
     The device copy of ``slot_of_pair`` is cached in ``plan[slot_key]``.
+    Multi-host (``outs`` not fully addressable): the jit receives
+    replicated numpy slot/count arrays instead of process-committed device
+    copies, and the result is assembled with ``fetch_np``.
     """
+    multi = not getattr(outs, "is_fully_addressable", True)
     if reduce is not None:
         op, k, counts_dev = reduce
-        slot_dev = _slot_dev_cached(slot_of_pair, plan, slot_key)
-        if slot_dev is not None:
-            red = _reduce_k_device(outs, slot_dev, counts_dev, k, op)
-            return np.asarray(jax.device_get(red))
-    elif plan is not None:
-        slot_dev = _slot_dev_cached(slot_of_pair, plan, slot_key)
-        if slot_dev is not None:
-            picked = _gather_slots(outs, slot_dev)
-            return np.asarray(jax.device_get(picked))
-    return np.asarray(jax.device_get(outs)).reshape(-1)[slot_of_pair]
+        if multi:
+            if int(slot_of_pair.max(initial=0)) < 2**31:
+                red = _reduce_k_device(
+                    outs,
+                    slot_of_pair.astype(np.int32),
+                    np.asarray(counts_dev),
+                    k,
+                    op,
+                )
+                return fetch_np(red)
+        else:
+            slot_dev = _slot_dev_cached(slot_of_pair, plan, slot_key)
+            if slot_dev is not None:
+                red = _reduce_k_device(outs, slot_dev, counts_dev, k, op)
+                return np.asarray(jax.device_get(red))
+    elif plan is not None or multi:
+        if multi:
+            if int(slot_of_pair.max(initial=0)) < 2**31:
+                picked = _gather_slots(outs, slot_of_pair.astype(np.int32))
+                return fetch_np(picked)
+        else:
+            slot_dev = _slot_dev_cached(slot_of_pair, plan, slot_key)
+            if slot_dev is not None:
+                picked = _gather_slots(outs, slot_dev)
+                return np.asarray(jax.device_get(picked))
+    return fetch_np(outs).reshape(-1)[slot_of_pair]
 
 
 @partial(jax.jit, static_argnames=("num_out", "op", "precision"))

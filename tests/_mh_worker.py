@@ -1,0 +1,115 @@
+"""Multi-host test worker: one JAX process of a 2-process CPU job.
+
+Launched by ``tests/test_multihost.py`` (two subprocesses, 4 virtual CPU
+devices each -> an 8-device global (data=2, shard=4) mesh).  Builds the
+same InMemoryIndex on every process, re-ranks the same ranking through the
+public API, and checks scores against numpy ground truth.  Prints
+``MH_OK <digest>`` on success; the launcher asserts both processes print
+the same digest.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def main() -> None:
+    process_id = int(sys.argv[1])
+    port = sys.argv[2]
+
+    from fastforward_tpu.parallel import multihost
+
+    multihost.initialize(
+        coordinator_address=f"localhost:{port}",
+        num_processes=2,
+        process_id=process_id,
+    )
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.devices()) == 8, len(jax.devices())
+    assert multihost.is_multiprocess()
+
+    from fastforward_tpu.encoder import LambdaEncoder
+    from fastforward_tpu.index import InMemoryIndex, Mode
+    from fastforward_tpu.parallel import MeshConfig
+    from fastforward_tpu.ranking import Ranking
+
+    rng = np.random.default_rng(7)  # same seed on every process
+    n, dim = 4096, 128
+    corpus = rng.normal(size=(n, dim)).astype(np.float32)
+    qvecs = {
+        "a": rng.normal(size=dim).astype(np.float32),
+        "b": rng.normal(size=dim).astype(np.float32),
+    }
+    enc = LambdaEncoder(lambda q: qvecs[q])
+
+    digests = []
+
+    # --- dense fp32, PASSAGE + MAXP over the global mesh -----------------
+    index = InMemoryIndex(
+        enc, mode=Mode.PASSAGE, mesh_config=MeshConfig(data=2, shard=4)
+    )
+    index.add(corpus, psg_ids=[f"p{i}" for i in range(n)])
+    run = {
+        "q1": {f"p{i}": float(i) for i in range(0, n, 3)},
+        "q2": {f"p{i}": float(i) for i in range(1, n, 5)},
+    }
+    ranking = Ranking.from_run(run, queries={"q1": "a", "q2": "b"})
+    out = index(ranking)
+    for q_id, qk in (("q1", "a"), ("q2", "b")):
+        got = out[q_id]
+        for pid in list(got)[:16]:
+            truth = float(corpus[int(pid[1:])] @ qvecs[qk])
+            assert abs(truth - got[pid]) < 1e-3, (q_id, pid, truth, got[pid])
+    out2 = index(ranking)  # warm plan reuse
+    assert out == out2
+    digests.append(sum(sorted(out["q1"].values())[:50]))
+
+    # --- MAXP doc mode (K reduction across shards) ------------------------
+    doc_index = InMemoryIndex(
+        enc, mode=Mode.MAXP, mesh_config=MeshConfig(data=2, shard=4)
+    )
+    doc_index.add(corpus, doc_ids=[f"d{i // 4}" for i in range(n)])
+    doc_run = {"q1": {f"d{i}": float(i) for i in range(0, n // 4, 2)}}
+    doc_ranking = Ranking.from_run(doc_run, queries={"q1": "a"})
+    doc_out = doc_index(doc_ranking)["q1"]
+    for did in list(doc_out)[:16]:
+        d = int(did[1:])
+        truth = float(max(corpus[4 * d + j] @ qvecs["a"] for j in range(4)))
+        assert abs(truth - doc_out[did]) < 1e-3, (did, truth, doc_out[did])
+    digests.append(sum(sorted(doc_out.values())[:50]))
+
+    # --- int8 scalar quantizer over the mesh ------------------------------
+    from fastforward_tpu.quantizer import ScalarQuantizer
+
+    sq = ScalarQuantizer()
+    sq.fit(corpus[:1024])
+    q_index = InMemoryIndex(
+        enc,
+        quantizer=sq,
+        mode=Mode.PASSAGE,
+        mesh_config=MeshConfig(data=2, shard=4),
+        precision="exact",
+    )
+    q_index.add(corpus, psg_ids=[f"p{i}" for i in range(n)])
+    q_out = q_index(ranking)["q1"]
+    decoded = sq.decode(sq.encode(corpus))
+    for pid in list(q_out)[:8]:
+        truth = float(decoded[int(pid[1:])] @ qvecs["a"])
+        assert abs(truth - q_out[pid]) < 0.05, (pid, truth, q_out[pid])
+    digests.append(sum(sorted(q_out.values())[:50]))
+
+    print(f"MH_OK {np.round(np.asarray(digests), 4).tolist()}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
