@@ -108,6 +108,26 @@ def main() -> None:
         assert abs(truth - q_out[pid]) < 0.05, (pid, truth, q_out[pid])
     digests.append(sum(sorted(q_out.values())[:50]))
 
+    # --- PQ codes + replicated codebooks over the mesh --------------------
+    from fastforward_tpu.quantizer import PQ
+
+    pq = PQ(16, 16)  # dim 128 -> 16 subspaces x 16 centroids
+    pq.fit(corpus[:2048])
+    pq_index = InMemoryIndex(
+        enc,
+        quantizer=pq,
+        mode=Mode.PASSAGE,
+        mesh_config=MeshConfig(data=2, shard=4),
+        precision="exact",
+    )
+    pq_index.add(corpus, psg_ids=[f"p{i}" for i in range(n)])
+    pq_out = pq_index(ranking)["q1"]
+    pq_decoded = pq.decode(pq.encode(corpus))
+    for pid in list(pq_out)[:8]:
+        truth = float(pq_decoded[int(pid[1:])] @ qvecs["a"])
+        assert abs(truth - pq_out[pid]) < 0.05, (pid, truth, pq_out[pid])
+    digests.append(sum(sorted(pq_out.values())[:50]))
+
     print(f"MH_OK {np.round(np.asarray(digests), 4).tolist()}", flush=True)
 
 
