@@ -118,3 +118,24 @@ def expand_pairs_grouped(
     clamped = np.minimum(col, (counts_per_pair[:, None] - 1).astype(np.int64))
     rows_mat = rows_concat[offsets[pair_id_pos][:, None] + clamped]
     return rows_mat.astype(np.int32), counts_per_pair.astype(np.int32)
+
+
+def get_indices(
+    ids: Iterable[str],
+    mode: Mode,
+    doc_id_to_idx: Mapping[str, Sequence[int]],
+    psg_id_to_idx: Mapping[str, int],
+) -> tuple[list[int], list[str]]:
+    """Reference-compatible ID resolution (one repeated ID per row).
+
+    Same contract as the reference helper of the same name
+    (reference: ``index/util.py:12-42``) for users migrating call sites:
+    returns ``(indices, ids)`` with each input ID repeated once per
+    resolved row.  New code should prefer :func:`resolve_rows`, whose
+    ``(rows, counts)`` form feeds the device layouts without building
+    per-row string lists.
+    """
+    ids = list(ids)
+    rows, counts = resolve_rows(ids, mode, doc_id_to_idx, psg_id_to_idx)
+    out_ids = [i for i, c in zip(ids, counts) for _ in range(int(c))]
+    return rows.tolist(), out_ids
