@@ -328,8 +328,13 @@ class OnDiskIndex(Index):
             with h5py.File(self._index_file, "r") as fp:
                 raw = fp["vectors"][:num]
             if isinstance(self._quantizer, PQ):
-                codes = np.zeros((n_pad, raw.shape[1]), dtype=raw.dtype)
-                codes[:num] = raw
+                # lane-pad code columns to 128 so one HBM array serves the
+                # Pallas ADC kernel and the gather/scan paths (see
+                # InMemoryIndex._device_view)
+                m = raw.shape[1]
+                width = 128 if m <= 128 else m
+                codes = np.zeros((n_pad, width), dtype=raw.dtype)
+                codes[:num, :m] = raw
                 codebooks = np.asarray(
                     self._quantizer.codewords, dtype=np.float32
                 )

@@ -399,8 +399,15 @@ class InMemoryIndex(Index):
         data = self._store[: self._num]
 
         if isinstance(self._quantizer, PQ):
-            codes = np.zeros((n_pad, data.shape[1]), dtype=data.dtype)
-            codes[: self._num] = data
+            # lane-pad the code columns to 128 (when m <= 128): the SAME
+            # HBM array then serves the Pallas ADC kernel (which needs the
+            # 128-lane layout) and the gather/scan paths (which slice
+            # [:, :m]) — without this the kernel kept a second, equally
+            # lane-padded copy, doubling the code-table HBM
+            m = data.shape[1]
+            width = 128 if m <= 128 else m
+            codes = np.zeros((n_pad, width), dtype=data.dtype)
+            codes[: self._num, :m] = data
             codebooks = np.asarray(self._quantizer.codewords, dtype=np.float32)
             if self._mesh_config is not None:
                 # codes shard row-wise exactly like dense tables; the

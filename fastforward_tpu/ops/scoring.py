@@ -270,7 +270,9 @@ def score_pairs_pq(
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
-    c = jnp.take(codes, rows, axis=0).astype(jnp.int32)  # (P, M)
+    # [:, :m] drops lane padding when the view stores codes 128-wide (one
+    # HBM copy serves both the Pallas ADC kernel and these gather paths)
+    c = jnp.take(codes, rows, axis=0)[:, :m].astype(jnp.int32)  # (P, M)
     subspace = jnp.arange(m, dtype=jnp.int32)[None, :]
     row_scores = jnp.sum(lut[qno[:, None], subspace, c], axis=-1)
     return _segment_reduce(row_scores, seg, num_out, op)
@@ -826,9 +828,10 @@ def _streamed_pq_pallas(
         return None
     padded = table_cache.get("pq_padded")
     if padded is None:
-        # the lane-aligned copy costs M_PAD/m x the code-table HBM (8x at
-        # m=16) on top of the original codes; released when the kernel is
-        # disabled (see streamed_scores_pq)
+        # index views store codes lane-padded to M_PAD already (one HBM
+        # copy serves the kernel AND the gather/scan paths); only foreign
+        # (N, m) tables pay a padded copy here — released when the kernel
+        # is disabled (see streamed_scores_pq)
         bd = stream_kernel_pq.build_blockdiag_codebooks(
             np.asarray(jax.device_get(codebooks), dtype=np.float32)
         )
@@ -836,7 +839,9 @@ def _streamed_pq_pallas(
             table_cache["pq_padded"] = False
             return None
         padded = (
-            _pad_pq_codes(codes, m_pad),
+            codes
+            if codes.shape[1] == m_pad
+            else _pad_pq_codes(codes, m_pad),
             jnp.asarray(bd[0]),
             jnp.asarray(bd[1]),
             jnp.asarray(bd[2]),
@@ -1078,7 +1083,9 @@ def score_pairs_grouped_pq(
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
-    c = jnp.take(codes, rows_mat.reshape(-1), axis=0).astype(jnp.int32)
+    c = jnp.take(codes, rows_mat.reshape(-1), axis=0)[:, :m].astype(
+        jnp.int32
+    )
     subspace = jnp.arange(m, dtype=jnp.int32)[None, :]
     qno_flat = jnp.repeat(qno, k)
     row_scores = jnp.sum(lut[qno_flat[:, None], subspace, c], axis=-1)

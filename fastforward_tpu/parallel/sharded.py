@@ -247,7 +247,11 @@ def _sharded_pq_score_fn(mesh: Mesh, op: str):
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
-        c = jnp.take(codes_local, safe, axis=0).astype(jnp.int32)  # (S*K, M)
+        # [:, :m]: views may store codes lane-padded to 128 (shared with
+        # the Pallas ADC kernel); padding columns are never read
+        c = jnp.take(codes_local, safe, axis=0)[:, :m].astype(
+            jnp.int32
+        )  # (S*K, M)
         qno_flat = jnp.repeat(qno, k) if k > 1 else qno
         subspace = jnp.arange(m, dtype=jnp.int32)[None, :]
         row_scores = jnp.sum(lut[qno_flat[:, None], subspace, c], axis=-1)
