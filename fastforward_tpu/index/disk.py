@@ -328,11 +328,21 @@ class OnDiskIndex(Index):
             with h5py.File(self._index_file, "r") as fp:
                 raw = fp["vectors"][:num]
             if isinstance(self._quantizer, PQ):
-                # lane-pad code columns to 128 so one HBM array serves the
-                # Pallas ADC kernel and the gather/scan paths (see
-                # InMemoryIndex._device_view)
+                from fastforward_tpu.ops.scoring import (
+                    pallas_stream_enabled,
+                )
+
+                # lane-pad code columns to 128 when the Pallas ADC kernel
+                # will consume this table, so ONE HBM array serves the
+                # kernel and the gather/scan paths (see
+                # InMemoryIndex._device_view); mesh/CPU keep (N, m)
                 m = raw.shape[1]
-                width = 128 if m <= 128 else m
+                pad_for_kernel = (
+                    m <= 128
+                    and self._mesh_config is None
+                    and pallas_stream_enabled()
+                )
+                width = 128 if pad_for_kernel else m
                 codes = np.zeros((n_pad, width), dtype=raw.dtype)
                 codes[:num, :m] = raw
                 codebooks = np.asarray(

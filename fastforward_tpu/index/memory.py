@@ -399,13 +399,23 @@ class InMemoryIndex(Index):
         data = self._store[: self._num]
 
         if isinstance(self._quantizer, PQ):
-            # lane-pad the code columns to 128 (when m <= 128): the SAME
-            # HBM array then serves the Pallas ADC kernel (which needs the
+            from fastforward_tpu.ops.scoring import pallas_stream_enabled
+
+            # lane-pad the code columns to 128 when the Pallas ADC kernel
+            # will consume this table (single device, kernel enabled): the
+            # SAME HBM array then serves the kernel (which needs the
             # 128-lane layout) and the gather/scan paths (which slice
             # [:, :m]) — without this the kernel kept a second, equally
-            # lane-padded copy, doubling the code-table HBM
+            # lane-padded copy, doubling the code-table HBM.  Mesh/CPU
+            # paths never run the kernel, so they keep the compact (N, m)
+            # layout (padding would inflate their HBM 128/m x for nothing)
             m = data.shape[1]
-            width = 128 if m <= 128 else m
+            pad_for_kernel = (
+                m <= 128
+                and self._mesh_config is None
+                and pallas_stream_enabled()
+            )
+            width = 128 if pad_for_kernel else m
             codes = np.zeros((n_pad, width), dtype=data.dtype)
             codes[: self._num, :m] = data
             codebooks = np.asarray(self._quantizer.codewords, dtype=np.float32)

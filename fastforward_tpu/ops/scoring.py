@@ -121,6 +121,20 @@ def _slot_dev_cached(slot_of_pair, plan, slot_key):
     return slot_dev
 
 
+def _slot_np_cached(slot_of_pair, plan, slot_key):
+    """Numpy-int32 twin of :func:`_slot_dev_cached` for multi-host jits
+    (process-committed device copies can't feed a global-mesh program;
+    replicated numpy can).  Caches the cast, or ``None`` when the slot
+    space exceeds int32."""
+    key = slot_key + "_np"
+    slot_np = plan.get(key) if plan is not None else None
+    if slot_np is None and int(slot_of_pair.max(initial=0)) < 2**31:
+        slot_np = slot_of_pair.astype(np.int32)
+        if plan is not None:
+            plan[key] = slot_np
+    return slot_np
+
+
 def _cached_q_upload(q_host: np.ndarray, plan: dict | None, key: str):
     """Device copy of the query block, reused across calls when unchanged.
 
@@ -156,13 +170,10 @@ def _finalize_streamed(outs, slot_of_pair, reduce, plan, slot_key):
     if reduce is not None:
         op, k, counts_dev = reduce
         if multi:
-            if int(slot_of_pair.max(initial=0)) < 2**31:
+            slot_np = _slot_np_cached(slot_of_pair, plan, slot_key)
+            if slot_np is not None:
                 red = _reduce_k_device(
-                    outs,
-                    slot_of_pair.astype(np.int32),
-                    np.asarray(counts_dev),
-                    k,
-                    op,
+                    outs, slot_np, np.asarray(counts_dev), k, op
                 )
                 return fetch_np(red)
         else:
@@ -172,8 +183,9 @@ def _finalize_streamed(outs, slot_of_pair, reduce, plan, slot_key):
                 return np.asarray(jax.device_get(red))
     elif plan is not None or multi:
         if multi:
-            if int(slot_of_pair.max(initial=0)) < 2**31:
-                picked = _gather_slots(outs, slot_of_pair.astype(np.int32))
+            slot_np = _slot_np_cached(slot_of_pair, plan, slot_key)
+            if slot_np is not None:
+                picked = _gather_slots(outs, slot_np)
                 return fetch_np(picked)
         else:
             slot_dev = _slot_dev_cached(slot_of_pair, plan, slot_key)

@@ -8,9 +8,12 @@ programs (``parallel.sharded``) work unchanged in that world:
 - every process runs the same host code over the same ranking (the usual
   JAX multi-controller contract — dispatches must line up);
 - the corpus table is laid out with the same ``(data, shard)`` mesh, but
-  over the **global** device set; each process materializes only the table
-  rows its local chips own (``put_row_sharded`` hands XLA per-shard
-  callbacks instead of a full ``device_put``);
+  over the **global** device set; each process UPLOADS only the table rows
+  its local chips own (``put_row_sharded`` hands XLA per-shard callbacks
+  instead of a full ``device_put``).  Host RAM is a different story: the
+  index builders currently construct the full canonical table on every
+  host before the callback slices it — per-host device memory is
+  per-shard, per-host RAM is not (yet);
 - numpy per-call inputs (query vectors, candidate grids) auto-replicate
   into the jit exactly as on one host;
 - partitioned outputs are fetched with ``fetch_np``, which falls back to
@@ -31,17 +34,17 @@ LOGGER = logging.getLogger(__name__)
 
 
 def initialize(
-    coordinator_address: str,
-    num_processes: int,
-    process_id: int,
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
     **kwargs,
 ) -> None:
     """Join the multi-process JAX runtime (call before any jax op).
 
     Thin wrapper over :func:`jax.distributed.initialize` so applications
-    depend only on this package.  On TPU pods the arguments are normally
-    inferred from the environment and every argument may be omitted there;
-    for CPU/GPU fleets pass them explicitly.
+    depend only on this package.  On TPU pods every argument is normally
+    inferred from the environment — call it with no arguments there; for
+    CPU/GPU fleets pass them explicitly.
 
     :param coordinator_address: ``host:port`` of process 0.
     :param num_processes: Total number of processes in the job.
@@ -74,7 +77,9 @@ def put_row_sharded(mesh, host_array: np.ndarray, ndim: int | None = None):
     Single-process: a plain ``device_put`` (identical to the historical
     upload path).  Multi-process: ``jax.make_array_from_callback`` — XLA
     asks each process only for the row slices its local devices own, so no
-    process ships (or even needs to touch) rows outside its shards.
+    process SHIPS rows outside its shards over its host link.  (The caller
+    still holds the full ``host_array`` in RAM on every process; only the
+    device upload is narrowed.)
     """
     from fastforward_tpu.parallel.sharded import table_sharding
 

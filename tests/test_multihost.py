@@ -27,8 +27,7 @@ def _free_port() -> int:
 
 
 class TestMultiHostServing(unittest.TestCase):
-    def test_two_process_mesh_parity(self):
-        port = _free_port()
+    def _run_job(self, port):
         env = dict(os.environ)
         # the workers pin their own JAX_PLATFORMS/XLA_FLAGS; scrub any
         # conflicting distributed state from the launcher's environment
@@ -53,13 +52,23 @@ class TestMultiHostServing(unittest.TestCase):
             for p in procs:
                 if p.poll() is None:
                     p.kill()
-        digests = []
-        for pid, (p, out) in enumerate(zip(procs, outputs)):
-            self.assertEqual(
-                0,
-                p.returncode,
-                f"worker {pid} failed:\n{out[-4000:]}",
+        return [(p.returncode, out) for p, out in zip(procs, outputs)]
+
+    def test_two_process_mesh_parity(self):
+        # the probed free port can be stolen before the coordinator binds
+        # it (TOCTOU) — retry the whole job on a fresh port if the bind
+        # itself failed
+        for attempt in range(3):
+            results = self._run_job(_free_port())
+            bind_raced = any(
+                rc != 0 and ("Address already in use" in out or "bind" in out.lower())
+                for rc, out in results
             )
+            if not bind_raced or attempt == 2:
+                break
+        digests = []
+        for pid, (rc, out) in enumerate(results):
+            self.assertEqual(0, rc, f"worker {pid} failed:\n{out[-4000:]}")
             ok_lines = [ln for ln in out.splitlines() if ln.startswith("MH_OK")]
             self.assertEqual(1, len(ok_lines), out[-2000:])
             digests.append(ok_lines[0])
