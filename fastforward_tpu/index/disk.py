@@ -317,6 +317,52 @@ class OnDiskIndex(Index):
             self._mesh,
         )
 
+    def _lazy_sharded_dense_view(self, num: int, n_pad: int):
+        """Multi-process dense tables upload straight from HDF5, per shard.
+
+        Each process reads ONLY the row ranges its local devices own
+        (``put_row_sharded_lazy``) — the full table never exists in any
+        single host's RAM, so a pod can serve fp32 corpora larger than one
+        host's memory from disk.  Returns ``None`` when not applicable
+        (single process, quantized, hybrid-budgeted, or non-128 dims).
+        """
+        import jax
+
+        if (
+            self._mesh_config is None
+            or jax.process_count() <= 1
+            or self._quantizer is not None
+            or self._hbm_budget is not None
+        ):
+            return None
+        with h5py.File(self._index_file, "r") as fp:
+            dim = fp["vectors"].shape[1]
+        if dim % 128:
+            return None
+        from fastforward_tpu.parallel.multihost import put_row_sharded_lazy
+
+        if self._mesh is None:
+            self._mesh = self._mesh_config.build()
+        path = self._index_file
+
+        def read_rows(start: int, stop: int) -> np.ndarray:
+            out = np.zeros((stop - start, dim), dtype=np.float32)
+            hi = min(stop, num)
+            if hi > start:
+                with h5py.File(path, "r") as fp:
+                    out[: hi - start] = fp["vectors"][start:hi]
+            return out
+
+        table = put_row_sharded_lazy(
+            self._mesh, (n_pad, dim), np.float32, read_rows, ndim=2
+        )
+        return DeviceView(
+            kind="dense",
+            table=table,
+            precision=self._precision,
+            mesh=self._mesh,
+        )
+
     def _device_view(self) -> DeviceView | None:
         if not self._hbm_cache:
             return None
@@ -325,6 +371,10 @@ class OnDiskIndex(Index):
             return None
         if self._dev_view is None:
             n_pad = -(-num // 4096) * 4096
+            lazy = self._lazy_sharded_dense_view(num, n_pad)
+            if lazy is not None:
+                self._dev_view = lazy
+                return self._dev_view
             with h5py.File(self._index_file, "r") as fp:
                 raw = fp["vectors"][:num]
             if isinstance(self._quantizer, PQ):

@@ -32,6 +32,15 @@ class MeshConfig:
     def build(self, devices: list | None = None) -> Mesh:
         """Create the ``jax.sharding.Mesh`` with axes ``(data, shard)``.
 
+        Single-process: consecutive devices fill the ``shard`` axis (the
+        historical layout — the score ``psum`` over ``shard`` stays on the
+        densest ICI links).  Multi-process: consecutive devices fill the
+        ``data`` axis instead, so the ``shard`` axis CROSSES processes and
+        each host's devices own only ``local/num`` of the table rows —
+        that is what makes per-host uploads (and the lazy HDF5 readers)
+        per-shard.  The per-candidate score ``psum`` then rides DCN, but
+        it moves only ``(pairs,)`` floats — the table rows never cross.
+
         :param devices: Devices to use (default: ``jax.devices()``).
         :return: The mesh.
         """
@@ -40,7 +49,9 @@ class MeshConfig:
             raise ValueError(
                 f"Mesh needs {self.num_devices} devices, found {len(devices)}."
             )
-        grid = np.asarray(devices[: self.num_devices]).reshape(
-            self.data, self.shard
-        )
+        arr = np.asarray(devices[: self.num_devices])
+        if jax.process_count() > 1:
+            grid = arr.reshape(self.shard, self.data).T
+        else:
+            grid = arr.reshape(self.data, self.shard)
         return Mesh(grid, axis_names=("data", "shard"))

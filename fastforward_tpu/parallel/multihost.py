@@ -91,6 +91,47 @@ def put_row_sharded(mesh, host_array: np.ndarray, ndim: int | None = None):
     return jax.device_put(host_array, sharding)
 
 
+def put_row_sharded_lazy(
+    mesh,
+    shape: tuple,
+    dtype,
+    read_rows,
+    ndim: int | None = None,
+):
+    """Row-sharded placement fed by a lazy row reader — no full host copy.
+
+    Like :func:`put_row_sharded`, but the table never exists as one host
+    array: XLA requests each addressable shard's row range through
+    ``read_rows(start, stop) -> (stop-start, ...) numpy``, so a process
+    only ever touches (and RAMs) the rows its local devices own.  Pair
+    with a ``MeshConfig`` built under multi-process JAX (the ``shard``
+    axis then crosses processes) to serve corpora larger than any single
+    host's memory from disk.  Repeated requests for the same range (the
+    ``data``-replicated devices) are served from a one-slot memo.
+    """
+    from fastforward_tpu.parallel.sharded import table_sharding
+
+    sharding = table_sharding(mesh, ndim or len(shape))
+    memo: dict = {}
+
+    def callback(idx):
+        rows = idx[0]
+        start = rows.start or 0
+        stop = rows.stop if rows.stop is not None else shape[0]
+        key = (start, stop)
+        block = memo.get(key)
+        if block is None:
+            memo.clear()  # one-slot: ranges arrive grouped per shard
+            block = np.ascontiguousarray(read_rows(start, stop))
+            memo[key] = block
+        rest = tuple(idx[1:])
+        return block[(slice(None),) + rest] if rest else block
+
+    return jax.make_array_from_callback(
+        tuple(shape), sharding, callback
+    )
+
+
 def put_replicated(mesh, host_array: np.ndarray):
     """Place a host array replicated onto every device of the mesh."""
     from jax.sharding import NamedSharding

@@ -128,6 +128,55 @@ def main() -> None:
         assert abs(truth - pq_out[pid]) < 0.05, (pid, truth, pq_out[pid])
     digests.append(sum(sorted(pq_out.values())[:50]))
 
+    # --- per-host row narrowing: the shard axis crosses processes --------
+    # (MeshConfig under multi-process JAX lays shards across hosts, so a
+    # lazy reader is asked only for this process's rows)
+    from fastforward_tpu.parallel.multihost import put_row_sharded_lazy
+
+    mesh = MeshConfig(data=2, shard=4).build()
+    requested: list[tuple[int, int]] = []
+
+    def read_rows(start, stop):
+        requested.append((start, stop))
+        return corpus[start:stop]
+
+    lazy = put_row_sharded_lazy(mesh, corpus.shape, np.float32, read_rows)
+    rows_touched = sum(stop - start for start, stop in set(requested))
+    assert rows_touched <= n // 2, (
+        f"process {process_id} materialized {rows_touched}/{n} rows; "
+        "expected at most half (shard axis must cross processes)"
+    )
+    import jax.numpy as jnp
+
+    total = float(np.asarray(jnp.sum(lazy).addressable_data(0)))
+    assert abs(total - float(corpus.sum())) < abs(float(corpus.sum())) * 1e-5
+
+    # --- OnDiskIndex: dense table served lazily from HDF5 per shard ------
+    import tempfile
+    from pathlib import Path
+
+    from fastforward_tpu.index import OnDiskIndex
+
+    # same path on both processes is NOT needed — each process has its own
+    # copy of the file (as on a real pod with a shared or mirrored FS)
+    h5dir = Path(tempfile.mkdtemp())
+    disk = OnDiskIndex(h5dir / "mh.h5", enc, mode=Mode.PASSAGE)
+    disk.add(corpus, psg_ids=[f"p{i}" for i in range(n)])
+    disk = OnDiskIndex.load(
+        h5dir / "mh.h5",
+        enc,
+        mode=Mode.PASSAGE,
+        hbm_cache=True,
+        mesh_config=MeshConfig(data=2, shard=4),
+    )
+    view = disk._device_view()
+    assert view is not None and view.mesh is not None
+    disk_out = disk(ranking)["q1"]
+    for pid in list(disk_out)[:16]:
+        truth = float(corpus[int(pid[1:])] @ qvecs["a"])
+        assert abs(truth - disk_out[pid]) < 1e-3, (pid, truth, disk_out[pid])
+    digests.append(sum(sorted(disk_out.values())[:50]))
+
     print(f"MH_OK {np.round(np.asarray(digests), 4).tolist()}", flush=True)
 
 
