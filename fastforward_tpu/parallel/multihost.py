@@ -7,13 +7,15 @@ programs (``parallel.sharded``) work unchanged in that world:
 
 - every process runs the same host code over the same ranking (the usual
   JAX multi-controller contract — dispatches must line up);
-- the corpus table is laid out with the same ``(data, shard)`` mesh, but
-  over the **global** device set; each process UPLOADS only the table rows
-  its local chips own (``put_row_sharded`` hands XLA per-shard callbacks
-  instead of a full ``device_put``).  Host RAM is a different story: the
-  index builders currently construct the full canonical table on every
-  host before the callback slices it — per-host device memory is
-  per-shard, per-host RAM is not (yet);
+- the corpus table is laid out with the same ``(data, shard)`` mesh over
+  the **global** device set, and ``MeshConfig`` lays the shard axis
+  ACROSS processes, so each host's chips own only their slice of the
+  rows; each process uploads only those rows (``put_row_sharded`` hands
+  XLA per-shard callbacks instead of a full ``device_put``).  Host RAM:
+  ``InMemoryIndex`` still holds the full canonical store per host (every
+  process ``add``s the same vectors), but ``OnDiskIndex`` dense tables go
+  through ``put_row_sharded_lazy`` — per-shard HDF5 reads, so the full
+  table never exists in any one host's RAM;
 - numpy per-call inputs (query vectors, candidate grids) auto-replicate
   into the jit exactly as on one host;
 - partitioned outputs are fetched with ``fetch_np``, which falls back to
