@@ -177,6 +177,27 @@ def main() -> None:
         assert abs(truth - disk_out[pid]) < 1e-3, (pid, truth, disk_out[pid])
     digests.append(sum(sorted(disk_out.values())[:50]))
 
+    # --- early stopping composes with the multi-host mesh ----------------
+    es_kwargs = dict(
+        early_stopping=8,
+        early_stopping_alpha=0.4,
+        early_stopping_depths=(64, 512, 2048),
+    )
+    es_out = index(
+        Ranking.from_run(run, queries={"q1": "a", "q2": "b"}), **es_kwargs
+    )["q1"]
+    full = {
+        pid: float(corpus[int(pid[1:])] @ qvecs["a"])
+        for pid in run["q1"]
+    }
+    top_true = sorted(full, key=lambda k: 0.4 * run["q1"][k] + 0.6 * full[k])[
+        -3:
+    ]
+    for pid in top_true:
+        assert pid in es_out, (pid, "missing from ES result")
+        assert abs(es_out[pid] - full[pid]) < 1e-3, (pid,)
+    digests.append(sum(sorted(es_out.values())[-20:]))
+
     print(f"MH_OK {np.round(np.asarray(digests), 4).tolist()}", flush=True)
 
 
