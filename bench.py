@@ -32,6 +32,69 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+def ensure_backend(
+    attempts: int | None = None, probe_timeout_s: int | None = None
+) -> str:
+    """Initialize the JAX backend, retrying transient tunnel outages.
+
+    Round 3 scored blank because one backend-init failure escaped as a raw
+    traceback (BENCH_r03.json rc=1, parsed=null).  Each attempt first
+    probes ``jax.devices()`` in a SUBPROCESS with a hard timeout — on a
+    broken tunnel the in-process call can hang indefinitely or poison the
+    process-wide backend cache; a subprocess does neither.  Only after a
+    probe succeeds is the backend initialized in-process.
+
+    :param attempts: Max probe attempts (backoff 20/40/80/160 s between);
+        default 5, override with ``FFTPU_BENCH_PROBE_ATTEMPTS``.
+    :param probe_timeout_s: Per-probe subprocess timeout; default 150,
+        override with ``FFTPU_BENCH_PROBE_TIMEOUT``.
+    :raises RuntimeError: When every attempt fails (caller emits the JSON
+        failure record).
+    :return: The backend platform name.
+    """
+    import os
+    import subprocess
+
+    if attempts is None:
+        attempts = int(os.environ.get("FFTPU_BENCH_PROBE_ATTEMPTS", "5"))
+    if probe_timeout_s is None:
+        probe_timeout_s = int(os.environ.get("FFTPU_BENCH_PROBE_TIMEOUT", "150"))
+    last = "unknown"
+    for i in range(attempts):
+        t0 = time.perf_counter()
+        try:
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    "-c",
+                    "import jax; d = jax.devices(); "
+                    "print(jax.default_backend(), len(d))",
+                ],
+                capture_output=True,
+                text=True,
+                timeout=probe_timeout_s,
+            )
+            if proc.returncode == 0:
+                log(
+                    f"backend probe ok (attempt {i + 1}): {proc.stdout.strip()}"
+                    f" in {time.perf_counter() - t0:.0f}s"
+                )
+                import jax
+
+                return jax.default_backend()
+            last = proc.stderr.strip().splitlines()[-1] if proc.stderr else (
+                f"probe exited {proc.returncode}"
+            )
+        except subprocess.TimeoutExpired:
+            last = f"probe timed out after {probe_timeout_s}s"
+        log(f"backend probe failed (attempt {i + 1}/{attempts}): {last}")
+        if i + 1 < attempts:
+            delay = 20 * (2**i)
+            log(f"retrying in {delay}s")
+            time.sleep(delay)
+    raise RuntimeError(f"backend unavailable after {attempts} attempts: {last}")
+
+
 def make_workload(n, num_queries, depth, seed=0):
     rng = np.random.default_rng(seed)
     corpus = rng.standard_normal(size=(n, DIM), dtype=np.float32)
@@ -557,6 +620,7 @@ def measure_alpha_sweep(
     log(f"alpha-sweep ours: {qps:.1f} QPS (ES calls across {len(alphas)} alphas)")
 
     ours_quality = {}
+    t0 = time.perf_counter()
     for alpha, out in ours_by_alpha.items():
         mixed = ranking.interpolate(out, alpha)
         ours_quality[alpha] = (
@@ -564,6 +628,10 @@ def measure_alpha_sweep(
         )
         log(f"  alpha={alpha}: nDCG@10={ours_quality[alpha][0]:.4f} "
             f"RR@10={ours_quality[alpha][1]:.4f}")
+    log(
+        f"metric phase ({len(alphas)} alphas x Q={len(queries)}): "
+        f"{time.perf_counter() - t0:.2f}s"
+    )
 
     ref_qps = None
     if not skip_baseline:
@@ -798,6 +866,8 @@ def main():
     parser.add_argument("--precision", choices=["exact", "high", "fast"], default="high")
     args = parser.parse_args()
 
+    ensure_backend()
+
     if args.config == "encoder":
         ours, ref = bench_encoder(batch=32, length=36, repeats=20)
         print(
@@ -1001,5 +1071,37 @@ def main():
     )
 
 
+def _main_with_failure_record() -> None:
+    """Run ``main``; on ANY failure still print one machine-readable JSON
+    line (``value: null`` + the error) so a transient outage leaves a
+    record instead of a bare traceback (the round-3 failure mode)."""
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 - the record must always print
+        if isinstance(e, (KeyboardInterrupt, SystemExit)):
+            raise
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        config = "rerank"
+        for i, a in enumerate(sys.argv):
+            if a == "--config" and i + 1 < len(sys.argv):
+                config = sys.argv[i + 1]
+            elif a.startswith("--config="):
+                config = a.split("=", 1)[1]
+        print(
+            json.dumps(
+                {
+                    "metric": f"re-rank QPS (--config {config})",
+                    "value": None,
+                    "unit": "QPS",
+                    "vs_baseline": None,
+                    "error": f"{type(e).__name__}: {e}"[:500],
+                }
+            )
+        )
+        sys.exit(1)
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_failure_record()

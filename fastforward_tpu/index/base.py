@@ -435,20 +435,34 @@ class Index(abc.ABC):
         total = num_q * depth
         pos = (np.arange(total, dtype=np.int64) * n) // total
         cands = pool[pos]
-        run = {}
-        for i in range(num_q):
-            block = cands[i * depth : (i + 1) * depth]
-            ids_i = {
-                c: float(depth - j)
-                for j, c in enumerate(block)
-                if c is not None
+        # columnar run construction: 3 numpy columns -> one frame -> ctor
+        # (the previous per-row dict build was ~512k interpreter-loop
+        # insertions at the flagship Q=512 x depth-1000 shape, seconds of
+        # pure host time on the cold-start path)
+        # zero-padded DESCENDING query names + descending scores: the frame
+        # is born (q_id desc, score desc)-sorted, so the ctor's 512k-row
+        # sort is skipped (is_sorted=True)
+        q_names = np.asarray(
+            [f"ff-warm-q{i:06d}" for i in range(num_q - 1, -1, -1)],
+            dtype=object,
+        )
+        frame = pd.DataFrame(
+            {
+                "q_id": np.repeat(q_names, depth),
+                "id": cands,
+                "score": np.tile(
+                    np.arange(depth, 0, -1, dtype=np.float32), num_q
+                ),
             }
-            if ids_i:
-                run[f"ff-warm-q{i}"] = ids_i
-        if not run:
+        )
+        # doc modes sample repeated ids; keep one score per (q, id) pair
+        frame = frame[
+            frame["id"].notna() & ~frame.duplicated(["q_id", "id"])
+        ]
+        if not len(frame):
             return True
-        queries = {q: f"ff warm query {q}" for q in run}
-        ranking = Ranking.from_run(run, queries=queries)
+        queries = {q: f"ff warm query {q}" for q in q_names}
+        ranking = Ranking(frame, queries=queries, copy=False, is_sorted=True)
         encoder = self._query_encoder
         try:
             # always bypass the user's encoder for the synthetic queries:
@@ -461,7 +475,9 @@ class Index(abc.ABC):
                 lambda _t: np.zeros(dim, dtype=np.float32)
             )
             LOGGER.info(
-                "warming scoring programs for Q=%d depth=%d", len(run), depth
+                "warming scoring programs for Q=%d depth=%d",
+                len(ranking),
+                depth,
             )
             self(ranking)
         finally:

@@ -37,7 +37,9 @@ def _coerce(df: pd.DataFrame, score_dtype: np.dtype) -> pd.DataFrame:
 
 def _ranks_within_query(df: pd.DataFrame) -> np.ndarray:
     """Per-query 1-based ranks for an already score-sorted frame."""
-    return df.groupby("q_id").cumcount().to_numpy() + 1
+    return (
+        df.groupby("q_id", sort=False, observed=True).cumcount().to_numpy() + 1
+    )
 
 
 def _plain_ids(df: pd.DataFrame) -> pd.DataFrame:
@@ -117,6 +119,7 @@ class Ranking:
         self._df = frame
 
         self._q_ids = set(pd.unique(frame["q_id"]))
+        self._by_q: dict[str, tuple[np.ndarray, np.ndarray]] | None = None
         if queries is not None:
             self._df = self._with_queries(frame, queries)
 
@@ -130,6 +133,7 @@ class Ranking:
         ranking.name = name
         ranking._df = df
         ranking._q_ids = set(pd.unique(df["q_id"]))
+        ranking._by_q = None
         return ranking
 
     @staticmethod
@@ -157,10 +161,30 @@ class Ranking:
         """The unique query IDs with at least one scored document."""
         return self._q_ids
 
+    def _query_groups(self) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+        """Per-query ``(ids, scores)`` arrays, built lazily in ONE groupby.
+
+        The frame is immutable after construction (every operation returns
+        a new ranking), so the cache never invalidates.  Per-query lookups
+        and the evaluation helpers are then O(rows) total instead of one
+        full-frame scan per query (O(Q x rows) — quadratic at Q=512 x
+        512k-row re-rank outputs).
+        """
+        if self._by_q is None:
+            ids = self._df["id"].to_numpy()
+            scores = self._df["score"].to_numpy()
+            groups = self._df.groupby("q_id", sort=False, observed=True).indices
+            self._by_q = {
+                str(q): (ids[idx], scores[idx]) for q, idx in groups.items()
+            }
+        return self._by_q
+
     def __getitem__(self, q_id: str) -> dict[str, float]:
         """Return ``{id: score}`` for one query."""
-        rows = self._df[self._df["q_id"] == q_id]
-        return dict(zip(rows["id"], rows["score"]))
+        group = self._query_groups().get(q_id)
+        if group is None:
+            return {}
+        return dict(zip(*group))
 
     def __len__(self) -> int:
         """Return the number of queries."""
@@ -258,9 +282,18 @@ class Ranking:
         return self._spawn(_normalized(self._df))
 
     def cut(self, cutoff: int) -> "Ranking":
-        """Keep only the top-``cutoff`` scores per query."""
+        """Keep only the top-``cutoff`` scores per query.
+
+        The frame is already (q_id, score)-sorted, so this is a positional
+        head per group; ``sort=False, observed=True`` keeps the groupby away
+        from the full categorical machinery on scored-result frames (the
+        scoring fast path emits categorical ID columns).
+        """
         return self._spawn(
-            self._df.groupby("q_id").head(cutoff).reset_index(drop=True), copy=True
+            self._df.groupby("q_id", sort=False, observed=True)
+            .head(cutoff)
+            .reset_index(drop=True),
+            copy=True,
         )
 
     def interpolate(

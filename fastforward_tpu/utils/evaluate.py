@@ -17,7 +17,13 @@ Qrels = Mapping[str, Mapping[str, int]]
 
 
 def _ranked_ids(ranking: Ranking, q_id: str, k: int) -> list[str]:
-    return list(ranking[q_id].keys())[:k]
+    # one shared groupby builds per-query (ids, scores) arrays; each lookup
+    # is then O(rows of that query) — the metrics are O(rows) total instead
+    # of one full-frame scan per query
+    group = ranking._query_groups().get(q_id)
+    if group is None:
+        return []
+    return list(group[0][:k])
 
 
 def ndcg_at_k(ranking: Ranking, qrels: Qrels, k: int = 10) -> float:
