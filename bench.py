@@ -59,6 +59,13 @@ def ensure_backend(
         attempts = int(os.environ.get("FFTPU_BENCH_PROBE_ATTEMPTS", "5"))
     if probe_timeout_s is None:
         probe_timeout_s = int(os.environ.get("FFTPU_BENCH_PROBE_TIMEOUT", "150"))
+    # a sitecustomize may pin JAX_PLATFORMS to the TPU tunnel; an explicit
+    # env override (e.g. CPU CI) must win, and only jax.config can force it
+    force = (
+        "import os, jax\n"
+        "p = os.environ.get('JAX_PLATFORMS')\n"
+        "if p and ',' not in p: jax.config.update('jax_platforms', p)\n"
+    )
     last = "unknown"
     for i in range(attempts):
         t0 = time.perf_counter()
@@ -67,8 +74,8 @@ def ensure_backend(
                 [
                     sys.executable,
                     "-c",
-                    "import jax; d = jax.devices(); "
-                    "print(jax.default_backend(), len(d))",
+                    force
+                    + "d = jax.devices(); print(jax.default_backend(), len(d))",
                 ],
                 capture_output=True,
                 text=True,
@@ -81,6 +88,9 @@ def ensure_backend(
                 )
                 import jax
 
+                p = os.environ.get("JAX_PLATFORMS")
+                if p and "," not in p:
+                    jax.config.update("jax_platforms", p)
                 return jax.default_backend()
             last = proc.stderr.strip().splitlines()[-1] if proc.stderr else (
                 f"probe exited {proc.returncode}"

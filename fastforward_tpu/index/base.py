@@ -1000,6 +1000,66 @@ class Index(abc.ABC):
             )
         return np.asarray(jax.device_get(scores))[:n_pairs]
 
+    def _device_score_chunked(
+        self,
+        view: DeviceView,
+        query_vectors: np.ndarray,
+        pair_id_pos: np.ndarray,
+        pair_qno: np.ndarray,
+        rows_concat: np.ndarray,
+        counts: np.ndarray,
+    ) -> np.ndarray:
+        """Grouped scoring for arbitrarily ragged documents (any K).
+
+        Each (query, doc) pair's row list is split into sub-pairs of at
+        most ``_MAX_GROUP_K`` rows, scored through the standard grouped
+        program (which is mesh-aware — the flat segment program is not),
+        and the per-sub-pair partials are combined on the host: max of
+        maxes for MAXP, count-weighted mean of means for AVEP.  FIRSTP and
+        PASSAGE resolve one row per pair and never reach this path.
+        """
+        op = GROUPED_OP[self.mode]
+        kc = self._MAX_GROUP_K
+        n_pairs = pair_id_pos.shape[0]
+        counts_pp = counts[pair_id_pos].astype(np.int64)
+        n_chunks_pp = -(-counts_pp // kc)
+        n_sub = int(n_chunks_pp.sum())
+        sub_pair = np.repeat(np.arange(n_pairs, dtype=np.int64), n_chunks_pp)
+        chunk_ends = np.cumsum(n_chunks_pp)
+        within = np.arange(n_sub, dtype=np.int64) - np.repeat(
+            chunk_ends - n_chunks_pp, n_chunks_pp
+        )
+        sub_counts = np.minimum(
+            counts_pp[sub_pair] - within * kc, kc
+        ).astype(np.int32)
+        offsets = np.zeros(counts.shape[0] + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        sub_start = offsets[pair_id_pos][sub_pair] + within * kc
+        col = np.arange(kc, dtype=np.int64)[None, :]
+        clamped = np.minimum(col, (sub_counts[:, None] - 1).astype(np.int64))
+        rows_mat = rows_concat[sub_start[:, None] + clamped].astype(np.int32)
+        sub_qno = pair_qno[sub_pair]
+
+        sub_scores = np.asarray(
+            self._device_score_grouped(
+                view, query_vectors, rows_mat, sub_qno, sub_counts, kc
+            ),
+            dtype=np.float32,
+        )
+        if op == "max":
+            out = np.full(n_pairs, -np.inf, dtype=np.float32)
+            np.maximum.at(out, sub_pair, sub_scores)
+            return out
+        if op == "mean":
+            # sub-pair means carry their row counts; the pair mean is the
+            # count-weighted mean (recovers the sum to ~1 ulp)
+            acc = np.zeros(n_pairs, dtype=np.float64)
+            np.add.at(acc, sub_pair, sub_scores.astype(np.float64) * sub_counts)
+            return (acc / counts_pp).astype(np.float32)
+        # "first": the first sub-pair of each pair carries the first row
+        first_sub = chunk_ends - n_chunks_pp
+        return sub_scores[first_sub]
+
     # documents with more passages than this use the flat segment path
     # (grouped K-padding would waste too much gather bandwidth)
     _MAX_GROUP_K = 64
@@ -1033,9 +1093,18 @@ class Index(abc.ABC):
             )
         if view.mesh is not None:
             if k_max > self._MAX_GROUP_K:
-                raise ValueError(
-                    f"Sharded scoring supports at most {self._MAX_GROUP_K} "
-                    f"passages per document (got {k_max}); coalesce the index."
+                # arbitrarily ragged documents on the mesh: chunked-K
+                # grouped scoring (the flat segment program is single-
+                # device only) — matches the reference, which handles any
+                # raggedness in every configuration (reference:
+                # ``index/base.py:306-312``)
+                return self._device_score_chunked(
+                    view,
+                    query_vectors,
+                    pair_id_pos.astype(np.int64),
+                    pair_qno,
+                    rows_concat,
+                    counts,
                 )
             k = max(1, 1 << (k_max - 1).bit_length())
             rows_mat, counts_pp = expand_pairs_grouped(

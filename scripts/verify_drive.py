@@ -10,7 +10,14 @@ from pathlib import Path
 import numpy as np
 sys.path.insert(0, "/root/repo")
 
+import os
 import jax
+# the env may pin JAX_PLATFORMS to the TPU tunnel via sitecustomize; an
+# explicit override (JAX_PLATFORMS=cpu) must win, and only jax.config can
+# force it after that
+_p = os.environ.get("JAX_PLATFORMS")
+if _p and "," not in _p:
+    jax.config.update("jax_platforms", _p)
 print("backend:", jax.default_backend(), jax.devices())
 
 from fastforward_tpu import Ranking

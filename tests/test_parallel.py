@@ -341,6 +341,50 @@ class TestShardedQuantized(unittest.TestCase):
             shutil.rmtree(tmp)
 
 
+class TestShardedRagged(unittest.TestCase):
+    def test_ragged_documents_over_group_k(self):
+        """Documents with more passages than ``_MAX_GROUP_K`` score on the
+        mesh via the chunked-K fallback and match the single-device result
+        (which uses the flat segment program) — the reference handles any
+        raggedness in every configuration."""
+        from fastforward_tpu.index.base import Index
+
+        n = 400
+        big = Index._MAX_GROUP_K + 36  # 100-passage document
+        mid = Index._MAX_GROUP_K + 6
+        vectors = RNG.normal(size=(n, DIM)).astype(np.float32)
+        qvec = RNG.normal(size=DIM).astype(np.float32)
+        enc = LambdaEncoder(lambda _: qvec)
+        doc_ids = (
+            ["dbig"] * big
+            + ["dmid"] * mid
+            + [f"d{i // 4}" for i in range(n - big - mid)]
+        )
+        run = {
+            "q1": {"dbig": 9.0, "dmid": 8.0, "d0": 7.0, "d5": 6.0},
+            "q2": {"dmid": 5.0, "d1": 4.0, "dbig": 3.0},
+        }
+        queries = {"q1": "a", "q2": "b"}
+
+        for mode in (Mode.MAXP, Mode.AVEP, Mode.FIRSTP):
+            ranking = Ranking.from_run(run, queries=queries)
+            sharded = InMemoryIndex(
+                enc, mode=mode, mesh_config=MeshConfig(data=2, shard=4)
+            )
+            sharded.add(vectors, doc_ids=doc_ids)
+            plain = InMemoryIndex(enc, mode=mode)
+            plain.add(vectors, doc_ids=doc_ids)
+            got = sharded(ranking)
+            expected = plain(ranking)
+            for q_id in expected.q_ids:
+                g, e = got[q_id], expected[q_id]
+                self.assertEqual(set(g), set(e), mode)
+                for doc in e:
+                    self.assertAlmostEqual(
+                        e[doc], g[doc], places=3, msg=(mode, doc)
+                    )
+
+
 class TestShardedEarlyStopping(unittest.TestCase):
     def test_early_stopping_sharded_parity(self):
         """ES on a mesh-sharded index matches the unsharded ES result."""
