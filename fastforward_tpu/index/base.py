@@ -572,17 +572,32 @@ class Index(abc.ABC):
 
         if view.kind == "hybrid":
             # beyond-HBM tier: resident-prefix scoring + candidate-block
-            # streaming of the host tail (ops.host_stream); returns per-ROW
-            # scores — the ranking-mode K reduction happens on the host
+            # streaming of the host tail (ops.host_stream).  Doc modes use
+            # a RAGGED flat layout (no K-padding duplicates) and reduce on
+            # device per side — the fetch is 2 x P floats, not P x K
             if k == 1:
                 rows_flat = rows_mat[:, 0].astype(np.int64)
                 qno_flat = pair_qno.astype(np.int64)
+                reduce_spec = None
             else:
-                rows_flat = rows_mat.reshape(-1).astype(np.int64)
-                qno_flat = np.repeat(pair_qno, k).astype(np.int64)
+                hyb = plan.get("hybrid_ragged") if plan is not None else None
+                if hyb is None:
+                    valid = np.arange(k)[None, :] < counts_pp[:, None]
+                    seg_flat = np.repeat(
+                        np.arange(n_pairs, dtype=np.int64), counts_pp
+                    )
+                    hyb = (
+                        rows_mat[valid].astype(np.int64),
+                        pair_qno[seg_flat].astype(np.int64),
+                        seg_flat,
+                    )
+                    if plan is not None:
+                        plan["hybrid_ragged"] = hyb
+                rows_flat, qno_flat, seg_flat = hyb
+                reduce_spec = (op, seg_flat, n_pairs, counts_pp)
             from fastforward_tpu.ops.host_stream import hybrid_scores
 
-            row_scores = hybrid_scores(
+            return hybrid_scores(
                 view.table,
                 view.host_tail,
                 view.tail_start,
@@ -594,11 +609,7 @@ class Index(abc.ABC):
                 plan=plan,
                 cache_device_blocks_budget=view.tail_cache_budget,
                 cache_store=view.aux,
-            )
-            if k == 1:
-                return row_scores
-            return ops.masked_reduce_host(
-                row_scores.reshape(n_pairs, k), counts_pp, op
+                reduce=reduce_spec,
             )
 
         streamable_dense = (

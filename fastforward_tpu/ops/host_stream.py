@@ -52,13 +52,22 @@ HOST_BLOCK_CACHE_BUDGET = 2 << 30
 
 #: cumulative host->device transfer counters for the hybrid tier
 #: (diagnostics: warm plans whose blocks fit the device budget should show
-#: ``upload_bytes`` flat across calls).  Reset with :func:`reset_stats`.
-STATS = {"uploads": 0, "upload_bytes": 0, "block_cache_hits": 0}
+#: ``upload_bytes`` flat across calls; ``fetch_floats`` counts score floats
+#: crossing device->host — doc modes fetch 2 x pairs, not pairs x K).
+#: Reset with :func:`reset_stats`.
+STATS = {
+    "uploads": 0,
+    "upload_bytes": 0,
+    "block_cache_hits": 0,
+    "fetch_floats": 0,
+}
 
 
 def reset_stats() -> None:
     """Zero the hybrid-tier transfer counters."""
-    STATS.update(uploads=0, upload_bytes=0, block_cache_hits=0)
+    STATS.update(
+        uploads=0, upload_bytes=0, block_cache_hits=0, fetch_floats=0
+    )
 
 
 def _chunk_accum_impl(
@@ -83,6 +92,13 @@ def _chunk_accum_impl(
         outs = _sc.stream_scan(table, q, cand, tile_idx, r, precision)
     picked = jnp.take(outs.reshape(-1), slot, axis=0)
     return jax.lax.dynamic_update_slice(out, picked, (start,))
+
+
+@functools.partial(jax.jit, static_argnames=("n", "n_out", "op"))
+def _acc_seg_reduce(acc, seg, n, n_out, op):
+    """Segment-reduce the tail accumulator's first ``n`` (real) entries on
+    device; only ``(n_out,)`` floats are fetched (hybrid doc modes)."""
+    return _sc._segment_reduce(acc[:n], seg, n_out, op)
 
 
 _chunk_accum = None
@@ -116,6 +132,17 @@ def _gather_dot(table, q_pad, rows, qno, precision):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("precision", "n_out", "op"))
+def _gather_dot_seg(table, q_pad, rows, qno, seg, n_out, precision, op):
+    """Gather-dot + segment reduction fused on device (hybrid doc modes).
+
+    Padded entries carry ``seg == n_out`` (dropped by the reduction); the
+    fetch is ``(n_out,)`` floats instead of per-row.
+    """
+    scores = _gather_dot(table, q_pad, rows, qno, precision)
+    return _sc._segment_reduce(scores, seg, n_out, op)
+
+
 def _pad_pow2(arr: np.ndarray, fill) -> np.ndarray:
     size = _sc.bucket(arr.shape[0])
     if size == arr.shape[0]:
@@ -125,10 +152,16 @@ def _pad_pow2(arr: np.ndarray, fill) -> np.ndarray:
     return out
 
 
-def _score_resident(table, q_pad, rows, qno, precision, plan) -> np.ndarray:
+def _score_resident(
+    table, q_pad, rows, qno, precision, plan, seg_reduce=None
+) -> np.ndarray:
     """Score resident-prefix candidates (streamed when dense, gather-dot
     when sparse — XLA's row gather is per-row-overhead bound, see
-    ``ops.scoring``)."""
+    ``ops.scoring``).
+
+    With ``seg_reduce=(op, seg, n_out)`` the per-row scores are segment-
+    reduced ON DEVICE and only ``(n_out,)`` floats are fetched.
+    """
     p = rows.shape[0]
     n = table.shape[0]
     if p * 500 > n:
@@ -139,19 +172,29 @@ def _score_resident(table, q_pad, rows, qno, precision, plan) -> np.ndarray:
             qno.astype(np.int64),
             precision=precision,
             plan=plan,
+            seg_reduce=seg_reduce,
         )
         if out is not None:
-            return out[:p]
+            return out if seg_reduce is not None else out[:p]
     rows_d = _pad_pow2(rows.astype(np.int32), 0)
     qno_d = _pad_pow2(qno.astype(np.int32), 0)
+    q_dev = _sc._cached_q_upload(
+        np.asarray(q_pad, dtype=np.float32), plan, "q_dev"
+    )
+    if seg_reduce is not None:
+        op, seg, n_out = seg_reduce
+        seg_d = plan.get("seg_dev") if plan is not None else None
+        if seg_d is None:
+            seg_d = jnp.asarray(_pad_pow2(seg.astype(np.int32), n_out))
+            if plan is not None:
+                plan["seg_dev"] = seg_d
+        red = _gather_dot_seg(
+            table, q_dev, jnp.asarray(rows_d), jnp.asarray(qno_d), seg_d,
+            n_out, precision, op,
+        )
+        return np.asarray(jax.device_get(red))
     scores = _gather_dot(
-        table,
-        _sc._cached_q_upload(
-            np.asarray(q_pad, dtype=np.float32), plan, "q_dev"
-        ),
-        jnp.asarray(rows_d),
-        jnp.asarray(qno_d),
-        precision,
+        table, q_dev, jnp.asarray(rows_d), jnp.asarray(qno_d), precision
     )
     return np.asarray(jax.device_get(scores))[:p]
 
@@ -337,6 +380,7 @@ def hybrid_scores(
     plan: dict | None = None,
     cache_device_blocks_budget: int = 0,
     cache_store: dict | None = None,
+    reduce: "tuple[str, np.ndarray, int, np.ndarray] | None" = None,
     _force_scan: bool = False,
 ) -> np.ndarray:
     """Score ``table[rows[i]] . q_pad[qno[i]]`` against a hybrid table.
@@ -359,9 +403,16 @@ def hybrid_scores(
     :param cache_store: View-lifetime dict holding the cached device
         blocks; the budget bounds the TOTAL across every plan served
         from this view.  ``None``: no device-block caching.
+    :param reduce: ``(op, seg, n_pairs, counts)`` — doc-mode ranking
+        reduction.  ``seg[i]`` is the output pair of row ``i`` (a RAGGED
+        grouped layout, no padding rows); each side (resident / streamed
+        tail) segment-reduces its partials ON DEVICE (max, or sum for
+        mean) and the host combines them — ``2 x n_pairs`` floats cross
+        the host link instead of per-row ``(P,)``.
     :param _force_scan: Internal — rebuild on the XLA scan path after a
         Pallas failure or an SMEM-grid overflow.
-    :return: Per-pair scores in input order, ``(P,)`` fp32 numpy.
+    :return: Per-pair scores in input order ``(P,)``, or per-PAIR reduced
+        scores ``(n_pairs,)`` when ``reduce`` is given (fp32 numpy).
     """
     p = rows.shape[0]
     qb = q_pad.shape[0]
@@ -454,18 +505,36 @@ def hybrid_scores(
         if plan is not None:
             plan["hybrid"] = state
 
-    out = np.empty(p, dtype=np.float32)
+    seg_reduce_res = None
+    if reduce is not None:
+        red_op, seg, n_out, red_counts = reduce
+        op2 = "max" if red_op == "max" else "sum"
+        if "seg_res" not in state:
+            state["seg_res"] = seg[state["res_pos"]].astype(np.int32)
+            state["seg_tail_dev"] = jnp.asarray(
+                seg[state["tail_pos_ordered"]].astype(np.int32)
+            )
+        seg_reduce_res = (op2, state["seg_res"], n_out)
+
+    out = None if reduce is not None else np.empty(p, dtype=np.float32)
+    res_part = tail_part = None
 
     # resident prefix
     if state["res_pos"].shape[0]:
-        out[state["res_pos"]] = _score_resident(
+        res_scores = _score_resident(
             resident,
             q_pad,
             state["res_rows"],
             state["res_qno"],
             precision,
             state["res_plan"],
+            seg_reduce=seg_reduce_res,
         )
+        STATS["fetch_floats"] += int(res_scores.shape[0])
+        if reduce is not None:
+            res_part = res_scores
+        else:
+            out[state["res_pos"]] = res_scores
 
     # streamed tail blocks
     chunks = state["chunks"]
@@ -519,7 +588,21 @@ def hybrid_scores(
                     precision=precision,
                     use_pallas=use_pallas,
                 )
-            tail_scores = np.asarray(jax.device_get(acc))[: state["p_tail"]]
+            if reduce is not None:
+                red = _acc_seg_reduce(
+                    acc,
+                    state["seg_tail_dev"],
+                    state["p_tail"],
+                    n_out,
+                    op2,
+                )
+                tail_part = np.asarray(jax.device_get(red))
+                STATS["fetch_floats"] += int(tail_part.shape[0])
+            else:
+                tail_scores = np.asarray(
+                    jax.device_get(acc)
+                )[: state["p_tail"]]
+                STATS["fetch_floats"] += int(tail_scores.shape[0])
         except Exception as e:  # pragma: no cover - device-specific
             if not use_pallas:
                 raise
@@ -533,9 +616,26 @@ def hybrid_scores(
                 resident, host_tail, tail_start, chunk_rows, q_pad, rows,
                 qno, precision=precision, plan=plan,
                 cache_device_blocks_budget=cache_device_blocks_budget,
-                cache_store=cache_store, _force_scan=True,
+                cache_store=cache_store, reduce=reduce, _force_scan=True,
             )
         if use_pallas:
             _sc._pallas_success()
-        out[state["tail_pos_ordered"]] = tail_scores
-    return out
+        if reduce is None:
+            out[state["tail_pos_ordered"]] = tail_scores
+
+    if reduce is None:
+        return out
+    # combine the per-side partials on the host: max of maxes, or summed
+    # sums divided by the (host-known) pair counts
+    if red_op == "max":
+        if res_part is None:
+            return tail_part.astype(np.float32)
+        if tail_part is None:
+            return res_part.astype(np.float32)
+        return np.maximum(res_part, tail_part).astype(np.float32)
+    total = np.zeros(n_out, dtype=np.float64)
+    if res_part is not None:
+        total += res_part
+    if tail_part is not None:
+        total += tail_part
+    return (total / np.maximum(red_counts, 1)).astype(np.float32)

@@ -90,6 +90,19 @@ def _gather_slots(flat, slot):
     return jnp.take(flat.reshape(-1), slot, axis=0)
 
 
+@partial(jax.jit, static_argnames=("n_out", "op"))
+def _gather_seg_reduce(flat, slot, seg, n_out, op):
+    """Slot gather + segment reduction on device (ragged grouped layout).
+
+    Unlike :func:`_reduce_k_device`, the per-pair row lists are RAGGED —
+    ``seg[i]`` is the pair of slot ``i`` (sentinel ``n_out`` for padding).
+    Used by the hybrid tier so doc-mode partials cross the host link as
+    ``(n_out,)`` per side instead of per-row.
+    """
+    picked = jnp.take(flat.reshape(-1), slot, axis=0)
+    return _segment_reduce(picked, seg, n_out, op)
+
+
 @partial(jax.jit, static_argnames=("r", "precision", "k", "op"))
 def _stream_select_finalized(
     table, q_t, cand, tile_idx, slot, counts, r, precision, k, op
@@ -109,6 +122,24 @@ def _stream_select_finalized(
         return jnp.take(outs.reshape(-1), slot, axis=0)
     picked = jnp.take(outs.reshape(-1), slot, axis=0).reshape(-1, k)
     return _masked_reduce(picked, counts, op)
+
+
+@partial(jax.jit, static_argnames=("r", "precision", "n_out", "op"))
+def _stream_select_seg_finalized(
+    table, q_t, cand, tile_idx, slot, seg, r, precision, n_out, op
+):
+    """Pallas streaming kernel + slot gather + SEGMENT reduction, fused.
+
+    The ragged-grouped twin of :func:`_stream_select_finalized` (hybrid
+    tier doc modes): only ``(n_out,)`` floats cross the host link.
+    """
+    from fastforward_tpu.ops import stream_kernel
+
+    outs = stream_kernel.stream_select(
+        table, q_t, cand, tile_idx, r=r, precision=precision
+    )
+    picked = jnp.take(outs.reshape(-1), slot, axis=0)
+    return _segment_reduce(picked, seg, n_out, op)
 
 
 def _slot_dev_cached(slot_of_pair, plan, slot_key):
@@ -151,11 +182,40 @@ def _cached_q_upload(q_host: np.ndarray, plan: dict | None, key: str):
     return q_dev
 
 
-def _finalize_streamed(outs, slot_of_pair, reduce, plan, slot_key):
+def _seg_dev_cached(seg: np.ndarray, plan, key):
+    """Device copy of a per-row segment map, cached in the run plan."""
+    seg_dev = plan.get(key) if plan is not None else None
+    if seg_dev is None:
+        seg_dev = jnp.asarray(seg.astype(np.int32))
+        if plan is not None:
+            plan[key] = seg_dev
+    return seg_dev
+
+
+def host_segment_reduce(
+    scores: np.ndarray, seg: np.ndarray, n_out: int, op: str
+) -> np.ndarray:
+    """Numpy segment reduction (``max``/``sum``) — host fallback twin of
+    the device ``_segment_reduce`` for ragged grouped layouts."""
+    if op == "max":
+        out = np.full(n_out, -np.inf, dtype=np.float32)
+        np.maximum.at(out, seg, scores)
+        return out
+    out = np.zeros(n_out, dtype=np.float64)
+    np.add.at(out, seg, scores)
+    return out.astype(np.float32)
+
+
+def _finalize_streamed(
+    outs, slot_of_pair, reduce, plan, slot_key, seg_reduce=None
+):
     """Fetch streamed scores, gathering/reducing on device when possible.
 
     - ``reduce=(op, k, counts_dev)``: slot gather + masked K reduction run
       on device; only the ``(P,)`` result crosses the host link.
+    - ``seg_reduce=(op, seg, n_out)``: slot gather + ragged SEGMENT
+      reduction on device (hybrid-tier doc modes); only ``(n_out,)``
+      floats cross the host link.
     - ``reduce=None`` with a run plan: the slot gather alone runs on device
       (fetch ``(P,)`` floats instead of the full ``(Tv*CAP,)`` slot grid —
       the fetch is the dominant per-call cost on remote-attached devices).
@@ -167,6 +227,16 @@ def _finalize_streamed(outs, slot_of_pair, reduce, plan, slot_key):
     copies, and the result is assembled with ``fetch_np``.
     """
     multi = not getattr(outs, "is_fully_addressable", True)
+    if seg_reduce is not None:
+        op, seg, n_out = seg_reduce
+        if not multi:
+            slot_dev = _slot_dev_cached(slot_of_pair, plan, slot_key)
+            if slot_dev is not None:
+                seg_dev = _seg_dev_cached(seg, plan, slot_key + "_seg")
+                red = _gather_seg_reduce(outs, slot_dev, seg_dev, n_out, op)
+                return np.asarray(jax.device_get(red))
+        picked = fetch_np(outs).reshape(-1)[slot_of_pair]
+        return host_segment_reduce(picked, seg, n_out, op)
     if reduce is not None:
         op, k, counts_dev = reduce
         if multi:
@@ -698,12 +768,16 @@ def streamed_scores(
     precision: str = "exact",
     plan: dict | None = None,
     reduce: "tuple[str, int, jnp.ndarray] | None" = None,
+    seg_reduce: "tuple[str, np.ndarray, int] | None" = None,
 ) -> np.ndarray | None:
     """Score ``table[rows[i]] . q_pad[qno[i]]`` via table streaming.
 
     With ``reduce=(op, k, counts_dev)`` the rows are treated as a flattened
     ``(P, K)`` grouped layout and the K-axis ranking reduction happens on
-    device before the fetch (see :func:`_finalize_streamed`).
+    device before the fetch (see :func:`_finalize_streamed`).  With
+    ``seg_reduce=(op, seg, n_out)`` the rows form a RAGGED grouped layout
+    (``seg[i]`` = output pair of row ``i``) and the segment reduction
+    happens on device instead (mutually exclusive with ``reduce``).
 
     Dispatches to the fused Pallas kernel on TPU (falling back to the XLA
     scan formulation on any kernel failure), builds the candidate layout
@@ -749,7 +823,18 @@ def streamed_scores(
                 slot_dev = _slot_dev_cached(
                     slot_of_pair, plan, "stream_pallas_slot"
                 )
-                if slot_dev is not None:
+                if slot_dev is not None and seg_reduce is not None:
+                    # kernel + slot gather + segment reduce as one dispatch
+                    op, seg, n_out = seg_reduce
+                    seg_dev = _seg_dev_cached(
+                        seg, plan, "stream_pallas_slot_seg"
+                    )
+                    out = _stream_select_seg_finalized(
+                        table, q_dev, cand_dev, tile_dev, slot_dev,
+                        seg_dev, r, precision, n_out, op,
+                    )
+                    result = np.asarray(jax.device_get(out))
+                elif slot_dev is not None:
                     # kernel + slot gather (+ K reduce) as one dispatch
                     if reduce is not None:
                         op, k, counts_dev = reduce
@@ -766,7 +851,8 @@ def streamed_scores(
                         r=r, precision=precision,
                     )
                     result = _finalize_streamed(
-                        outs, slot_of_pair, reduce, plan, "stream_pallas_slot"
+                        outs, slot_of_pair, reduce, plan,
+                        "stream_pallas_slot", seg_reduce=seg_reduce,
                     )
                 _pallas_success()
                 return result
@@ -796,7 +882,10 @@ def streamed_scores(
         STREAM_TILE_ROWS,
         precision,
     )
-    return _finalize_streamed(outs, slot_of_pair, reduce, plan, "stream_xla_slot")
+    return _finalize_streamed(
+        outs, slot_of_pair, reduce, plan, "stream_xla_slot",
+        seg_reduce=seg_reduce,
+    )
 
 
 @partial(jax.jit, static_argnames=("m_pad",))

@@ -88,6 +88,24 @@ class TestHybridTier(unittest.TestCase):
             self.assertEqual(ref(ranking), hybrid(ranking), mode)
             self.assertEqual(ref(ranking), hybrid(ranking), mode)  # warm
 
+    def test_doc_modes_fetch_pairs_not_rows(self):
+        """Doc modes reduce K on device per side: the score fetch is at
+        most 2 x pairs floats, not pairs x K (the previous host reduce
+        fetched every row score over the host link)."""
+        from fastforward_tpu.ops import host_stream
+
+        hybrid = _doc_index(hbm_budget=BUDGET, stream_chunk_rows=1024)
+        ranking = _doc_ranking()
+        n_pairs = sum(len(ranking[q]) for q in ranking.q_ids)
+        for mode in (Mode.MAXP, Mode.AVEP):
+            hybrid.mode = mode
+            hybrid(ranking)  # cold: plan + program build
+            host_stream.reset_stats()
+            hybrid(ranking)  # warm
+            self.assertLessEqual(
+                host_stream.STATS["fetch_floats"], 2 * n_pairs, mode
+            )
+
     def test_zero_resident_prefix(self):
         """A budget too small for even one resident block streams all rows."""
         hybrid = _psg_index(hbm_budget=100_000, stream_chunk_rows=1024)
