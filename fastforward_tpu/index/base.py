@@ -70,6 +70,10 @@ class DeviceView:
     tail_start: int = 0
     chunk_rows: int = 0
     tail_cache_budget: int = 0
+    #: what the hybrid tier streams: ``"dense"`` fp32/bf16 rows,
+    #: ``"scalar"`` int8 code rows (scales fold into the queries), or
+    #: ``"pq"`` PQ code rows (ADC-streamed against ``codebooks``)
+    hybrid_kind: str = "dense"
     #: view-lifetime cache for table-derived device artifacts (e.g. the
     #: lane-aligned PQ copies the Pallas ADC kernel consumes)
     aux: dict = field(default_factory=dict)
@@ -83,36 +87,95 @@ def build_hybrid_view(
     precision: str,
     chunk_rows: int | None = None,
     bf16: bool = False,
+    kind: str = "dense",
+    codebooks: np.ndarray | None = None,
+    scales: np.ndarray | None = None,
 ) -> DeviceView | None:
     """Build a beyond-HBM hybrid view, or ``None`` when the table fits.
 
     ~70% of ``hbm_budget`` holds an HBM-resident prefix of ``data``; the
     remaining rows stay in host RAM (zero-copy view when ``data`` is
-    fp32-contiguous) and are streamed per call as candidate blocks, with
-    the leftover budget caching hot blocks device-side across calls
-    (``fastforward_tpu.ops.host_stream``).
+    contiguous in the staged dtype) and are streamed per call as candidate
+    blocks, with the leftover budget caching hot blocks device-side across
+    calls (``fastforward_tpu.ops.host_stream``).
 
-    :param data: Host vectors, ``(num, dim)`` (any float dtype).
+    Works for every table kind: dense fp32/bf16 rows, int8 scalar codes
+    (``kind="scalar"`` — scales fold into the queries), and PQ code rows
+    (``kind="pq"`` — ADC-streamed against the replicated ``codebooks``;
+    MS MARCO v2-scale int8/PQ tables exceed one chip's HBM too).
+
+    :param data: Host rows, ``(num, width)`` — fp32 vectors, int8 codes,
+        or uint8 PQ codes.
     :param num: Number of real rows.
-    :param dim: Vector dimensionality (must be a multiple of 128).
+    :param dim: Vector dimensionality (must be a multiple of 128; for
+        ``kind="pq"`` this is the ORIGINAL dim — the code width is
+        ``data.shape[1]``).
     :param hbm_budget: Scoring-HBM budget in bytes.
     :param precision: Dot precision tier.
     :param chunk_rows: Streamed-block size (default
         ``ops.host_stream.HOST_CHUNK_ROWS``).
-    :param bf16: Store the resident prefix (and stream blocks) as bf16.
+    :param bf16: Store the resident prefix (and stream blocks) as bf16
+        (``kind="dense"`` only).
+    :param codebooks: PQ codebooks ``(M, Ks, Ds)`` fp32 (``kind="pq"``).
+    :param scales: Per-dimension scales (``kind="scalar"``; stored on the
+        view for query folding).
     """
     from fastforward_tpu.ops import host_stream
 
-    row_bytes = dim * (2 if bf16 else 4)
+    budget = hbm_budget
+    if kind == "pq":
+        from fastforward_tpu.ops.scoring import pallas_stream_enabled
+        from fastforward_tpu.ops.stream_kernel_pq import M_PAD
+
+        m = data.shape[1]
+        # the ADC kernel consumes lane-padded (N, M_PAD) codes; store the
+        # resident prefix in that layout when the kernel will run (one HBM
+        # copy serves kernel + scan + gather paths, same trade as
+        # InMemoryIndex._device_view) and account the budget honestly
+        pad_for_kernel = m <= M_PAD and pallas_stream_enabled()
+        width = M_PAD if pad_for_kernel else m
+        row_bytes = width
+        stage_dtype = data.dtype
+        # codebooks + the kernel's block-diagonal bf16 splits are HBM too
+        mm, ks, ds = codebooks.shape
+        budget -= mm * ks * ds * 4
+        if pad_for_kernel and ds <= 128 and 128 % ds == 0:
+            g = 128 // ds
+            if mm % g == 0:
+                budget -= 3 * (mm // g) * g * ks * 128 * 2
+        budget = max(0, budget)
+    elif kind == "scalar":
+        width = dim
+        row_bytes = dim
+        stage_dtype = np.int8
+    else:
+        width = dim
+        row_bytes = dim * (2 if bf16 else 4)
+        stage_dtype = np.float32
     n_pad = -(-num // 4096) * 4096
-    if n_pad * row_bytes <= hbm_budget:
+    if n_pad * row_bytes <= budget:
         return None  # fits: plain device table
-    resident = (int(hbm_budget * 0.7) // row_bytes) // 1024 * 1024
+    resident = (int(budget * 0.7) // row_bytes) // 1024 * 1024
     if resident >= num:
         return None
-    # 2D (N, dim) tables everywhere: lanes are exact 128-multiples, so the
-    # device layout has no sublane padding and row_bytes is exact
-    if resident > 0:
+    # 2D (N, width) tables everywhere: dense/scalar lanes are exact
+    # 128-multiples, so the device layout has no sublane padding and
+    # row_bytes is exact
+    if kind == "pq":
+        if resident > 0:
+            res2 = np.zeros((resident, width), dtype=data.dtype)
+            res2[:, :m] = data[:resident]
+            res_dev = jnp.asarray(res2)
+        else:
+            res_dev = jnp.zeros((0, width), jnp.dtype(data.dtype))
+    elif kind == "scalar":
+        if resident > 0:
+            res_dev = jnp.asarray(
+                np.ascontiguousarray(data[:resident], dtype=np.int8)
+            )
+        else:
+            res_dev = jnp.zeros((0, dim), jnp.int8)
+    elif resident > 0:
         res2 = np.ascontiguousarray(data[:resident], dtype=np.float32)
         res_dev = jnp.asarray(res2)
         if bf16:
@@ -120,11 +183,12 @@ def build_hybrid_view(
     else:
         res_dev = jnp.zeros((0, dim), jnp.bfloat16 if bf16 else jnp.float32)
     tail = data[resident:num]
-    if tail.dtype != np.float32 or not tail.flags["C_CONTIGUOUS"]:
-        tail = np.ascontiguousarray(tail, dtype=np.float32)
+    if tail.dtype != stage_dtype or not tail.flags["C_CONTIGUOUS"]:
+        tail = np.ascontiguousarray(tail, dtype=stage_dtype)
     LOGGER.info(
-        "table (%d rows x %d B) exceeds the %d-byte HBM budget: serving "
+        "%s table (%d rows x %d B) exceeds the %d-byte HBM budget: serving "
         "from the hybrid tier (%d resident rows, %d host-streamed)",
+        kind,
         num,
         row_bytes,
         hbm_budget,
@@ -134,6 +198,10 @@ def build_hybrid_view(
     return DeviceView(
         kind="hybrid",
         table=res_dev,
+        codebooks=jnp.asarray(
+            np.asarray(codebooks, dtype=np.float32)
+        ) if kind == "pq" else None,
+        scales=scales,
         precision=precision,
         host_tail=tail,
         tail_start=resident,
@@ -142,7 +210,8 @@ def build_hybrid_view(
         # plans via view.aux).  NOTE: the one-deep upload prefetch keeps
         # up to two TRANSIENT chunk slabs in flight on top of this; size
         # hbm_budget with ~2 x chunk_rows x row_bytes of headroom.
-        tail_cache_budget=max(0, hbm_budget - resident * row_bytes),
+        tail_cache_budget=max(0, budget - resident * row_bytes),
+        hybrid_kind=kind,
     )
 
 
@@ -488,9 +557,10 @@ class Index(abc.ABC):
     def _prepare_queries(self, query_vectors: np.ndarray, view: DeviceView) -> np.ndarray:
         """Fold quantizer-specific transforms into the query vectors."""
         q = np.asarray(query_vectors, dtype=np.float32)
-        if view.kind == "pq" and isinstance(self._quantizer, OPQ):
+        kind = view.hybrid_kind if view.kind == "hybrid" else view.kind
+        if kind == "pq" and isinstance(self._quantizer, OPQ):
             q = self._quantizer.rotate(q)
-        elif view.kind == "scalar":
+        elif kind == "scalar":
             assert isinstance(self._quantizer, ScalarQuantizer)
             q = q * self._quantizer.scales
         return q
@@ -610,6 +680,8 @@ class Index(abc.ABC):
                 cache_device_blocks_budget=view.tail_cache_budget,
                 cache_store=view.aux,
                 reduce=reduce_spec,
+                kind=view.hybrid_kind,
+                codebooks=view.codebooks,
             )
 
         streamable_dense = (
@@ -973,6 +1045,8 @@ class Index(abc.ABC):
                     precision=view.precision,
                     cache_device_blocks_budget=view.tail_cache_budget,
                     cache_store=view.aux,
+                    kind=view.hybrid_kind,
+                    codebooks=view.codebooks,
                 ),
                 dtype=np.float32,
             )

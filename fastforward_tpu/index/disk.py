@@ -74,9 +74,10 @@ class OnDiskIndex(Index):
         :param mesh_config: With ``hbm_cache``, shard the cached table
             row-wise across a device mesh (see ``InMemoryIndex``).
         :param hbm_budget: With ``hbm_cache``, the scoring-HBM budget in
-            bytes for dense tables; tables exceeding it serve from the
-            beyond-HBM hybrid tier (resident prefix + host-RAM tail
-            streamed in candidate blocks, see ``InMemoryIndex``).
+            bytes (dense, int8-quantized, or PQ code tables); tables
+            exceeding it serve from the beyond-HBM hybrid tier (resident
+            prefix + host-RAM tail streamed in candidate blocks, see
+            ``InMemoryIndex``).
         :param stream_chunk_rows: Rows per streamed tail block for the
             hybrid tier.
         :raises ValueError: When the file exists and ``overwrite=False``.
@@ -382,6 +383,25 @@ class OnDiskIndex(Index):
                     pallas_stream_enabled,
                 )
 
+                if self._hbm_budget is not None and self._mesh_config is None:
+                    from fastforward_tpu.index.base import build_hybrid_view
+
+                    hybrid = build_hybrid_view(
+                        raw,
+                        num,
+                        raw.shape[1],
+                        self._hbm_budget,
+                        self._precision,
+                        chunk_rows=self._stream_chunk_rows,
+                        kind="pq",
+                        codebooks=np.asarray(
+                            self._quantizer.codewords, dtype=np.float32
+                        ),
+                    )
+                    if hybrid is not None:
+                        self._dev_view = hybrid
+                        return self._dev_view
+
                 # lane-pad code columns to 128 when the Pallas ADC kernel
                 # will consume this table, so ONE HBM array serves the
                 # kernel and the gather/scan paths (see
@@ -422,6 +442,26 @@ class OnDiskIndex(Index):
                         precision=self._precision,
                     )
             elif isinstance(self._quantizer, ScalarQuantizer):
+                if (
+                    self._hbm_budget is not None
+                    and self._mesh_config is None
+                    and raw.shape[1] % 128 == 0
+                ):
+                    from fastforward_tpu.index.base import build_hybrid_view
+
+                    hybrid = build_hybrid_view(
+                        np.ascontiguousarray(raw, dtype=np.int8),
+                        num,
+                        raw.shape[1],
+                        self._hbm_budget,
+                        self._precision,
+                        chunk_rows=self._stream_chunk_rows,
+                        kind="scalar",
+                        scales=self._quantizer.scales,
+                    )
+                    if hybrid is not None:
+                        self._dev_view = hybrid
+                        return self._dev_view
                 codes = np.zeros((n_pad, raw.shape[1]), dtype=np.int8)
                 codes[:num] = raw
                 if codes.shape[1] % 128 == 0:

@@ -105,12 +105,15 @@ class InMemoryIndex(Index):
                bf16-rounded values (a warning is logged).  Under
                ``store="host"`` the fp32 canonical is preserved and only
                the HBM scoring mirror is bf16.
-        :param hbm_budget: Scoring-HBM budget in bytes for dense host-store
-            tables.  When the table exceeds it, the index serves from the
+        :param hbm_budget: Scoring-HBM budget in bytes for host-store
+            tables — dense fp32/bf16, int8-quantized, or PQ code tables.
+            When the table exceeds it, the index serves from the
             **beyond-HBM hybrid tier**: ~70% of the budget holds an
             HBM-resident table prefix and the rest caches streamed
-            candidate blocks of the host-RAM tail (``ops.host_stream``).
-            ``None`` (default): upload the full table (must fit HBM).
+            candidate blocks of the host-RAM tail (``ops.host_stream``;
+            int8 blocks stream at 1/4 and PQ codes at ~1/32 of the dense
+            fp32 traffic).  ``None`` (default): upload the full table
+            (must fit HBM).
         :param stream_chunk_rows: Rows per streamed tail block for the
             hybrid tier (default ``ops.host_stream.HOST_CHUNK_ROWS``).
         """
@@ -335,7 +338,14 @@ class InMemoryIndex(Index):
 
     # -- device table --------------------------------------------------------
 
-    def _hybrid_view(self, data: np.ndarray, dim: int) -> DeviceView | None:
+    def _hybrid_view(
+        self,
+        data: np.ndarray,
+        dim: int,
+        kind: str = "dense",
+        codebooks: np.ndarray | None = None,
+        scales: np.ndarray | None = None,
+    ) -> DeviceView | None:
         """Beyond-HBM tier view, or ``None`` when the table fits the budget
         (see :func:`fastforward_tpu.index.base.build_hybrid_view`)."""
         from fastforward_tpu.index.base import build_hybrid_view
@@ -347,7 +357,10 @@ class InMemoryIndex(Index):
             self._hbm_budget,
             self._precision,
             chunk_rows=self._stream_chunk_rows,
-            bf16=self._device_dtype == "bfloat16",
+            bf16=kind == "dense" and self._device_dtype == "bfloat16",
+            kind=kind,
+            codebooks=codebooks,
+            scales=scales,
         )
 
     def _device_view(self) -> DeviceView | None:
@@ -401,6 +414,21 @@ class InMemoryIndex(Index):
         if isinstance(self._quantizer, PQ):
             from fastforward_tpu.ops.scoring import pallas_stream_enabled
 
+            if self._hbm_budget is not None and self._mesh_config is None:
+                # beyond-HBM tier for PQ code tables (MS MARCO v2-scale
+                # corpora exceed one chip's HBM even quantized)
+                hybrid = self._hybrid_view(
+                    data,
+                    data.shape[1],
+                    kind="pq",
+                    codebooks=np.asarray(
+                        self._quantizer.codewords, dtype=np.float32
+                    ),
+                )
+                if hybrid is not None:
+                    self._dev_view = hybrid
+                    return self._dev_view
+
             # lane-pad the code columns to 128 when the Pallas ADC kernel
             # will consume this table (single device, kernel enabled): the
             # SAME HBM array then serves the kernel (which needs the
@@ -446,6 +474,23 @@ class InMemoryIndex(Index):
                 )
         elif isinstance(self._quantizer, ScalarQuantizer):
             dim = data.shape[1]
+            if self._hbm_budget is not None and self._mesh_config is None:
+                if dim % 128 == 0:
+                    # beyond-HBM tier for int8 code tables (scales fold
+                    # into the queries exactly like the resident program)
+                    hybrid = self._hybrid_view(
+                        data, dim, kind="scalar",
+                        scales=self._quantizer.scales,
+                    )
+                    if hybrid is not None:
+                        self._dev_view = hybrid
+                        return self._dev_view
+                else:
+                    LOGGER.warning(
+                        "hbm_budget is ignored: the hybrid beyond-HBM tier "
+                        "requires dim %% 128 == 0 (got %d)",
+                        dim,
+                    )
             codes = np.zeros((n_pad, dim), dtype=np.int8)
             codes[: self._num] = data
             if dim % 128 == 0:

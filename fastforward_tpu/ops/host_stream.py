@@ -1,7 +1,10 @@
 """Beyond-HBM tier: host-RAM tables streamed through the scoring kernel.
 
-Corpora whose fp32 tables exceed one chip's HBM (MS MARCO v1 at 8.8M x 768
-is ~27 GB against 16 GB on a v5e) are served from a **hybrid** view
+Corpora whose tables exceed one chip's HBM (MS MARCO v1 at 8.8M x 768 is
+~27 GB fp32 against 16 GB on a v5e; MS MARCO v2-scale int8/PQ tables
+overflow too) are served from a **hybrid** view — dense fp32/bf16 rows,
+int8 code rows (scales folded into the queries), or PQ code rows
+(ADC-streamed against replicated codebooks, ~1/32 the dense traffic)
 (SURVEY.md §7 step 5; the reference serves arbitrary N from disk,
 reference: ``index/disk.py:309-336``):
 
@@ -71,9 +74,16 @@ def reset_stats() -> None:
 
 
 def _chunk_accum_impl(
-    table, q, cand, tile_idx, out, slot, start, *, r, precision, use_pallas
+    table, q, cand, tile_idx, out, slot, start, cb_a, cb_b, cb_c,
+    *, r, precision, use_pallas, kind, m,
 ):
     """Score one tail block and accumulate its candidate scores into ``out``.
+
+    ``kind`` picks the block program: ``"dense"``/``"scalar"`` run the
+    streaming matmul-select (int8 blocks upcast in-kernel; scales are
+    folded into the queries by the caller), ``"pq"`` runs the streamed-ADC
+    program (``cb_a..cb_c`` = block-diagonal codebook splits for the Pallas
+    kernel, or ``cb_a`` = the raw ``(M, Ks, Ds)`` codebooks for the scan).
 
     ``slot`` is padded to a power-of-two bucket; padded entries write
     garbage at positions >= this chunk's real count, which the NEXT chunk's
@@ -82,7 +92,19 @@ def _chunk_accum_impl(
     chunk's padded write stays in bounds (``dynamic_update_slice`` clamps
     out-of-bounds starts, which would corrupt earlier scores otherwise).
     """
-    if use_pallas:
+    if kind == "pq":
+        if use_pallas:
+            from fastforward_tpu.ops import stream_kernel_pq
+
+            outs = stream_kernel_pq.stream_select_pq(
+                table, cb_a, cb_b, cb_c, q, cand, tile_idx,
+                m=m, r=r, precision=precision,
+            )
+        else:
+            outs = _sc.stream_scan_pq(
+                table, cb_a, q, cand, tile_idx, r, precision
+            )
+    elif use_pallas:
         from fastforward_tpu.ops import stream_kernel
 
         outs = stream_kernel.stream_select(
@@ -111,10 +133,30 @@ def _get_chunk_accum():
         donate = (4,) if jax.default_backend() == "tpu" else ()
         _chunk_accum = jax.jit(
             _chunk_accum_impl,
-            static_argnames=("r", "precision", "use_pallas"),
+            static_argnames=("r", "precision", "use_pallas", "kind", "m"),
             donate_argnums=donate,
         )
     return _chunk_accum
+
+
+def _pq_kernel_parts(codebooks, cache_store):
+    """Block-diagonal hi/mid/lo codebook splits for the Pallas ADC kernel,
+    cached for the view's lifetime (``None`` when the geometry doesn't fit
+    the kernel — the caller then streams through the XLA ADC scan)."""
+    if cache_store is None:
+        return None
+    parts = cache_store.get("pq_bd")
+    if parts is None:
+        from fastforward_tpu.ops import stream_kernel_pq
+
+        bd = stream_kernel_pq.build_blockdiag_codebooks(
+            np.asarray(jax.device_get(codebooks), dtype=np.float32)
+        )
+        parts = (
+            False if bd is None else tuple(jnp.asarray(b) for b in bd)
+        )
+        cache_store["pq_bd"] = parts
+    return None if parts is False else parts
 
 
 @functools.partial(jax.jit, static_argnames=("precision",))
@@ -199,10 +241,95 @@ def _score_resident(
     return np.asarray(jax.device_get(scores))[:p]
 
 
+@functools.partial(jax.jit, static_argnames=("precision",))
+def _gather_adc(codes, codebooks, q_pad, rows, qno, precision):
+    """Sparse ADC against a device code table: per-query LUTs + one gather.
+
+    ``lut[q, m, k] = q[m-th subspace] . codebooks[m, k]`` is one small
+    einsum (``Qb x M x Ks`` fp32); each pair's score is the sum over
+    subspaces of its code's LUT entry — a ``(P, M)`` gather, never the
+    ``(P, M, Ks)`` blow-up.
+    """
+    m, ks, ds = codebooks.shape
+    c = jnp.take(codes, rows, axis=0).astype(jnp.int32)[:, :m]  # (P, M)
+    q3 = q_pad.reshape(q_pad.shape[0], m, ds)
+    lut = jnp.einsum(
+        "qmd,mkd->qmk",
+        q3,
+        codebooks.astype(jnp.float32),
+        precision=_sc.LAX_PRECISION[precision],
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.sum(
+        lut[qno[:, None], jnp.arange(m)[None, :], c], axis=1
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("precision", "n_out", "op"))
+def _gather_adc_seg(codes, codebooks, q_pad, rows, qno, seg, n_out, precision, op):
+    """:func:`_gather_adc` + segment reduction fused on device (hybrid PQ
+    doc modes — only ``(n_out,)`` floats are fetched)."""
+    scores = _gather_adc(codes, codebooks, q_pad, rows, qno, precision)
+    return _sc._segment_reduce(scores, seg, n_out, op)
+
+
+def _score_resident_pq(
+    codes, codebooks, q_pad, rows, qno, precision, plan, table_cache,
+    seg_reduce=None,
+) -> np.ndarray:
+    """Score resident-prefix candidates against a device PQ code table
+    (streamed ADC when dense, LUT gather-ADC when sparse).
+
+    With ``seg_reduce=(op, seg, n_out)`` the per-row scores are segment-
+    reduced ON DEVICE and only ``(n_out,)`` floats are fetched.
+    """
+    p = rows.shape[0]
+    n = codes.shape[0]
+    if p * 200 > n and n % _sc.STREAM_TILE_ROWS == 0:
+        out = _sc.streamed_scores_pq(
+            codes,
+            codebooks,
+            q_pad,
+            rows.astype(np.int64),
+            qno.astype(np.int64),
+            plan=plan,
+            precision=precision,
+            table_cache=table_cache,
+            seg_reduce=seg_reduce,
+        )
+        if out is not None:
+            return out if seg_reduce is not None else out[:p]
+    rows_d = _pad_pow2(rows.astype(np.int32), 0)
+    qno_d = _pad_pow2(qno.astype(np.int32), 0)
+    q_dev = _sc._cached_q_upload(
+        np.asarray(q_pad, dtype=np.float32), plan, "q_dev"
+    )
+    if seg_reduce is not None:
+        op, seg, n_out = seg_reduce
+        seg_d = plan.get("seg_dev") if plan is not None else None
+        if seg_d is None:
+            seg_d = jnp.asarray(_pad_pow2(seg.astype(np.int32), n_out))
+            if plan is not None:
+                plan["seg_dev"] = seg_d
+        red = _gather_adc_seg(
+            codes, codebooks, q_dev, jnp.asarray(rows_d),
+            jnp.asarray(qno_d), seg_d, n_out, precision, op,
+        )
+        return np.asarray(jax.device_get(red))
+    scores = _gather_adc(
+        codes, codebooks, q_dev, jnp.asarray(rows_d), jnp.asarray(qno_d),
+        precision,
+    )
+    return np.asarray(jax.device_get(scores))[:p]
+
+
 #: SMEM scalar-prefetch grid bound for the Pallas kernel (the dense path
 #: uses the same cap, ``ops.scoring``); chunk layouts beyond it fall back
 #: to the XLA scan, which has no prefetch grid
 _PALLAS_GRID_MAX = 8192
+#: the ADC kernel's grid bound (``ops.scoring._streamed_pq_pallas`` allows
+#: the same: code tiles are M bytes/row, so grids run much longer)
+_PALLAS_PQ_GRID_MAX = 32768
 
 
 def _build_tail_chunks(
@@ -213,6 +340,7 @@ def _build_tail_chunks(
     chunk_rows: int,
     r: int,
     use_pallas: bool,
+    grid_max: int = _PALLAS_GRID_MAX,
 ) -> "tuple[list[dict], np.ndarray] | None":
     """Chunk unique tail rows and build each chunk's candidate layout.
 
@@ -251,7 +379,7 @@ def _build_tail_chunks(
             )
         cand, tile_idx, slot_of_pair = layout
         if use_pallas:
-            if tile_idx.shape[0] > _PALLAS_GRID_MAX:
+            if tile_idx.shape[0] > grid_max:
                 return None
             cand = cand.reshape(cand.shape[0], -1, 128)
         chunks.append(
@@ -270,30 +398,40 @@ def _build_tail_chunks(
 
 
 def _chunk_block(
-    chunk: dict, host_tail: np.ndarray, chunk_rows: int, stage_dtype
+    chunk: dict,
+    host_tail: np.ndarray,
+    chunk_rows: int,
+    stage_dtype,
+    stage_width: int | None = None,
 ) -> "tuple[np.ndarray, bool]":
     """Host-gather one chunk's unique rows into an upload-ready block.
 
     Returns ``(block, is_view)``; ``is_view`` blocks are zero-copy slices
     of the canonical tail (the dense-candidate case, where ``rows`` is a
     full contiguous run) — free to recompute, never worth caching.
+    ``stage_width`` pads the block's columns beyond the tail's (the
+    lane-aligned layout the Pallas ADC kernel needs; spare columns are
+    never read).
     """
     rows = chunk["rows"]
-    if rows.shape[0] == chunk_rows and host_tail.dtype == stage_dtype:
+    width = host_tail.shape[1] if stage_width is None else stage_width
+    if (
+        rows.shape[0] == chunk_rows
+        and host_tail.dtype == stage_dtype
+        and width == host_tail.shape[1]
+    ):
         # rows come sorted-unique from np.unique: contiguous iff the span
         # equals the count
         lo = int(rows[0])
         if int(rows[-1]) - lo == chunk_rows - 1:
             return host_tail[lo : lo + chunk_rows], True
         return host_tail[rows], False
-    block = np.zeros(
-        (chunk_rows, *host_tail.shape[1:]), dtype=stage_dtype
-    )
-    block[: rows.shape[0]] = host_tail[rows]
+    block = np.zeros((chunk_rows, width), dtype=stage_dtype)
+    block[: rows.shape[0], : host_tail.shape[1]] = host_tail[rows]
     return block, False
 
 
-def _block_cache_key(chunk: dict, stage_dtype) -> tuple:
+def _block_cache_key(chunk: dict, stage_dtype, stage_width) -> tuple:
     """Content key for a chunk's gathered block (plan-independent: two
     plans whose candidate sets share a chunk's unique-row list share the
     cached device block)."""
@@ -302,6 +440,7 @@ def _block_cache_key(chunk: dict, stage_dtype) -> tuple:
         rows = chunk["rows"]
         key = (
             np.dtype(stage_dtype).char,
+            stage_width,
             rows.shape[0],
             hash(rows.tobytes()),
         )
@@ -317,6 +456,7 @@ def _upload_block(
     store: dict | None,
     budget: int,
     host_acct: dict | None = None,
+    stage_width: int | None = None,
 ) -> jax.Array:
     """Return the chunk's device block, caching per the HBM budget.
 
@@ -336,7 +476,7 @@ def _upload_block(
     blocks = None
     if store is not None:
         blocks = store.setdefault("tail_blocks", {})
-        key = _block_cache_key(chunk, stage_dtype)
+        key = _block_cache_key(chunk, stage_dtype, stage_width)
         ent = blocks.get(key)
         if ent is not None:
             del blocks[key]  # LRU touch: re-insert at the back
@@ -345,7 +485,9 @@ def _upload_block(
             return ent[0]
     host = chunk.get("block_host")
     if host is None:
-        host, is_view = _chunk_block(chunk, host_tail, chunk_rows, stage_dtype)
+        host, is_view = _chunk_block(
+            chunk, host_tail, chunk_rows, stage_dtype, stage_width
+        )
         if not is_view and host_acct is not None:
             cached = host_acct.get("host_cached_bytes", 0)
             if cached + host.nbytes <= HOST_BLOCK_CACHE_BUDGET:
@@ -381,14 +523,20 @@ def hybrid_scores(
     cache_device_blocks_budget: int = 0,
     cache_store: dict | None = None,
     reduce: "tuple[str, np.ndarray, int, np.ndarray] | None" = None,
+    kind: str = "dense",
+    codebooks: "jax.Array | None" = None,
     _force_scan: bool = False,
 ) -> np.ndarray:
     """Score ``table[rows[i]] . q_pad[qno[i]]`` against a hybrid table.
 
     :param resident: HBM-resident table prefix, ``(R, dim)``
-        (``R`` may be 0), fp32 or bf16; rows ``< tail_start`` score here.
-    :param host_tail: Host-RAM tail, ``(N - tail_start, dim)``
-        fp32 (a zero-copy view of the canonical store).
+        (``R`` may be 0); rows ``< tail_start`` score here.  fp32 or bf16
+        for ``kind="dense"``, int8 codes for ``"scalar"`` (scales already
+        folded into ``q_pad``), uint8 PQ codes (optionally lane-padded to
+        ``M_PAD``) for ``"pq"``.
+    :param host_tail: Host-RAM tail, ``(N - tail_start, width)`` — fp32
+        vectors, int8 codes, or compact ``(.., M)`` PQ codes (a zero-copy
+        view of the canonical store).
     :param tail_start: First global row held by ``host_tail``.
     :param chunk_rows: Unique tail rows per streamed block.
     :param q_pad: Padded query vectors, ``(Qb, dim)`` fp32.
@@ -409,6 +557,13 @@ def hybrid_scores(
         tail) segment-reduces its partials ON DEVICE (max, or sum for
         mean) and the host combines them — ``2 x n_pairs`` floats cross
         the host link instead of per-row ``(P,)``.
+    :param kind: What the tier streams: ``"dense"`` fp32/bf16 rows,
+        ``"scalar"`` int8 code rows (scales already folded into
+        ``q_pad``), or ``"pq"`` PQ code rows (ADC-streamed against
+        ``codebooks``).
+    :param codebooks: Device PQ codebooks ``(M, Ks, Ds)`` fp32
+        (``kind="pq"`` only; rotated space for OPQ — queries arrive
+        pre-rotated).
     :param _force_scan: Internal — rebuild on the XLA scan path after a
         Pallas failure or an SMEM-grid overflow.
     :return: Per-pair scores in input order ``(P,)``, or per-PAIR reduced
@@ -442,12 +597,27 @@ def hybrid_scores(
             rows[tail_pos] - tail_start, return_inverse=True
         )
         use_pallas = not _force_scan and _sc.pallas_stream_enabled()
-        if use_pallas:
+        pq_unfit = False
+        if kind == "pq" and use_pallas and (
+            _pq_kernel_parts(codebooks, cache_store) is None
+        ):
+            # geometry the ADC kernel can't tile: stream via the XLA scan
+            # (permanently — don't rebuild the state to retry the kernel)
+            use_pallas = False
+            pq_unfit = True
+        if use_pallas and kind == "pq":
+            from fastforward_tpu.ops import stream_kernel_pq
+
+            r = stream_kernel_pq.KERNEL_PQ_TILE_ROWS
+        elif use_pallas:
             from fastforward_tpu.ops import stream_kernel
 
             r = stream_kernel.KERNEL_TILE_ROWS
         else:
             r = _sc.STREAM_TILE_ROWS
+        grid_max = (
+            _PALLAS_PQ_GRID_MAX if kind == "pq" else _PALLAS_GRID_MAX
+        )
         chunk_rows_eff = max(r, (chunk_rows // r) * r)
         built = _build_tail_chunks(
             u_rows.astype(np.int64),
@@ -457,6 +627,7 @@ def hybrid_scores(
             chunk_rows_eff,
             r,
             use_pallas,
+            grid_max=grid_max,
         )
         overflow = False
         if built is None:
@@ -498,9 +669,9 @@ def hybrid_scores(
             "use_pallas": use_pallas,
             # scan states built by the post-failure retry path (or while
             # the kernel was disabled) go back to the kernel once it is
-            # enabled again; grid-overflow scan states don't — their
-            # geometry can never fit the SMEM prefetch bound
-            "retry_pallas": not use_pallas and not overflow,
+            # enabled again; grid-overflow (and kernel-untileable PQ) scan
+            # states don't — their geometry can never fit the kernel
+            "retry_pallas": not use_pallas and not overflow and not pq_unfit,
         }
         if plan is not None:
             plan["hybrid"] = state
@@ -521,15 +692,28 @@ def hybrid_scores(
 
     # resident prefix
     if state["res_pos"].shape[0]:
-        res_scores = _score_resident(
-            resident,
-            q_pad,
-            state["res_rows"],
-            state["res_qno"],
-            precision,
-            state["res_plan"],
-            seg_reduce=seg_reduce_res,
-        )
+        if kind == "pq":
+            res_scores = _score_resident_pq(
+                resident,
+                codebooks,
+                q_pad,
+                state["res_rows"],
+                state["res_qno"],
+                precision,
+                state["res_plan"],
+                cache_store,
+                seg_reduce=seg_reduce_res,
+            )
+        else:
+            res_scores = _score_resident(
+                resident,
+                q_pad,
+                state["res_rows"],
+                state["res_qno"],
+                precision,
+                state["res_plan"],
+                seg_reduce=seg_reduce_res,
+            )
         STATS["fetch_floats"] += int(res_scores.shape[0])
         if reduce is not None:
             res_part = res_scores
@@ -542,11 +726,28 @@ def hybrid_scores(
         use_pallas = state["use_pallas"]
         r = state["r"]
         chunk_rows_eff = state["chunk_rows"]
-        stage_dtype = (
-            ml_dtypes.bfloat16
-            if resident.dtype == jnp.bfloat16
-            else np.float32
-        )
+        m = 0
+        cb_a = cb_b = cb_c = None
+        stage_width = None
+        if kind == "pq":
+            from fastforward_tpu.ops import stream_kernel_pq
+
+            m = int(codebooks.shape[0])
+            stage_dtype = host_tail.dtype
+            if use_pallas:
+                # blocks stage lane-padded to M_PAD for the ADC kernel
+                stage_width = stream_kernel_pq.M_PAD
+                cb_a, cb_b, cb_c = _pq_kernel_parts(codebooks, cache_store)
+            else:
+                cb_a = codebooks
+        elif kind == "scalar":
+            stage_dtype = np.int8
+        else:
+            stage_dtype = (
+                ml_dtypes.bfloat16
+                if resident.dtype == jnp.bfloat16
+                else np.float32
+            )
         if use_pallas:
             q_dev = _sc._cached_q_upload(
                 np.ascontiguousarray(q_pad.T.astype(np.float32)),
@@ -567,6 +768,7 @@ def hybrid_scores(
             pending = _upload_block(
                 chunks[0], host_tail, chunk_rows_eff, stage_dtype,
                 cache_store, cache_device_blocks_budget, state,
+                stage_width=stage_width,
             )
             for c, chunk in enumerate(chunks):
                 block_dev = pending
@@ -575,6 +777,7 @@ def hybrid_scores(
                         chunks[c + 1], host_tail, chunk_rows_eff,
                         stage_dtype, cache_store,
                         cache_device_blocks_budget, state,
+                        stage_width=stage_width,
                     )
                 acc = accum(
                     block_dev,
@@ -584,9 +787,14 @@ def hybrid_scores(
                     acc,
                     chunk["slot"],
                     chunk["start"],
+                    cb_a,
+                    cb_b,
+                    cb_c,
                     r=r,
                     precision=precision,
                     use_pallas=use_pallas,
+                    kind=kind,
+                    m=m,
                 )
             if reduce is not None:
                 red = _acc_seg_reduce(
@@ -616,7 +824,8 @@ def hybrid_scores(
                 resident, host_tail, tail_start, chunk_rows, q_pad, rows,
                 qno, precision=precision, plan=plan,
                 cache_device_blocks_budget=cache_device_blocks_budget,
-                cache_store=cache_store, reduce=reduce, _force_scan=True,
+                cache_store=cache_store, reduce=reduce, kind=kind,
+                codebooks=codebooks, _force_scan=True,
             )
         if use_pallas:
             _sc._pallas_success()

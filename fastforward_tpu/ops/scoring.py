@@ -914,8 +914,30 @@ def _stream_select_pq_finalized(
     return _masked_reduce(picked, counts, op)
 
 
+@partial(jax.jit, static_argnames=("m", "r", "precision", "n_out", "op"))
+def _stream_select_pq_seg_finalized(
+    codes_p, bd_hi, bd_mid, bd_lo, q_t, cand, tile_idx, slot, seg,
+    m, r, precision, n_out, op,
+):
+    """Pallas ADC kernel + slot gather + SEGMENT reduction, fused.
+
+    The ragged-grouped twin of :func:`_stream_select_pq_finalized`
+    (hybrid-tier doc modes over PQ tables): only ``(n_out,)`` floats cross
+    the host link.
+    """
+    from fastforward_tpu.ops import stream_kernel_pq
+
+    outs = stream_kernel_pq.stream_select_pq(
+        codes_p, bd_hi, bd_mid, bd_lo, q_t, cand, tile_idx,
+        m=m, r=r, precision=precision,
+    )
+    picked = jnp.take(outs.reshape(-1), slot, axis=0)
+    return _segment_reduce(picked, seg, n_out, op)
+
+
 def _streamed_pq_pallas(
-    codes, codebooks, q_pad, rows, qno, plan, reduce, precision, table_cache
+    codes, codebooks, q_pad, rows, qno, plan, reduce, precision, table_cache,
+    seg_reduce=None,
 ):
     """Fused Pallas streamed-ADC path, or ``None`` to use the XLA scan."""
     from fastforward_tpu.ops import stream_kernel_pq
@@ -975,14 +997,22 @@ def _streamed_pq_pallas(
         slot_dev = _slot_dev_cached(slot_of_pair, plan, "stream_pq_pallas_slot")
         if slot_dev is None:
             return None
-        if reduce is not None:
-            op, k, counts_dev = reduce
+        if seg_reduce is not None:
+            op, seg, n_out = seg_reduce
+            seg_dev = _seg_dev_cached(seg, plan, "stream_pq_pallas_slot_seg")
+            out = _stream_select_pq_seg_finalized(
+                codes_p, bd_hi, bd_mid, bd_lo, q_dev, cand_dev, tile_dev,
+                slot_dev, seg_dev, m, r, precision, n_out, op,
+            )
         else:
-            op, k, counts_dev = "first", 1, None
-        out = _stream_select_pq_finalized(
-            codes_p, bd_hi, bd_mid, bd_lo, q_dev, cand_dev, tile_dev,
-            slot_dev, counts_dev, m, r, precision, k, op,
-        )
+            if reduce is not None:
+                op, k, counts_dev = reduce
+            else:
+                op, k, counts_dev = "first", 1, None
+            out = _stream_select_pq_finalized(
+                codes_p, bd_hi, bd_mid, bd_lo, q_dev, cand_dev, tile_dev,
+                slot_dev, counts_dev, m, r, precision, k, op,
+            )
         result = np.asarray(jax.device_get(out))
         _pallas_success()
         return result
@@ -1003,6 +1033,7 @@ def streamed_scores_pq(
     reduce: "tuple[str, int, jnp.ndarray] | None" = None,
     precision: str = "exact",
     table_cache: dict | None = None,
+    seg_reduce: "tuple[str, np.ndarray, int] | None" = None,
 ) -> np.ndarray | None:
     """ADC-score ``codes[rows[i]] . q_pad[qno[i]]`` via code-table streaming.
 
@@ -1011,7 +1042,10 @@ def streamed_scores_pq(
     :func:`score_pairs_streamed_pq`).  On TPU the fused Pallas ADC kernel
     runs first (``stream_kernel_pq`` — VMEM-resident dequantize, no HBM
     round trips; ``table_cache`` holds the lane-aligned code/codebook
-    copies), falling back to the XLA scan on any failure.  Returns per-row
+    copies), falling back to the XLA scan on any failure.  With
+    ``seg_reduce=(op, seg, n_out)`` the rows form a RAGGED grouped layout
+    and the segment reduction runs on device before the fetch (mutually
+    exclusive with ``reduce`` — hybrid-tier doc modes).  Returns per-row
     scores in input order, or ``None`` when the layout doesn't apply.
     """
     n_pad = codes.shape[0]
@@ -1020,7 +1054,7 @@ def streamed_scores_pq(
     if pallas_stream_enabled():
         result = _streamed_pq_pallas(
             codes, codebooks, q_pad, rows, qno, plan, reduce, precision,
-            table_cache,
+            table_cache, seg_reduce=seg_reduce,
         )
         if result is not None:
             return result
@@ -1051,7 +1085,10 @@ def streamed_scores_pq(
         STREAM_TILE_ROWS,
         precision,
     )
-    return _finalize_streamed(outs, slot_of_pair, reduce, plan, "stream_pq_slot")
+    return _finalize_streamed(
+        outs, slot_of_pair, reduce, plan, "stream_pq_slot",
+        seg_reduce=seg_reduce,
+    )
 
 
 def build_streamed_layout(

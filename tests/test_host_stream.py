@@ -392,6 +392,183 @@ class TestHybridVeryRaggedDocs(unittest.TestCase):
                 )
 
 
+class TestHybridQuantized(unittest.TestCase):
+    """Beyond-HBM tier over int8 and PQ code tables.
+
+    A corpus whose QUANTIZED table exceeds the budget must stream code
+    blocks (int8 at 1/4, PQ at ~1/32 of dense fp32 traffic) and match the
+    fully HBM-resident quantized index (same codes, same ADC math;
+    reference serves arbitrary N from disk in every configuration,
+    reference: ``index/disk.py:309-336``).
+    """
+
+    #: forces the hybrid tier for the int8 table (N x 128 int8 ~ 0.77 MB
+    #: real, 1 MiB padded) while leaving a resident prefix + block cache
+    INT8_BUDGET = 400_000
+    #: forces it for the PQ code table (N x 16 codes ~ 94 KiB real)
+    PQ_BUDGET = 50_000
+
+    def _pair(self, make_quantizer, mode, budget):
+        """(plain quantized index, hybrid quantized index) on CORPUS."""
+        out = []
+        for kwargs in (
+            {},
+            dict(hbm_budget=budget, stream_chunk_rows=1024),
+        ):
+            quantizer = make_quantizer()
+            quantizer.fit(CORPUS)
+            index = InMemoryIndex(
+                ENC, quantizer=quantizer, mode=mode, **kwargs
+            )
+            if mode == Mode.PASSAGE:
+                index.add(CORPUS, psg_ids=[f"p{i}" for i in range(N)])
+            else:
+                index.add(CORPUS, doc_ids=[f"d{i // 4}" for i in range(N)])
+            out.append(index)
+        return out
+
+    def _assert_parity(self, plain, hybrid, ranking, kind):
+        view = hybrid._device_view()
+        self.assertEqual("hybrid", view.kind)
+        self.assertEqual(kind, view.hybrid_kind)
+        self.assertGreater(view.host_tail.shape[0], 0)
+        for _round in ("cold", "warm"):
+            a = plain(ranking)
+            b = hybrid(ranking)
+            for q in a.q_ids:
+                ea, eb = a[q], b[q]
+                self.assertEqual(set(ea), set(eb), (kind, _round))
+                for key in ea:
+                    self.assertAlmostEqual(
+                        ea[key], eb[key], places=3, msg=(kind, _round, key)
+                    )
+
+    def test_scalar_passage_parity(self):
+        from fastforward_tpu.quantizer import ScalarQuantizer
+
+        plain, hybrid = self._pair(
+            ScalarQuantizer, Mode.PASSAGE, self.INT8_BUDGET
+        )
+        self._assert_parity(plain, hybrid, _psg_ranking(), "scalar")
+
+    def test_scalar_doc_modes_parity(self):
+        from fastforward_tpu.quantizer import ScalarQuantizer
+
+        plain, hybrid = self._pair(
+            ScalarQuantizer, Mode.MAXP, self.INT8_BUDGET
+        )
+        for mode in (Mode.MAXP, Mode.AVEP, Mode.FIRSTP):
+            plain.mode = hybrid.mode = mode
+            self._assert_parity(plain, hybrid, _doc_ranking(), "scalar")
+
+    def test_pq_passage_parity(self):
+        from fastforward_tpu.quantizer import PQ
+
+        plain, hybrid = self._pair(
+            lambda: PQ(16, 16), Mode.PASSAGE, self.PQ_BUDGET
+        )
+        self._assert_parity(plain, hybrid, _psg_ranking(), "pq")
+
+    def test_pq_doc_modes_parity(self):
+        from fastforward_tpu.quantizer import PQ
+
+        plain, hybrid = self._pair(
+            lambda: PQ(16, 16), Mode.MAXP, self.PQ_BUDGET
+        )
+        for mode in (Mode.MAXP, Mode.AVEP):
+            plain.mode = hybrid.mode = mode
+            self._assert_parity(plain, hybrid, _doc_ranking(), "pq")
+
+    def test_opq_hybrid_parity(self):
+        """OPQ: the rotation folds into the queries before the hybrid
+        engine sees them (codes live in rotated space)."""
+        from fastforward_tpu.quantizer import OPQ
+
+        plain, hybrid = self._pair(
+            lambda: OPQ(16, 16, opq_iters=2), Mode.PASSAGE, self.PQ_BUDGET
+        )
+        self._assert_parity(plain, hybrid, _psg_ranking(), "pq")
+
+    def test_pq_sparse_candidates_gather_adc(self):
+        """Few resident candidates take the LUT gather-ADC path."""
+        from fastforward_tpu.quantizer import PQ
+
+        plain, hybrid = self._pair(
+            lambda: PQ(16, 16), Mode.PASSAGE, self.PQ_BUDGET
+        )
+        run = {"q1": {f"p{i}": float(i) for i in range(0, N, 500)}}
+        ranking = Ranking.from_run(run, queries={"q1": "a"})
+        self._assert_parity(plain, hybrid, ranking, "pq")
+
+    def test_quantized_doc_modes_fetch_pairs_not_rows(self):
+        """The device-side K reduction holds on quantized hybrids too."""
+        from fastforward_tpu.ops import host_stream
+        from fastforward_tpu.quantizer import PQ, ScalarQuantizer
+
+        ranking = _doc_ranking()
+        n_pairs = sum(len(ranking[q]) for q in ranking.q_ids)
+        for make, budget in (
+            (ScalarQuantizer, self.INT8_BUDGET),
+            (lambda: PQ(16, 16), self.PQ_BUDGET),
+        ):
+            _, hybrid = self._pair(make, Mode.MAXP, budget)
+            hybrid(ranking)  # cold: plan + program build
+            host_stream.reset_stats()
+            hybrid(ranking)  # warm
+            self.assertLessEqual(
+                host_stream.STATS["fetch_floats"], 2 * n_pairs
+            )
+
+    def test_early_stopping_parity_scalar(self):
+        from fastforward_tpu.quantizer import ScalarQuantizer
+
+        plain, hybrid = self._pair(
+            ScalarQuantizer, Mode.PASSAGE, self.INT8_BUDGET
+        )
+        ranking = _psg_ranking()
+        kwargs = dict(
+            early_stopping=10,
+            early_stopping_alpha=0.5,
+            early_stopping_depths=(50, 500, 2000),
+        )
+        a, b = plain(ranking, **kwargs), hybrid(ranking, **kwargs)
+        for q in a.q_ids:
+            ea, eb = a[q], b[q]
+            self.assertEqual(set(ea), set(eb))
+            for key in ea:
+                self.assertAlmostEqual(ea[key], eb[key], places=3, msg=key)
+
+    def test_disk_quantized_hybrid(self):
+        """OnDiskIndex(hbm_cache, hbm_budget) over a quantized file."""
+        import shutil
+
+        from fastforward_tpu.quantizer import PQ
+
+        tmp = tempfile.mkdtemp()
+        try:
+            quantizer = PQ(16, 16)
+            quantizer.fit(CORPUS)
+            path = Path(tmp) / "pq.h5"
+            index = OnDiskIndex(
+                path, ENC, quantizer=quantizer, mode=Mode.PASSAGE
+            )
+            index.add(CORPUS, psg_ids=[f"p{i}" for i in range(N)])
+            plain = OnDiskIndex.load(
+                path, ENC, mode=Mode.PASSAGE, hbm_cache=True
+            )
+            hybrid = OnDiskIndex.load(
+                path,
+                ENC,
+                mode=Mode.PASSAGE,
+                hbm_cache=True,
+                hbm_budget=self.PQ_BUDGET,
+                stream_chunk_rows=1024,
+            )
+            self._assert_parity(plain, hybrid, _psg_ranking(), "pq")
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
 class TestHybridPallasFallback(unittest.TestCase):
     def test_kernel_failure_falls_back_to_scan(self):
         """A failing Pallas kernel inside the hybrid tail loop must note
@@ -412,6 +589,39 @@ class TestHybridPallasFallback(unittest.TestCase):
             # warm repeat stays on the rebuilt scan plan
             again = index(ranking)["q1"]
             self.assertEqual(out, again)
+        finally:
+            scoring.set_pallas_stream(None)
+
+    def test_pq_kernel_failure_falls_back_to_scan(self):
+        """Same failure contract for the hybrid ADC (PQ) tail loop: the
+        lane-padded blocks and block-diagonal codebooks are built for the
+        kernel, the kernel fails on CPU, and the call re-serves through
+        the XLA ADC scan with compact blocks."""
+        from fastforward_tpu.ops import scoring
+        from fastforward_tpu.quantizer import PQ
+
+        scoring.set_pallas_stream(True)
+        try:
+            quantizer = PQ(16, 16)
+            quantizer.fit(CORPUS)
+            index = InMemoryIndex(
+                ENC,
+                quantizer=quantizer,
+                mode=Mode.PASSAGE,
+                hbm_budget=50_000,
+                stream_chunk_rows=1024,
+            )
+            index.add(CORPUS, psg_ids=[f"p{i}" for i in range(N)])
+            view = index._device_view()
+            self.assertEqual("hybrid", view.kind)
+            self.assertEqual("pq", view.hybrid_kind)
+            ranking = _psg_ranking()
+            out = index(ranking)["q1"]
+            decoded = quantizer.decode(quantizer.encode(CORPUS))
+            for pid in list(out)[:5]:
+                truth = float(decoded[int(pid[1:])] @ QVECS["a"])
+                self.assertAlmostEqual(truth, out[pid], places=3, msg=pid)
+            self.assertEqual(out, index(ranking)["q1"])  # warm repeat
         finally:
             scoring.set_pallas_stream(None)
 
