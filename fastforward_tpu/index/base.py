@@ -90,6 +90,7 @@ def build_hybrid_view(
     kind: str = "dense",
     codebooks: np.ndarray | None = None,
     scales: np.ndarray | None = None,
+    mesh: "jax.sharding.Mesh | None" = None,
 ) -> DeviceView | None:
     """Build a beyond-HBM hybrid view, or ``None`` when the table fits.
 
@@ -119,9 +120,14 @@ def build_hybrid_view(
     :param codebooks: PQ codebooks ``(M, Ks, Ds)`` fp32 (``kind="pq"``).
     :param scales: Per-dimension scales (``kind="scalar"``; stored on the
         view for query folding).
+    :param mesh: When set, ``hbm_budget`` is PER CHIP: the resident prefix
+        is row-sharded over the mesh's ``shard`` axis (capacity = chips x
+        budget) and scored by the per-shard SPMD programs; only corpora
+        beyond the WHOLE MESH's budget stream a host tail.
     """
     from fastforward_tpu.ops import host_stream
 
+    num_shards = int(mesh.shape["shard"]) if mesh is not None else 1
     budget = hbm_budget
     if kind == "pq":
         from fastforward_tpu.ops.scoring import pallas_stream_enabled
@@ -131,18 +137,28 @@ def build_hybrid_view(
         # the ADC kernel consumes lane-padded (N, M_PAD) codes; store the
         # resident prefix in that layout when the kernel will run (one HBM
         # copy serves kernel + scan + gather paths, same trade as
-        # InMemoryIndex._device_view) and account the budget honestly
-        pad_for_kernel = m <= M_PAD and pallas_stream_enabled()
+        # InMemoryIndex._device_view) and account the budget honestly.
+        # Sharded prefixes stay compact (the SPMD ADC programs slice
+        # [:, :m]; the tail kernel pads its own blocks at stage time)
+        pad_for_kernel = (
+            m <= M_PAD and mesh is None and pallas_stream_enabled()
+        )
         width = M_PAD if pad_for_kernel else m
         row_bytes = width
         stage_dtype = data.dtype
         # codebooks + the kernel's block-diagonal bf16 splits are HBM too
+        # (the TAIL blocks run the kernel even when the resident prefix is
+        # sharded, so the splits are charged whenever the kernel is live)
         mm, ks, ds = codebooks.shape
         budget -= mm * ks * ds * 4
-        if pad_for_kernel and ds <= 128 and 128 % ds == 0:
+        if (
+            pallas_stream_enabled()
+            and ds <= 128
+            and 128 % ds == 0
+            and mm % (128 // ds) == 0
+        ):
             g = 128 // ds
-            if mm % g == 0:
-                budget -= 3 * (mm // g) * g * ks * 128 * 2
+            budget -= 3 * (mm // g) * g * ks * 128 * 2
         budget = max(0, budget)
     elif kind == "scalar":
         width = dim
@@ -153,33 +169,49 @@ def build_hybrid_view(
         row_bytes = dim * (2 if bf16 else 4)
         stage_dtype = np.float32
     n_pad = -(-num // 4096) * 4096
-    if n_pad * row_bytes <= budget:
-        return None  # fits: plain device table
-    resident = (int(budget * 0.7) // row_bytes) // 1024 * 1024
+    if n_pad * row_bytes <= budget * num_shards:
+        return None  # fits: plain (possibly sharded) device table
+    per_chip = (int(budget * 0.7) // row_bytes) // 1024 * 1024
+    resident = per_chip * num_shards
     if resident >= num:
         return None
+    if resident == 0:
+        mesh = None  # nothing sharded: an all-tail view is single-device
+        num_shards = 1
     # 2D (N, width) tables everywhere: dense/scalar lanes are exact
     # 128-multiples, so the device layout has no sublane padding and
     # row_bytes is exact
+    def _upload(res2):
+        if mesh is None:
+            return jnp.asarray(res2)
+        from fastforward_tpu.parallel.multihost import put_row_sharded
+
+        return put_row_sharded(mesh, res2, ndim=2)
+
     if kind == "pq":
         if resident > 0:
-            res2 = np.zeros((resident, width), dtype=data.dtype)
-            res2[:, :m] = data[:resident]
-            res_dev = jnp.asarray(res2)
+            if width == m and data.dtype == stage_dtype:
+                res2 = np.ascontiguousarray(data[:resident])
+            else:
+                res2 = np.zeros((resident, width), dtype=data.dtype)
+                res2[:, :m] = data[:resident]
+            res_dev = _upload(res2)
         else:
             res_dev = jnp.zeros((0, width), jnp.dtype(data.dtype))
     elif kind == "scalar":
         if resident > 0:
-            res_dev = jnp.asarray(
+            res_dev = _upload(
                 np.ascontiguousarray(data[:resident], dtype=np.int8)
             )
         else:
             res_dev = jnp.zeros((0, dim), jnp.int8)
     elif resident > 0:
         res2 = np.ascontiguousarray(data[:resident], dtype=np.float32)
-        res_dev = jnp.asarray(res2)
         if bf16:
-            res_dev = res_dev.astype(jnp.bfloat16)
+            import ml_dtypes
+
+            res2 = res2.astype(ml_dtypes.bfloat16)
+        res_dev = _upload(res2)
     else:
         res_dev = jnp.zeros((0, dim), jnp.bfloat16 if bf16 else jnp.float32)
     tail = data[resident:num]
@@ -195,22 +227,31 @@ def build_hybrid_view(
         resident,
         tail.shape[0],
     )
+    cb_dev = None
+    if kind == "pq":
+        cb_np = np.asarray(codebooks, dtype=np.float32)
+        if mesh is not None:
+            from fastforward_tpu.parallel.multihost import put_replicated
+
+            cb_dev = put_replicated(mesh, cb_np)
+        else:
+            cb_dev = jnp.asarray(cb_np)
     return DeviceView(
         kind="hybrid",
         table=res_dev,
-        codebooks=jnp.asarray(
-            np.asarray(codebooks, dtype=np.float32)
-        ) if kind == "pq" else None,
+        codebooks=cb_dev,
         scales=scales,
+        mesh=mesh,
         precision=precision,
         host_tail=tail,
         tail_start=resident,
         chunk_rows=chunk_rows or host_stream.HOST_CHUNK_ROWS,
         # leftover budget caches tail blocks device-side (shared across
-        # plans via view.aux).  NOTE: the one-deep upload prefetch keeps
-        # up to two TRANSIENT chunk slabs in flight on top of this; size
-        # hbm_budget with ~2 x chunk_rows x row_bytes of headroom.
-        tail_cache_budget=max(0, budget - resident * row_bytes),
+        # plans via view.aux; the tail streams through ONE chip, so the
+        # leftover is per-chip too).  NOTE: the one-deep upload prefetch
+        # keeps up to two TRANSIENT chunk slabs in flight on top of this;
+        # size hbm_budget with ~2 x chunk_rows x row_bytes of headroom.
+        tail_cache_budget=max(0, budget - per_chip * row_bytes),
         hybrid_kind=kind,
     )
 
@@ -682,6 +723,7 @@ class Index(abc.ABC):
                 reduce=reduce_spec,
                 kind=view.hybrid_kind,
                 codebooks=view.codebooks,
+                mesh=view.mesh,
             )
 
         streamable_dense = (
@@ -1047,6 +1089,7 @@ class Index(abc.ABC):
                     cache_store=view.aux,
                     kind=view.hybrid_kind,
                     codebooks=view.codebooks,
+                    mesh=view.mesh,
                 ),
                 dtype=np.float32,
             )

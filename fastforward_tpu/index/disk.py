@@ -96,10 +96,16 @@ class OnDiskIndex(Index):
         self._precision = precision
         self._mesh_config = mesh_config
         if hbm_budget is not None and mesh_config is not None:
-            raise ValueError(
-                "hbm_budget cannot be combined with mesh_config (shard the "
-                "table across chips OR stream it from the host, not both)"
-            )
+            import jax
+
+            if jax.process_count() > 1:
+                raise ValueError(
+                    "hbm_budget + mesh_config (the sharded hybrid tier) is "
+                    "single-process only: the host tail streams through "
+                    "this controller's devices.  Multi-host pods shard the "
+                    "full table across hosts instead (per-shard rows are "
+                    "read lazily from HDF5)."
+                )
         self._hbm_budget = hbm_budget
         self._stream_chunk_rows = stream_chunk_rows
         self._mesh = None
@@ -318,6 +324,35 @@ class OnDiskIndex(Index):
             self._mesh,
         )
 
+    def _hybrid_view(
+        self,
+        data: np.ndarray,
+        num: int,
+        dim: int,
+        kind: str = "dense",
+        codebooks: np.ndarray | None = None,
+        scales: np.ndarray | None = None,
+    ):
+        """Beyond-HBM tier view, or ``None`` when the table fits the budget
+        (with a mesh configured the budget is per chip and the resident
+        prefix row-shards — the sharded hybrid tier)."""
+        from fastforward_tpu.index.base import build_hybrid_view
+
+        if self._mesh_config is not None and self._mesh is None:
+            self._mesh = self._mesh_config.build()
+        return build_hybrid_view(
+            data,
+            num,
+            dim,
+            self._hbm_budget,
+            self._precision,
+            chunk_rows=self._stream_chunk_rows,
+            kind=kind,
+            codebooks=codebooks,
+            scales=scales,
+            mesh=self._mesh,
+        )
+
     def _lazy_sharded_dense_view(self, num: int, n_pad: int):
         """Multi-process dense tables upload straight from HDF5, per shard.
 
@@ -383,16 +418,11 @@ class OnDiskIndex(Index):
                     pallas_stream_enabled,
                 )
 
-                if self._hbm_budget is not None and self._mesh_config is None:
-                    from fastforward_tpu.index.base import build_hybrid_view
-
-                    hybrid = build_hybrid_view(
+                if self._hbm_budget is not None:
+                    hybrid = self._hybrid_view(
                         raw,
                         num,
                         raw.shape[1],
-                        self._hbm_budget,
-                        self._precision,
-                        chunk_rows=self._stream_chunk_rows,
                         kind="pq",
                         codebooks=np.asarray(
                             self._quantizer.codewords, dtype=np.float32
@@ -444,18 +474,12 @@ class OnDiskIndex(Index):
             elif isinstance(self._quantizer, ScalarQuantizer):
                 if (
                     self._hbm_budget is not None
-                    and self._mesh_config is None
                     and raw.shape[1] % 128 == 0
                 ):
-                    from fastforward_tpu.index.base import build_hybrid_view
-
-                    hybrid = build_hybrid_view(
+                    hybrid = self._hybrid_view(
                         np.ascontiguousarray(raw, dtype=np.int8),
                         num,
                         raw.shape[1],
-                        self._hbm_budget,
-                        self._precision,
-                        chunk_rows=self._stream_chunk_rows,
                         kind="scalar",
                         scales=self._quantizer.scales,
                     )
@@ -479,17 +503,10 @@ class OnDiskIndex(Index):
                     raw = self._quantizer.decode(raw)
                 if self._hbm_budget is not None:
                     if raw.shape[1] % 128 == 0:
-                        from fastforward_tpu.index.base import (
-                            build_hybrid_view,
-                        )
-
-                        hybrid = build_hybrid_view(
+                        hybrid = self._hybrid_view(
                             np.ascontiguousarray(raw, dtype=np.float32),
                             num,
                             raw.shape[1],
-                            self._hbm_budget,
-                            self._precision,
-                            chunk_rows=self._stream_chunk_rows,
                         )
                         if hybrid is not None:
                             self._dev_view = hybrid
@@ -595,10 +612,16 @@ class OnDiskIndex(Index):
         index._precision = precision
         index._mesh_config = mesh_config
         if hbm_budget is not None and mesh_config is not None:
-            raise ValueError(
-                "hbm_budget cannot be combined with mesh_config (shard the "
-                "table across chips OR stream it from the host, not both)"
-            )
+            import jax
+
+            if jax.process_count() > 1:
+                raise ValueError(
+                    "hbm_budget + mesh_config (the sharded hybrid tier) is "
+                    "single-process only: the host tail streams through "
+                    "this controller's devices.  Multi-host pods shard the "
+                    "full table across hosts instead (per-shard rows are "
+                    "read lazily from HDF5)."
+                )
         index._hbm_budget = hbm_budget
         index._stream_chunk_rows = stream_chunk_rows
         index._mesh = None

@@ -143,10 +143,17 @@ class InMemoryIndex(Index):
                 "hbm_budget requires store='host' (the hybrid tier streams "
                 "from the host canonical copy)"
             )
-        if hbm_budget is not None and mesh_config is not None:
+        if (
+            hbm_budget is not None
+            and mesh_config is not None
+            and jax.process_count() > 1
+        ):
             raise ValueError(
-                "hbm_budget cannot be combined with mesh_config (shard the "
-                "table across chips OR stream it from the host, not both)"
+                "hbm_budget + mesh_config (the sharded hybrid tier) is "
+                "single-process only: the host tail streams through this "
+                "controller's devices.  Multi-host pods shard the full "
+                "table across hosts instead (OnDiskIndex reads per-shard "
+                "rows lazily from HDF5)."
             )
         self._hbm_budget = hbm_budget
         self._stream_chunk_rows = stream_chunk_rows
@@ -347,9 +354,13 @@ class InMemoryIndex(Index):
         scales: np.ndarray | None = None,
     ) -> DeviceView | None:
         """Beyond-HBM tier view, or ``None`` when the table fits the budget
-        (see :func:`fastforward_tpu.index.base.build_hybrid_view`)."""
+        (see :func:`fastforward_tpu.index.base.build_hybrid_view`).  With a
+        mesh configured the budget is per chip and the resident prefix is
+        row-sharded (sharded hybrid tier)."""
         from fastforward_tpu.index.base import build_hybrid_view
 
+        if self._mesh_config is not None and self._mesh is None:
+            self._mesh = self._mesh_config.build()
         return build_hybrid_view(
             data,
             self._num,
@@ -361,6 +372,7 @@ class InMemoryIndex(Index):
             kind=kind,
             codebooks=codebooks,
             scales=scales,
+            mesh=self._mesh,
         )
 
     def _device_view(self) -> DeviceView | None:
@@ -414,9 +426,11 @@ class InMemoryIndex(Index):
         if isinstance(self._quantizer, PQ):
             from fastforward_tpu.ops.scoring import pallas_stream_enabled
 
-            if self._hbm_budget is not None and self._mesh_config is None:
+            if self._hbm_budget is not None:
                 # beyond-HBM tier for PQ code tables (MS MARCO v2-scale
-                # corpora exceed one chip's HBM even quantized)
+                # corpora exceed one chip's HBM even quantized); with a
+                # mesh the code prefix row-shards and only corpora beyond
+                # the whole mesh's budget stream a host tail
                 hybrid = self._hybrid_view(
                     data,
                     data.shape[1],
@@ -474,7 +488,7 @@ class InMemoryIndex(Index):
                 )
         elif isinstance(self._quantizer, ScalarQuantizer):
             dim = data.shape[1]
-            if self._hbm_budget is not None and self._mesh_config is None:
+            if self._hbm_budget is not None:
                 if dim % 128 == 0:
                     # beyond-HBM tier for int8 code tables (scales fold
                     # into the queries exactly like the resident program)
@@ -546,6 +560,13 @@ class InMemoryIndex(Index):
                     "Sharded tables require dim % 128 == 0 "
                     f"(got {dim}); pad the embeddings."
                 )
+            if self._hbm_budget is not None:
+                # sharded hybrid tier: per-chip resident shards + one
+                # host-streamed tail for corpora beyond the mesh's budget
+                hybrid = self._hybrid_view(data, dim)
+                if hybrid is not None:
+                    self._dev_view = hybrid
+                    return self._dev_view
             if self._mesh is None:
                 self._mesh = self._mesh_config.build()
             table = np.zeros((n_pad, dim), dtype=np.float32)

@@ -195,49 +195,76 @@ def _pad_pow2(arr: np.ndarray, fill) -> np.ndarray:
 
 
 def _score_resident(
-    table, q_pad, rows, qno, precision, plan, seg_reduce=None
+    table, q_pad, rows, qno, precision, plan, seg_reduce=None, mesh=None
 ) -> np.ndarray:
     """Score resident-prefix candidates (streamed when dense, gather-dot
     when sparse — XLA's row gather is per-row-overhead bound, see
     ``ops.scoring``).
 
     With ``seg_reduce=(op, seg, n_out)`` the per-row scores are segment-
-    reduced ON DEVICE and only ``(n_out,)`` floats are fetched.
+    reduced ON DEVICE and only ``(n_out,)`` floats are fetched.  With
+    ``mesh`` the prefix is row-sharded over the mesh's ``shard`` axis and
+    the per-shard streaming program runs (sharded hybrid tier); the sparse
+    fallback feeds the global-array jit with host (replicated) index
+    arrays.
     """
     p = rows.shape[0]
     n = table.shape[0]
     if p * 500 > n:
-        out = _sc.streamed_scores(
-            table,
-            q_pad,
-            rows.astype(np.int64),
-            qno.astype(np.int64),
-            precision=precision,
-            plan=plan,
-            seg_reduce=seg_reduce,
-        )
+        if mesh is not None:
+            from fastforward_tpu.parallel.sharded import (
+                streamed_scores_sharded,
+            )
+
+            out = streamed_scores_sharded(
+                mesh,
+                table,
+                q_pad,
+                rows.astype(np.int64),
+                qno.astype(np.int64),
+                precision=precision,
+                plan=plan,
+                seg_reduce=seg_reduce,
+            )
+        else:
+            out = _sc.streamed_scores(
+                table,
+                q_pad,
+                rows.astype(np.int64),
+                qno.astype(np.int64),
+                precision=precision,
+                plan=plan,
+                seg_reduce=seg_reduce,
+            )
         if out is not None:
             return out if seg_reduce is not None else out[:p]
     rows_d = _pad_pow2(rows.astype(np.int32), 0)
     qno_d = _pad_pow2(qno.astype(np.int32), 0)
-    q_dev = _sc._cached_q_upload(
-        np.asarray(q_pad, dtype=np.float32), plan, "q_dev"
-    )
+    if mesh is not None:
+        # host arrays feed the global-mesh jit (a device copy committed to
+        # one chip can't — same contract as the sharded score paths)
+        q_dev = np.asarray(q_pad, dtype=np.float32)
+        rows_arg, qno_arg = rows_d, qno_d
+    else:
+        q_dev = _sc._cached_q_upload(
+            np.asarray(q_pad, dtype=np.float32), plan, "q_dev"
+        )
+        rows_arg, qno_arg = jnp.asarray(rows_d), jnp.asarray(qno_d)
     if seg_reduce is not None:
         op, seg, n_out = seg_reduce
         seg_d = plan.get("seg_dev") if plan is not None else None
         if seg_d is None:
-            seg_d = jnp.asarray(_pad_pow2(seg.astype(np.int32), n_out))
+            seg_d = _pad_pow2(seg.astype(np.int32), n_out)
+            if mesh is None:
+                seg_d = jnp.asarray(seg_d)
             if plan is not None:
                 plan["seg_dev"] = seg_d
         red = _gather_dot_seg(
-            table, q_dev, jnp.asarray(rows_d), jnp.asarray(qno_d), seg_d,
+            table, q_dev, rows_arg, qno_arg, seg_d,
             n_out, precision, op,
         )
         return np.asarray(jax.device_get(red))
-    scores = _gather_dot(
-        table, q_dev, jnp.asarray(rows_d), jnp.asarray(qno_d), precision
-    )
+    scores = _gather_dot(table, q_dev, rows_arg, qno_arg, precision)
     return np.asarray(jax.device_get(scores))[:p]
 
 
@@ -275,50 +302,74 @@ def _gather_adc_seg(codes, codebooks, q_pad, rows, qno, seg, n_out, precision, o
 
 def _score_resident_pq(
     codes, codebooks, q_pad, rows, qno, precision, plan, table_cache,
-    seg_reduce=None,
+    seg_reduce=None, mesh=None,
 ) -> np.ndarray:
     """Score resident-prefix candidates against a device PQ code table
     (streamed ADC when dense, LUT gather-ADC when sparse).
 
     With ``seg_reduce=(op, seg, n_out)`` the per-row scores are segment-
-    reduced ON DEVICE and only ``(n_out,)`` floats are fetched.
+    reduced ON DEVICE and only ``(n_out,)`` floats are fetched.  With
+    ``mesh`` the code prefix is row-sharded and the per-shard streamed-ADC
+    program runs (sharded hybrid tier).
     """
     p = rows.shape[0]
     n = codes.shape[0]
     if p * 200 > n and n % _sc.STREAM_TILE_ROWS == 0:
-        out = _sc.streamed_scores_pq(
-            codes,
-            codebooks,
-            q_pad,
-            rows.astype(np.int64),
-            qno.astype(np.int64),
-            plan=plan,
-            precision=precision,
-            table_cache=table_cache,
-            seg_reduce=seg_reduce,
-        )
+        if mesh is not None:
+            from fastforward_tpu.parallel.sharded import (
+                streamed_scores_sharded_pq,
+            )
+
+            out = streamed_scores_sharded_pq(
+                mesh,
+                codes,
+                codebooks,
+                q_pad,
+                rows.astype(np.int64),
+                qno.astype(np.int64),
+                plan=plan,
+                seg_reduce=seg_reduce,
+            )
+        else:
+            out = _sc.streamed_scores_pq(
+                codes,
+                codebooks,
+                q_pad,
+                rows.astype(np.int64),
+                qno.astype(np.int64),
+                plan=plan,
+                precision=precision,
+                table_cache=table_cache,
+                seg_reduce=seg_reduce,
+            )
         if out is not None:
             return out if seg_reduce is not None else out[:p]
     rows_d = _pad_pow2(rows.astype(np.int32), 0)
     qno_d = _pad_pow2(qno.astype(np.int32), 0)
-    q_dev = _sc._cached_q_upload(
-        np.asarray(q_pad, dtype=np.float32), plan, "q_dev"
-    )
+    if mesh is not None:
+        q_dev = np.asarray(q_pad, dtype=np.float32)
+        rows_arg, qno_arg = rows_d, qno_d
+    else:
+        q_dev = _sc._cached_q_upload(
+            np.asarray(q_pad, dtype=np.float32), plan, "q_dev"
+        )
+        rows_arg, qno_arg = jnp.asarray(rows_d), jnp.asarray(qno_d)
     if seg_reduce is not None:
         op, seg, n_out = seg_reduce
         seg_d = plan.get("seg_dev") if plan is not None else None
         if seg_d is None:
-            seg_d = jnp.asarray(_pad_pow2(seg.astype(np.int32), n_out))
+            seg_d = _pad_pow2(seg.astype(np.int32), n_out)
+            if mesh is None:
+                seg_d = jnp.asarray(seg_d)
             if plan is not None:
                 plan["seg_dev"] = seg_d
         red = _gather_adc_seg(
-            codes, codebooks, q_dev, jnp.asarray(rows_d),
-            jnp.asarray(qno_d), seg_d, n_out, precision, op,
+            codes, codebooks, q_dev, rows_arg, qno_arg, seg_d, n_out,
+            precision, op,
         )
         return np.asarray(jax.device_get(red))
     scores = _gather_adc(
-        codes, codebooks, q_dev, jnp.asarray(rows_d), jnp.asarray(qno_d),
-        precision,
+        codes, codebooks, q_dev, rows_arg, qno_arg, precision
     )
     return np.asarray(jax.device_get(scores))[:p]
 
@@ -525,6 +576,7 @@ def hybrid_scores(
     reduce: "tuple[str, np.ndarray, int, np.ndarray] | None" = None,
     kind: str = "dense",
     codebooks: "jax.Array | None" = None,
+    mesh: "jax.sharding.Mesh | None" = None,
     _force_scan: bool = False,
 ) -> np.ndarray:
     """Score ``table[rows[i]] . q_pad[qno[i]]`` against a hybrid table.
@@ -564,6 +616,10 @@ def hybrid_scores(
     :param codebooks: Device PQ codebooks ``(M, Ks, Ds)`` fp32
         (``kind="pq"`` only; rotated space for OPQ — queries arrive
         pre-rotated).
+    :param mesh: When set, ``resident`` is row-sharded over the mesh's
+        ``shard`` axis and the prefix scores through the per-shard SPMD
+        programs (sharded hybrid tier: resident capacity = whole-mesh
+        HBM); the host tail streams through the default device as usual.
     :param _force_scan: Internal — rebuild on the XLA scan path after a
         Pallas failure or an SMEM-grid overflow.
     :return: Per-pair scores in input order ``(P,)``, or per-PAIR reduced
@@ -703,6 +759,7 @@ def hybrid_scores(
                 state["res_plan"],
                 cache_store,
                 seg_reduce=seg_reduce_res,
+                mesh=mesh,
             )
         else:
             res_scores = _score_resident(
@@ -713,6 +770,7 @@ def hybrid_scores(
                 precision,
                 state["res_plan"],
                 seg_reduce=seg_reduce_res,
+                mesh=mesh,
             )
         STATS["fetch_floats"] += int(res_scores.shape[0])
         if reduce is not None:
@@ -825,7 +883,7 @@ def hybrid_scores(
                 qno, precision=precision, plan=plan,
                 cache_device_blocks_budget=cache_device_blocks_budget,
                 cache_store=cache_store, reduce=reduce, kind=kind,
-                codebooks=codebooks, _force_scan=True,
+                codebooks=codebooks, mesh=mesh, _force_scan=True,
             )
         if use_pallas:
             _sc._pallas_success()

@@ -138,6 +138,7 @@ def streamed_scores_sharded(
     precision: str = "exact",
     plan: dict | None = None,
     reduce: "tuple | None" = None,
+    seg_reduce: "tuple | None" = None,
 ) -> "np.ndarray | None":
     """Sharded equivalent of ``ops.streamed_scores``.
 
@@ -147,8 +148,10 @@ def streamed_scores_sharded(
     order (or per-pair scores with ``reduce=(op, k, counts_dev)`` — the
     slot gather and the ranking-mode K reduction then run on device, so
     only ``P`` floats cross the host link; the cross-shard slot traffic
-    rides ICI inside the jit).  ``None`` when the layout doesn't apply.
-    ``plan`` optionally caches the per-shard grids.
+    rides ICI inside the jit).  With ``seg_reduce=(op, seg, n_out)`` the
+    rows form a RAGGED grouped layout and the segment reduction runs on
+    device instead (sharded-hybrid doc modes).  ``None`` when the layout
+    doesn't apply.  ``plan`` optionally caches the per-shard grids.
     """
     import numpy as np
 
@@ -208,7 +211,8 @@ def streamed_scores_sharded(
     from fastforward_tpu.ops.scoring import _finalize_streamed
 
     return _finalize_streamed(
-        outs, slot_of_pair, reduce, plan, "stream_sharded_slot"
+        outs, slot_of_pair, reduce, plan, "stream_sharded_slot",
+        seg_reduce=seg_reduce,
     )
 
 
@@ -343,14 +347,16 @@ def streamed_scores_sharded_pq(
     qno: "np.ndarray",
     plan: dict | None = None,
     reduce: "tuple | None" = None,
+    seg_reduce: "tuple | None" = None,
 ) -> "np.ndarray | None":
     """Sharded equivalent of ``ops.streamed_scores_pq``.
 
     Same host-side candidate partitioning as ``streamed_scores_sharded``;
     each chip dequantize-streams its own code rows.  Returns per-row scores
     in input order (or per-pair scores with ``reduce`` — gather + K
-    reduction on device, see ``streamed_scores_sharded``), or ``None`` when
-    the layout doesn't apply.
+    reduction on device; ragged ``seg_reduce`` as in
+    ``streamed_scores_sharded``), or ``None`` when the layout doesn't
+    apply.
     """
     import numpy as np
 
@@ -407,7 +413,8 @@ def streamed_scores_sharded_pq(
     from fastforward_tpu.ops.scoring import _finalize_streamed
 
     return _finalize_streamed(
-        outs, slot_of_pair, reduce, plan, "stream_sharded_pq_slot"
+        outs, slot_of_pair, reduce, plan, "stream_sharded_pq_slot",
+        seg_reduce=seg_reduce,
     )
 
 

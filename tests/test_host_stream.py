@@ -182,15 +182,15 @@ class TestHybridTier(unittest.TestCase):
             r["q1"]["x0"], float(extra[0] @ QVECS["a"]), places=3
         )
 
-    def test_rejects_store_device_and_mesh(self):
+    def test_rejects_store_device(self):
         with self.assertRaises(ValueError):
             InMemoryIndex(ENC, store="device", hbm_budget=BUDGET)
+        # hbm_budget + mesh_config is the SHARDED hybrid tier since round 4
+        # (single-process; see tests/test_parallel.py::TestShardedHybrid) —
+        # constructing one must not raise
         from fastforward_tpu.parallel.mesh import MeshConfig
 
-        with self.assertRaises(ValueError):
-            InMemoryIndex(
-                ENC, mesh_config=MeshConfig(shard=2), hbm_budget=BUDGET
-            )
+        InMemoryIndex(ENC, mesh_config=MeshConfig(shard=2), hbm_budget=BUDGET)
 
 
 class TestHybridOnDisk(unittest.TestCase):

@@ -427,5 +427,143 @@ class TestShardedEarlyStopping(unittest.TestCase):
                 self.assertAlmostEqual(p[pid], s[pid], places=3, msg=pid)
 
 
+class TestShardedHybrid(unittest.TestCase):
+    """hbm_budget x mesh_config: the sharded beyond-HBM hybrid tier.
+
+    The resident prefix row-shards over the mesh (capacity = chips x
+    per-chip budget) and corpora beyond the WHOLE mesh's budget stream a
+    host-RAM tail through the default device.  Parity target: the plain
+    single-device index over the same data/quantizer (reference serves
+    arbitrary N from disk in every configuration,
+    reference: ``index/disk.py:309-336``).
+    """
+
+    #: per-shard resident blocks align to 1024 rows; shard=4 needs > 4096
+    #: rows resident + a real tail
+    N = 12288
+    MESH = dict(data=2, shard=4)
+
+    @classmethod
+    def setUpClass(cls):
+        cls.corpus = RNG.normal(size=(cls.N, DIM)).astype(np.float32)
+        cls.qvec = RNG.normal(size=DIM).astype(np.float32)
+        cls.enc = LambdaEncoder(lambda _: cls.qvec)
+
+    def _pair(self, quantizer_factory, mode, budget):
+        out = []
+        for kwargs in (
+            {},
+            dict(
+                mesh_config=MeshConfig(**self.MESH),
+                hbm_budget=budget,
+                stream_chunk_rows=1024,
+            ),
+        ):
+            quantizer = quantizer_factory() if quantizer_factory else None
+            if quantizer is not None:
+                quantizer.fit(self.corpus[:2048])
+            index = InMemoryIndex(
+                self.enc, quantizer=quantizer, mode=mode, **kwargs
+            )
+            if mode == Mode.PASSAGE:
+                index.add(
+                    self.corpus, psg_ids=[f"p{i}" for i in range(self.N)]
+                )
+            else:
+                index.add(
+                    self.corpus, doc_ids=[f"d{i // 4}" for i in range(self.N)]
+                )
+            out.append(index)
+        return out
+
+    def _assert_sharded_hybrid(self, hybrid):
+        view = hybrid._device_view()
+        self.assertEqual("hybrid", view.kind)
+        self.assertIsNotNone(view.mesh)
+        self.assertGreater(view.tail_start, 0)
+        self.assertGreater(view.host_tail.shape[0], 0)
+        return view
+
+    def _assert_parity(self, plain, hybrid, ranking):
+        for _round in ("cold", "warm"):
+            a, b = plain(ranking), hybrid(ranking)
+            for q in a.q_ids:
+                ea, eb = a[q], b[q]
+                self.assertEqual(set(ea), set(eb), _round)
+                for key in ea:
+                    self.assertAlmostEqual(
+                        ea[key], eb[key], places=3, msg=(_round, key)
+                    )
+
+    def test_dense_sharded_hybrid(self):
+        plain, hybrid = self._pair(None, Mode.PASSAGE, 1 << 20)
+        self._assert_sharded_hybrid(hybrid)
+        run = {
+            "q1": {f"p{i}": float(i) for i in range(0, self.N, 3)},
+            "q2": {f"p{i}": float(i) for i in range(1, self.N, 7)},
+        }
+        ranking = Ranking.from_run(run, queries={"q1": "a", "q2": "b"})
+        self._assert_parity(plain, hybrid, ranking)
+
+    def test_dense_sharded_hybrid_doc_modes(self):
+        plain, hybrid = self._pair(None, Mode.MAXP, 1 << 20)
+        self._assert_sharded_hybrid(hybrid)
+        run = {"q1": {f"d{i}": float(i) for i in range(0, self.N // 4, 2)}}
+        ranking = Ranking.from_run(run, queries={"q1": "a"})
+        for mode in (Mode.MAXP, Mode.AVEP):
+            plain.mode = hybrid.mode = mode
+            self._assert_parity(plain, hybrid, ranking)
+
+    def test_dense_sharded_hybrid_sparse(self):
+        """Sparse candidates: the gather path over the sharded prefix."""
+        plain, hybrid = self._pair(None, Mode.PASSAGE, 1 << 20)
+        run = {"q1": {f"p{i}": float(i) for i in range(0, self.N, 700)}}
+        ranking = Ranking.from_run(run, queries={"q1": "a"})
+        self._assert_parity(plain, hybrid, ranking)
+
+    def test_scalar_sharded_hybrid(self):
+        from fastforward_tpu.quantizer import ScalarQuantizer
+
+        plain, hybrid = self._pair(ScalarQuantizer, Mode.PASSAGE, 250_000)
+        view = self._assert_sharded_hybrid(hybrid)
+        self.assertEqual("scalar", view.hybrid_kind)
+        run = {"q1": {f"p{i}": float(i) for i in range(0, self.N, 5)}}
+        ranking = Ranking.from_run(run, queries={"q1": "a"})
+        self._assert_parity(plain, hybrid, ranking)
+
+    def test_pq_sharded_hybrid(self):
+        from fastforward_tpu.quantizer import PQ
+
+        plain, hybrid = self._pair(lambda: PQ(16, 16), Mode.PASSAGE, 40_000)
+        view = self._assert_sharded_hybrid(hybrid)
+        self.assertEqual("pq", view.hybrid_kind)
+        run = {"q1": {f"p{i}": float(i) for i in range(0, self.N, 5)}}
+        ranking = Ranking.from_run(run, queries={"q1": "a"})
+        self._assert_parity(plain, hybrid, ranking)
+
+    def test_pq_sharded_hybrid_maxp(self):
+        from fastforward_tpu.quantizer import PQ
+
+        plain, hybrid = self._pair(lambda: PQ(16, 16), Mode.MAXP, 40_000)
+        self._assert_sharded_hybrid(hybrid)
+        run = {"q1": {f"d{i}": float(i) for i in range(0, self.N // 4, 3)}}
+        ranking = Ranking.from_run(run, queries={"q1": "a"})
+        self._assert_parity(plain, hybrid, ranking)
+
+    def test_whole_mesh_budget_fits_plain_sharded(self):
+        """A corpus within chips x budget builds the PLAIN sharded view —
+        the hybrid tier only engages beyond the whole mesh's HBM."""
+        index = InMemoryIndex(
+            self.enc,
+            mode=Mode.PASSAGE,
+            mesh_config=MeshConfig(**self.MESH),
+            hbm_budget=4 << 20,  # 4 chips x 4 MiB >> the 6.3 MB table
+        )
+        index.add(self.corpus, psg_ids=[f"p{i}" for i in range(self.N)])
+        view = index._device_view()
+        self.assertEqual("dense", view.kind)
+        self.assertIsNotNone(view.mesh)
+
+
 if __name__ == "__main__":
     unittest.main()
