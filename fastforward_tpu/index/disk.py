@@ -354,44 +354,83 @@ class OnDiskIndex(Index):
         )
 
     def _lazy_sharded_dense_view(self, num: int, n_pad: int):
-        """Multi-process dense tables upload straight from HDF5, per shard.
+        """Multi-process tables upload straight from HDF5, per shard.
 
         Each process reads ONLY the row ranges its local devices own
         (``put_row_sharded_lazy``) — the full table never exists in any
-        single host's RAM, so a pod can serve fp32 corpora larger than one
-        host's memory from disk.  Returns ``None`` when not applicable
-        (single process, quantized, hybrid-budgeted, or non-128 dims).
+        single host's RAM, so a pod can serve corpora larger than one
+        host's memory from disk.  Dense fp32 tables, int8 scalar codes,
+        and PQ code tables (codebooks replicate; they are tiny) all
+        narrow this way.  Returns ``None`` when not applicable (single
+        process, unknown quantizer, hybrid-budgeted, or non-128 dims).
         """
         import jax
 
         if (
             self._mesh_config is None
             or jax.process_count() <= 1
-            or self._quantizer is not None
             or self._hbm_budget is not None
         ):
             return None
-        with h5py.File(self._index_file, "r") as fp:
-            dim = fp["vectors"].shape[1]
-        if dim % 128:
+        is_pq = isinstance(self._quantizer, PQ)
+        is_scalar = isinstance(self._quantizer, ScalarQuantizer)
+        if self._quantizer is not None and not (is_pq or is_scalar):
             return None
-        from fastforward_tpu.parallel.multihost import put_row_sharded_lazy
+        with h5py.File(self._index_file, "r") as fp:
+            width = fp["vectors"].shape[1]
+            stored_dtype = fp["vectors"].dtype
+        if not is_pq and width % 128:
+            return None
+        from fastforward_tpu.parallel.multihost import (
+            put_replicated,
+            put_row_sharded_lazy,
+        )
 
         if self._mesh is None:
             self._mesh = self._mesh_config.build()
         path = self._index_file
+        if is_pq:
+            shape: tuple = (n_pad, width)
+            dtype = stored_dtype
+        elif is_scalar:
+            # 3D int8 layout: code rows stream through the MXU at 4x less
+            # bandwidth than fp32 (scales fold into the queries)
+            shape = (n_pad, width // 128, 128)
+            dtype = np.int8
+        else:
+            shape = (n_pad, width)
+            dtype = np.float32
 
         def read_rows(start: int, stop: int) -> np.ndarray:
-            out = np.zeros((stop - start, dim), dtype=np.float32)
+            out = np.zeros((stop - start, width), dtype=dtype)
             hi = min(stop, num)
             if hi > start:
                 with h5py.File(path, "r") as fp:
                     out[: hi - start] = fp["vectors"][start:hi]
-            return out
+            return out.reshape(stop - start, *shape[1:])
 
         table = put_row_sharded_lazy(
-            self._mesh, (n_pad, dim), np.float32, read_rows, ndim=2
+            self._mesh, shape, dtype, read_rows, ndim=len(shape)
         )
+        if is_pq:
+            return DeviceView(
+                kind="pq",
+                table=table,
+                codebooks=put_replicated(
+                    self._mesh,
+                    np.asarray(self._quantizer.codewords, dtype=np.float32),
+                ),
+                precision=self._precision,
+                mesh=self._mesh,
+            )
+        if is_scalar:
+            return DeviceView(
+                kind="scalar",
+                table=table,
+                scales=self._quantizer.scales,
+                precision=self._precision,
+                mesh=self._mesh,
+            )
         return DeviceView(
             kind="dense",
             table=table,

@@ -177,6 +177,51 @@ def main() -> None:
         assert abs(truth - disk_out[pid]) < 1e-3, (pid, truth, disk_out[pid])
     digests.append(sum(sorted(disk_out.values())[:50]))
 
+    # --- OnDiskIndex: QUANTIZED tables narrow per shard too --------------
+    # (round-4: the lazy HDF5 reader serves int8/PQ code tables, so a pod
+    # serving a quantized corpus no longer holds the full code table in
+    # every host's RAM or HBM)
+    for tag, quantizer in (("pq", pq), ("int8", sq)):
+        qdisk = OnDiskIndex(
+            h5dir / f"mh_{tag}.h5",
+            enc,
+            quantizer=quantizer,
+            mode=Mode.PASSAGE,
+        )
+        qdisk.add(corpus, psg_ids=[f"p{i}" for i in range(n)])
+        qdisk = OnDiskIndex.load(
+            h5dir / f"mh_{tag}.h5",
+            enc,
+            mode=Mode.PASSAGE,
+            hbm_cache=True,
+            precision="exact",
+            mesh_config=MeshConfig(data=2, shard=4),
+        )
+        qview = qdisk._device_view()
+        assert qview is not None and qview.mesh is not None, tag
+        assert qview.kind == ("pq" if tag == "pq" else "scalar"), qview.kind
+        # the code table is laid out lazily per shard: this process can
+        # address at most half the rows (shard axis crosses processes)
+        assert not qview.table.is_fully_addressable, tag
+        local_rows = sum(
+            s.data.shape[0] for s in qview.table.addressable_shards
+        )
+        # data=2 replicates each shard onto 2 devices; rows, not copies
+        local_unique = local_rows // 2
+        assert local_unique <= qview.table.shape[0] // 2, (
+            tag,
+            local_unique,
+            qview.table.shape[0],
+        )
+        qdisk_out = qdisk(ranking)["q1"]
+        qdecoded = quantizer.decode(quantizer.encode(corpus))
+        for pid in list(qdisk_out)[:8]:
+            truth = float(qdecoded[int(pid[1:])] @ qvecs["a"])
+            assert abs(truth - qdisk_out[pid]) < 0.05, (
+                tag, pid, truth, qdisk_out[pid],
+            )
+        digests.append(sum(sorted(qdisk_out.values())[:50]))
+
     # --- early stopping composes with the multi-host mesh ----------------
     es_kwargs = dict(
         early_stopping=8,
