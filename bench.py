@@ -314,8 +314,13 @@ def bench_encoder(batch: int, length: int, repeats: int):
     return ours, ref
 
 
-def measure_ours_pq(corpus, qvecs, run, queries, repeats, precision="exact"):
-    """Config #3: PQ-quantized index with in-kernel ADC scoring."""
+def measure_ours_pq(
+    corpus, qvecs, run, queries, repeats, precision="exact", hbm_budget=None
+):
+    """Config #3: PQ-quantized index with in-kernel ADC scoring.
+
+    With ``hbm_budget`` the code table serves from the beyond-HBM hybrid
+    tier (--config pq-stream): resident code prefix + ADC-streamed tail."""
     from fastforward_tpu.encoder import LambdaEncoder
     from fastforward_tpu.index import InMemoryIndex, Mode
     from fastforward_tpu.quantizer import PQ
@@ -332,6 +337,7 @@ def measure_ours_pq(corpus, qvecs, run, queries, repeats, precision="exact"):
         quantizer=quantizer,
         mode=Mode.PASSAGE,
         precision=precision,
+        hbm_budget=hbm_budget,
     )
     t0 = time.perf_counter()
     index.add(corpus, psg_ids=[f"p{i}" for i in range(corpus.shape[0])])
@@ -341,6 +347,12 @@ def measure_ours_pq(corpus, qvecs, run, queries, repeats, precision="exact"):
     t0 = time.perf_counter()
     index.preload(warm=(len(queries), max(len(r) for r in run.values())))
     log(f"PQ preload (upload + warm): {time.perf_counter() - t0:.1f}s")
+    if hbm_budget is not None:
+        view = index._device_view()
+        log(
+            f"PQ hybrid view: kind={view.kind} resident={view.tail_start} "
+            f"tail={view.host_tail.shape[0] if view.host_tail is not None else 0}"
+        )
     t0 = time.perf_counter()
     index(ranking)
     log(f"PQ first serving call (after preload): {time.perf_counter() - t0:.1f}s")
@@ -352,7 +364,9 @@ def measure_ours_pq(corpus, qvecs, run, queries, repeats, precision="exact"):
     return qps
 
 
-def measure_ours_int8(corpus, qvecs, run, queries, repeats, precision):
+def measure_ours_int8(
+    corpus, qvecs, run, queries, repeats, precision, hbm_budget=None
+):
     """Config #5: int8 scalar-quantized index (4x less HBM than fp32).
 
     ``precision="high"`` is lossless on the table side (int8 values are
@@ -371,6 +385,7 @@ def measure_ours_int8(corpus, qvecs, run, queries, repeats, precision):
         quantizer=quantizer,
         mode=Mode.PASSAGE,
         precision=precision,
+        hbm_budget=hbm_budget,
     )
     t0 = time.perf_counter()
     index.add(corpus, psg_ids=[f"p{i}" for i in range(corpus.shape[0])])
@@ -379,6 +394,12 @@ def measure_ours_int8(corpus, qvecs, run, queries, repeats, precision):
     t0 = time.perf_counter()
     index.preload(warm=(len(queries), max(len(r) for r in run.values())))
     log(f"int8 preload (upload + warm): {time.perf_counter() - t0:.1f}s")
+    if hbm_budget is not None:
+        view = index._device_view()
+        log(
+            f"int8 hybrid view: kind={view.kind} resident={view.tail_start} "
+            f"tail={view.host_tail.shape[0] if view.host_tail is not None else 0}"
+        )
     t0 = time.perf_counter()
     index(ranking)
     log(f"int8 first serving call (after preload): {time.perf_counter() - t0:.1f}s")
@@ -857,6 +878,7 @@ def main():
         choices=[
             "rerank", "encoder", "pq", "int8", "early-stopping",
             "maxp", "alpha-sweep", "memory", "fp32-stream",
+            "int8-stream", "pq-stream",
         ],
         default="rerank",
     )
@@ -864,7 +886,10 @@ def main():
         "--hbm-budget-gb",
         type=float,
         default=10.0,
-        help="scoring-HBM budget for --config fp32-stream (beyond-HBM tier)",
+        help=(
+            "scoring-HBM budget for --config fp32-stream / int8-stream / "
+            "pq-stream (beyond-HBM hybrid tier)"
+        ),
     )
     parser.add_argument("--n", type=int, default=2_000_000)
     parser.add_argument("--n-docs", type=int, default=125_000)
@@ -964,15 +989,22 @@ def main():
     log(f"workload: N={args.n} Q={args.queries} depth={args.depth} dim={DIM}")
     corpus, qvecs, run, queries = make_workload(args.n, args.queries, args.depth)
 
-    if args.config == "pq":
-        qps = measure_ours_pq(
-            corpus, qvecs, run, queries, args.repeats, args.precision
+    if args.config in ("pq", "pq-stream"):
+        budget = (
+            int(args.hbm_budget_gb * (1 << 30))
+            if args.config == "pq-stream"
+            else None
         )
+        qps = measure_ours_pq(
+            corpus, qvecs, run, queries, args.repeats, args.precision,
+            hbm_budget=budget,
+        )
+        tier = " beyond-HBM hybrid" if budget is not None else ""
         print(
             json.dumps(
                 {
                     "metric": (
-                        f"PQ (M=96,Ks=256) re-rank QPS "
+                        f"PQ (M=96,Ks=256){tier} re-rank QPS "
                         f"(depth-{args.depth}, N={args.n})"
                     ),
                     "value": round(qps, 1),
@@ -982,15 +1014,22 @@ def main():
             )
         )
         return
-    if args.config == "int8":
-        qps = measure_ours_int8(
-            corpus, qvecs, run, queries, args.repeats, args.precision
+    if args.config in ("int8", "int8-stream"):
+        budget = (
+            int(args.hbm_budget_gb * (1 << 30))
+            if args.config == "int8-stream"
+            else None
         )
+        qps = measure_ours_int8(
+            corpus, qvecs, run, queries, args.repeats, args.precision,
+            hbm_budget=budget,
+        )
+        tier = " beyond-HBM hybrid" if budget is not None else ""
         print(
             json.dumps(
                 {
                     "metric": (
-                        f"int8 scalar-quantized re-rank QPS "
+                        f"int8 scalar-quantized{tier} re-rank QPS "
                         f"(depth-{args.depth}, N={args.n})"
                     ),
                     "value": round(qps, 1),

@@ -35,8 +35,39 @@ def _coerce(df: pd.DataFrame, score_dtype: np.dtype) -> pd.DataFrame:
     return df
 
 
+def _run_positions(q_col: pd.Series) -> "np.ndarray | None":
+    """0-based position of each row within its query's contiguous run.
+
+    Ranking frames are (q_id, score)-sorted, so each query's rows form ONE
+    run; its per-row positions come from one vectorized pass instead of
+    pandas groupby machinery (the scoring fast path emits 512k-row
+    categorical frames — ``groupby.cumcount``/``head`` there costs ~100 ms
+    per call, this ~2 ms).  Returns ``None`` when some q_id's rows are NOT
+    contiguous (never produced by this package; caller-built frames fall
+    back to the groupby).
+    """
+    if isinstance(q_col.dtype, pd.CategoricalDtype):
+        codes = q_col.cat.codes.to_numpy()
+    else:
+        codes = pd.factorize(q_col, use_na_sentinel=False)[0]
+    n = codes.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    np.not_equal(codes[1:], codes[:-1], out=change[1:])
+    if int(change.sum()) != len(pd.unique(codes)):
+        return None
+    idx = np.arange(n, dtype=np.int64)
+    run_start = np.maximum.accumulate(np.where(change, idx, 0))
+    return idx - run_start
+
+
 def _ranks_within_query(df: pd.DataFrame) -> np.ndarray:
     """Per-query 1-based ranks for an already score-sorted frame."""
+    pos = _run_positions(df["q_id"])
+    if pos is not None:
+        return pos + 1
     return (
         df.groupby("q_id", sort=False, observed=True).cumcount().to_numpy() + 1
     )
@@ -285,16 +316,26 @@ class Ranking:
         """Keep only the top-``cutoff`` scores per query.
 
         The frame is already (q_id, score)-sorted, so this is a positional
-        head per group; ``sort=False, observed=True`` keeps the groupby away
-        from the full categorical machinery on scored-result frames (the
-        scoring fast path emits categorical ID columns).
+        head per group — one vectorized run-position mask
+        (:func:`_run_positions`; a ``cut(10)`` after a 512k-row re-rank
+        costs ~2 ms instead of a full ``groupby.head``), with the groupby
+        as the fallback for non-contiguous caller-built frames.
         """
-        return self._spawn(
-            self._df.groupby("q_id", sort=False, observed=True)
-            .head(cutoff)
-            .reset_index(drop=True),
-            copy=True,
+        pos = _run_positions(self._df["q_id"])
+        if pos is None:
+            return self._spawn(
+                self._df.groupby("q_id", sort=False, observed=True)
+                .head(cutoff)
+                .reset_index(drop=True),
+                copy=True,
+            )
+        mask = pos < cutoff
+        out = (
+            self._df.copy()
+            if bool(mask.all())
+            else self._df[mask].reset_index(drop=True)
         )
+        return Ranking._from_trusted_frame(out, self.name)
 
     def interpolate(
         self, other: "Ranking", alpha: float, normalize: bool = False
