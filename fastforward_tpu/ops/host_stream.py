@@ -140,9 +140,12 @@ def _get_chunk_accum():
 
 
 def _pq_kernel_parts(codebooks, cache_store):
-    """Block-diagonal hi/mid/lo codebook splits for the Pallas ADC kernel,
-    cached for the view's lifetime (``None`` when the geometry doesn't fit
-    the kernel — the caller then streams through the XLA ADC scan)."""
+    """HOST block-diagonal hi/mid/lo codebook splits for the Pallas ADC
+    kernel, cached for the view's lifetime (``None`` when the geometry
+    doesn't fit the kernel — the caller then streams through the XLA ADC
+    scan).  Device copies are committed per tail device by
+    :func:`_pq_codebooks_on` (the view's codebooks may be mesh-replicated,
+    which cannot feed the single-device chunk programs)."""
     if cache_store is None:
         return None
     parts = cache_store.get("pq_bd")
@@ -152,11 +155,38 @@ def _pq_kernel_parts(codebooks, cache_store):
         bd = stream_kernel_pq.build_blockdiag_codebooks(
             np.asarray(jax.device_get(codebooks), dtype=np.float32)
         )
-        parts = (
-            False if bd is None else tuple(jnp.asarray(b) for b in bd)
-        )
+        parts = False if bd is None else bd
         cache_store["pq_bd"] = parts
     return None if parts is False else parts
+
+
+def _pq_codebooks_on(codebooks, cache_store, dev, d, use_pallas):
+    """Per-device codebook arrays for the tail chunk programs.
+
+    Returns ``(cb_a, cb_b, cb_c)`` committed to ``dev`` — the bf16
+    block-diagonal splits for the Pallas kernel, or the raw ``(M, Ks,
+    Ds)`` codebooks (as ``cb_a``) for the XLA ADC scan — cached per
+    device on the view.
+    """
+    store = cache_store if cache_store is not None else {}
+    key = f"pq_cb{'_bd' if use_pallas else ''}@{d}"
+    ent = store.get(key)
+    if ent is None:
+        if use_pallas:
+            ent = tuple(
+                jax.device_put(p, dev)
+                for p in _pq_kernel_parts(codebooks, store)
+            )
+        else:
+            cb_host = store.get("cb_host")
+            if cb_host is None:
+                cb_host = np.asarray(
+                    jax.device_get(codebooks), dtype=np.float32
+                )
+                store["cb_host"] = cb_host
+            ent = (jax.device_put(cb_host, dev), None, None)
+        store[key] = ent
+    return ent if use_pallas else (ent[0], None, None)
 
 
 @functools.partial(jax.jit, static_argnames=("precision",))
@@ -183,6 +213,18 @@ def _gather_dot_seg(table, q_pad, rows, qno, seg, n_out, precision, op):
     """
     scores = _gather_dot(table, q_pad, rows, qno, precision)
     return _sc._segment_reduce(scores, seg, n_out, op)
+
+
+def _q_upload_dev(q_host: np.ndarray, plan: dict | None, key: str, device):
+    """Per-device twin of ``scoring._cached_q_upload`` (multi-device tail
+    streaming keeps one committed query copy per chip)."""
+    cached = plan.get(key) if plan is not None else None
+    if cached is not None and np.array_equal(cached[0], q_host):
+        return cached[1]
+    q_dev = jax.device_put(q_host, device)
+    if plan is not None:
+        plan[key] = (q_host, q_dev)
+    return q_dev
 
 
 def _pad_pow2(arr: np.ndarray, fill) -> np.ndarray:
@@ -392,6 +434,7 @@ def _build_tail_chunks(
     r: int,
     use_pallas: bool,
     grid_max: int = _PALLAS_GRID_MAX,
+    devices: "list | None" = None,
 ) -> "tuple[list[dict], np.ndarray] | None":
     """Chunk unique tail rows and build each chunk's candidate layout.
 
@@ -402,6 +445,12 @@ def _build_tail_chunks(
     caller rebuilds for the XLA scan).  Raises when the streamed layout
     cannot represent the geometry (query counts beyond 2^31 / tile rows —
     not reachable with real workloads).
+
+    With ``devices`` (> 1 and > 1 chunk) the chunks are assigned to the
+    devices in contiguous near-equal ranges (``chunk["dev"]``) and each
+    chunk's grid arrays are committed to its device — tail streaming then
+    runs on every chip concurrently (upload bandwidth and kernel FLOPs
+    scale with the device count).
     """
     chunk_of = u_of_pair // chunk_rows
     order = np.argsort(chunk_of, kind="stable")
@@ -409,6 +458,13 @@ def _build_tail_chunks(
     counts = np.bincount(chunk_of, minlength=n_chunks)
     starts = np.zeros(n_chunks + 1, dtype=np.int64)
     np.cumsum(counts, out=starts[1:])
+    if devices is not None and (len(devices) <= 1 or n_chunks <= 1):
+        devices = None
+    dev_of = (
+        (np.arange(n_chunks) * len(devices)) // n_chunks
+        if devices is not None
+        else None
+    )
 
     chunks: list[dict] = []
     for c in range(n_chunks):
@@ -433,16 +489,21 @@ def _build_tail_chunks(
             if tile_idx.shape[0] > grid_max:
                 return None
             cand = cand.reshape(cand.shape[0], -1, 128)
+        dev = devices[int(dev_of[c])] if dev_of is not None else None
+        put = (
+            (lambda a: jax.device_put(a, dev))
+            if dev is not None
+            else jnp.asarray
+        )
         chunks.append(
             {
                 "rows": u_rows[c * chunk_rows : (c + 1) * chunk_rows],
-                "cand": jnp.asarray(cand),
-                "tile": jnp.asarray(tile_idx),
-                "slot": jnp.asarray(
-                    _pad_pow2(slot_of_pair.astype(np.int32), 0)
-                ),
+                "cand": put(cand),
+                "tile": put(tile_idx),
+                "slot": put(_pad_pow2(slot_of_pair.astype(np.int32), 0)),
                 "start": np.int32(lo),
                 "n": hi - lo,
+                "dev": int(dev_of[c]) if dev_of is not None else 0,
             }
         )
     return chunks, order
@@ -508,6 +569,7 @@ def _upload_block(
     budget: int,
     host_acct: dict | None = None,
     stage_width: int | None = None,
+    device=None,
 ) -> jax.Array:
     """Return the chunk's device block, caching per the HBM budget.
 
@@ -544,7 +606,7 @@ def _upload_block(
             if cached + host.nbytes <= HOST_BLOCK_CACHE_BUDGET:
                 chunk["block_host"] = host
                 host_acct["host_cached_bytes"] = cached + host.nbytes
-    dev = jax.device_put(host)
+    dev = jax.device_put(host, device)
     STATS["uploads"] += 1
     STATS["upload_bytes"] += host.nbytes
     if blocks is not None and host.nbytes <= budget:
@@ -674,6 +736,17 @@ def hybrid_scores(
         grid_max = (
             _PALLAS_PQ_GRID_MAX if kind == "pq" else _PALLAS_GRID_MAX
         )
+        # multi-device tail: with an explicit mesh (the user opted into
+        # those chips) the chunks round-robin over its devices in
+        # contiguous ranges, so tail upload bandwidth and kernel FLOPs
+        # scale with the chip count (single-process only — under
+        # multi-controller the tail streams through this process's
+        # default device)
+        devices = None
+        if mesh is not None and jax.process_count() == 1:
+            devs = list(mesh.devices.flatten())
+            if len(devs) > 1:
+                devices = devs
         chunk_rows_eff = max(r, (chunk_rows // r) * r)
         built = _build_tail_chunks(
             u_rows.astype(np.int64),
@@ -684,6 +757,7 @@ def hybrid_scores(
             r,
             use_pallas,
             grid_max=grid_max,
+            devices=devices,
         )
         overflow = False
         if built is None:
@@ -701,25 +775,49 @@ def hybrid_scores(
                 chunk_rows_eff,
                 r,
                 False,
+                devices=devices,
             )
         chunks, order = built
-        # accumulator sized for the padded write of EVERY chunk (see
-        # _chunk_accum_impl: dynamic_update_slice must never clamp)
-        acc_size = _sc.bucket(
-            max(
-                [tail_pos.shape[0]]
-                + [int(c["start"]) + c["slot"].shape[0] for c in chunks]
-            )
-        ) if chunks else 0
+        if len(chunks) <= 1:
+            devices = None  # _build_tail_chunks kept everything default
+        p_tail = tail_pos.shape[0]
+        # per-device contiguous chunk ranges: (c_lo, c_hi, base_slot,
+        # real_count, acc_size) — or ONE range on the default device.
+        # Each accumulator is sized for the padded write of every chunk
+        # it receives (_chunk_accum_impl: dynamic_update_slice must never
+        # clamp)
+        dev_ranges = []
+        if chunks:
+            bounds = [0]
+            for c in range(1, len(chunks)):
+                if chunks[c]["dev"] != chunks[c - 1]["dev"]:
+                    bounds.append(c)
+            bounds.append(len(chunks))
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                base = int(chunks[lo]["start"])
+                end = (
+                    int(chunks[hi]["start"]) if hi < len(chunks) else p_tail
+                )
+                acc_size = _sc.bucket(
+                    max(
+                        [end - base]
+                        + [
+                            int(c["start"]) - base + c["slot"].shape[0]
+                            for c in chunks[lo:hi]
+                        ]
+                    )
+                )
+                dev_ranges.append((lo, hi, base, end - base, acc_size))
         state = {
             "res_pos": res_pos,
             "res_rows": rows[res_pos].astype(np.int32),
             "res_qno": qno[res_pos].astype(np.int32),
             "res_plan": {},
             "tail_pos_ordered": tail_pos[order],
-            "p_tail": tail_pos.shape[0],
+            "p_tail": p_tail,
             "chunks": chunks,
-            "acc_size": acc_size,
+            "dev_ranges": dev_ranges,
+            "devices": devices,
             "r": r,
             "chunk_rows": chunk_rows_eff,
             "use_pallas": use_pallas,
@@ -738,8 +836,8 @@ def hybrid_scores(
         op2 = "max" if red_op == "max" else "sum"
         if "seg_res" not in state:
             state["seg_res"] = seg[state["res_pos"]].astype(np.int32)
-            state["seg_tail_dev"] = jnp.asarray(
-                seg[state["tail_pos_ordered"]].astype(np.int32)
+            state["seg_tail_np"] = seg[state["tail_pos_ordered"]].astype(
+                np.int32
             )
         seg_reduce_res = (op2, state["seg_res"], n_out)
 
@@ -795,9 +893,6 @@ def hybrid_scores(
             if use_pallas:
                 # blocks stage lane-padded to M_PAD for the ADC kernel
                 stage_width = stream_kernel_pq.M_PAD
-                cb_a, cb_b, cb_c = _pq_kernel_parts(codebooks, cache_store)
-            else:
-                cb_a = codebooks
         elif kind == "scalar":
             stage_dtype = np.int8
         else:
@@ -806,68 +901,118 @@ def hybrid_scores(
                 if resident.dtype == jnp.bfloat16
                 else np.float32
             )
-        if use_pallas:
-            q_dev = _sc._cached_q_upload(
-                np.ascontiguousarray(q_pad.T.astype(np.float32)),
-                plan,
-                "q_t_dev",
-            )
-        else:
-            q_dev = _sc._cached_q_upload(
-                np.asarray(q_pad, dtype=np.float32), plan, "q_dev"
-            )
+        devices = state["devices"]
+        q_host = (
+            np.ascontiguousarray(q_pad.T.astype(np.float32))
+            if use_pallas
+            else np.asarray(q_pad, dtype=np.float32)
+        )
+        q_key = "q_t_dev" if use_pallas else "q_dev"
         accum = _get_chunk_accum()
-        acc = jnp.zeros((state["acc_size"],), jnp.float32)
+
+        def _range_store(d):
+            """Per-device block-cache namespace (budget bounds EACH
+            device's cached blocks — per-chip semantics under a mesh)."""
+            if cache_store is None or devices is None:
+                return cache_store
+            return cache_store.setdefault(f"dev{d}", {})
+
+        def _acc_zeros(size, dev):
+            if dev is None:
+                return jnp.zeros((size,), jnp.float32)
+            from jax.sharding import SingleDeviceSharding
+
+            return jax.jit(
+                lambda: jnp.zeros((size,), jnp.float32),
+                out_shardings=SingleDeviceSharding(dev),
+            )()
 
         try:
-            # one-deep block prefetch: ship chunk c+1 while c's kernel
-            # runs (device_put is async; transfers overlap the kernel
-            # dispatches)
-            pending = _upload_block(
-                chunks[0], host_tail, chunk_rows_eff, stage_dtype,
-                cache_store, cache_device_blocks_budget, state,
-                stage_width=stage_width,
-            )
-            for c, chunk in enumerate(chunks):
-                block_dev = pending
-                if c + 1 < len(chunks):
-                    pending = _upload_block(
-                        chunks[c + 1], host_tail, chunk_rows_eff,
-                        stage_dtype, cache_store,
-                        cache_device_blocks_budget, state,
-                        stage_width=stage_width,
+            accs = []
+            for lo, hi, base, p_rng, acc_size in state["dev_ranges"]:
+                d = chunks[lo]["dev"]
+                dev = devices[d] if devices is not None else None
+                if dev is None:
+                    q_dev = _sc._cached_q_upload(q_host, plan, q_key)
+                else:
+                    q_dev = _q_upload_dev(q_host, plan, f"{q_key}@{d}", dev)
+                if kind == "pq":
+                    cb_a, cb_b, cb_c = _pq_codebooks_on(
+                        codebooks, cache_store, dev, d, use_pallas
                     )
-                acc = accum(
-                    block_dev,
-                    q_dev,
-                    chunk["cand"],
-                    chunk["tile"],
-                    acc,
-                    chunk["slot"],
-                    chunk["start"],
-                    cb_a,
-                    cb_b,
-                    cb_c,
-                    r=r,
-                    precision=precision,
-                    use_pallas=use_pallas,
-                    kind=kind,
-                    m=m,
+                store_d = _range_store(d)
+                acc = _acc_zeros(acc_size, dev)
+                # one-deep block prefetch: ship chunk c+1 while c's
+                # kernel runs (device_put is async; transfers overlap
+                # the kernel dispatches).  Ranges dispatch back-to-back,
+                # so each device's uploads/kernels run concurrently.
+                pending = _upload_block(
+                    chunks[lo], host_tail, chunk_rows_eff, stage_dtype,
+                    store_d, cache_device_blocks_budget, state,
+                    stage_width=stage_width, device=dev,
                 )
+                for c in range(lo, hi):
+                    chunk = chunks[c]
+                    block_dev = pending
+                    if c + 1 < hi:
+                        pending = _upload_block(
+                            chunks[c + 1], host_tail, chunk_rows_eff,
+                            stage_dtype, store_d,
+                            cache_device_blocks_budget, state,
+                            stage_width=stage_width, device=dev,
+                        )
+                    acc = accum(
+                        block_dev,
+                        q_dev,
+                        chunk["cand"],
+                        chunk["tile"],
+                        acc,
+                        chunk["slot"],
+                        np.int32(int(chunk["start"]) - base),
+                        cb_a,
+                        cb_b,
+                        cb_c,
+                        r=r,
+                        precision=precision,
+                        use_pallas=use_pallas,
+                        kind=kind,
+                        m=m,
+                    )
+                accs.append(acc)
             if reduce is not None:
-                red = _acc_seg_reduce(
-                    acc,
-                    state["seg_tail_dev"],
-                    state["p_tail"],
-                    n_out,
-                    op2,
-                )
-                tail_part = np.asarray(jax.device_get(red))
-                STATS["fetch_floats"] += int(tail_part.shape[0])
+                if "seg_tail_devs" not in state:
+                    seg_ordered = state["seg_tail_np"]
+                    state["seg_tail_devs"] = [
+                        jax.device_put(
+                            seg_ordered[base : base + p_rng],
+                            devices[chunks[lo]["dev"]]
+                            if devices is not None
+                            else None,
+                        )
+                        for lo, hi, base, p_rng, _ in state["dev_ranges"]
+                    ]
+                parts = []
+                for acc, seg_d, (lo, hi, base, p_rng, _) in zip(
+                    accs, state["seg_tail_devs"], state["dev_ranges"]
+                ):
+                    red = _acc_seg_reduce(acc, seg_d, p_rng, n_out, op2)
+                    parts.append(np.asarray(jax.device_get(red)))
+                    STATS["fetch_floats"] += n_out
+                if parts:
+                    if op2 == "max":
+                        tail_part = np.maximum.reduce(parts)
+                    else:
+                        tail_part = np.sum(parts, axis=0, dtype=np.float64)
             else:
-                tail_scores = np.asarray(
-                    jax.device_get(acc)
-                )[: state["p_tail"]]
+                pieces = [
+                    np.asarray(jax.device_get(acc))[:p_rng]
+                    for acc, (lo, hi, base, p_rng, _) in zip(
+                        accs, state["dev_ranges"]
+                    )
+                ]
+                tail_scores = (
+                    np.concatenate(pieces) if len(pieces) > 1 else pieces[0]
+                )
                 STATS["fetch_floats"] += int(tail_scores.shape[0])
         except Exception as e:  # pragma: no cover - device-specific
             if not use_pallas:

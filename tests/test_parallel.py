@@ -550,6 +550,26 @@ class TestShardedHybrid(unittest.TestCase):
         ranking = Ranking.from_run(run, queries={"q1": "a"})
         self._assert_parity(plain, hybrid, ranking)
 
+    def test_tail_chunks_spread_across_devices(self):
+        """Multi-device tail streaming: with an explicit mesh the tail
+        chunks are assigned to the mesh's devices in contiguous ranges
+        (upload bandwidth and kernel FLOPs scale with the chip count),
+        and the scores still match the single-device index."""
+        plain, hybrid = self._pair(None, Mode.PASSAGE, 1 << 20)
+        run = {"q1": {f"p{i}": float(i) for i in range(0, self.N, 2)}}
+        ranking = Ranking.from_run(run, queries={"q1": "a"})
+        self._assert_parity(plain, hybrid, ranking)
+        plan = next(iter(hybrid._plans.values()))
+        state = plan["hybrid"]
+        self.assertIsNotNone(state["devices"])
+        devs_used = {c["dev"] for c in state["chunks"]}
+        self.assertGreater(len(devs_used), 1, "tail ran on one device")
+        self.assertEqual(len(state["dev_ranges"]), len(devs_used))
+        # chunk grids live on their assigned devices
+        for chunk in state["chunks"]:
+            (dev,) = chunk["cand"].devices()
+            self.assertEqual(dev, state["devices"][chunk["dev"]])
+
     def test_whole_mesh_budget_fits_plain_sharded(self):
         """A corpus within chips x budget builds the PLAIN sharded view —
         the hybrid tier only engages beyond the whole mesh's HBM."""
