@@ -570,6 +570,46 @@ class TestShardedHybrid(unittest.TestCase):
             (dev,) = chunk["cand"].devices()
             self.assertEqual(dev, state["devices"][chunk["dev"]])
 
+    def test_early_stopping_on_sharded_hybrid(self):
+        plain, hybrid = self._pair(None, Mode.PASSAGE, 1 << 20)
+        run = {"q1": {f"p{i}": float(i) for i in range(0, self.N, 3)}}
+        ranking = Ranking.from_run(run, queries={"q1": "a"})
+        kwargs = dict(
+            early_stopping=10,
+            early_stopping_alpha=0.5,
+            early_stopping_depths=(64, 512, 2048),
+        )
+        a = plain(ranking, **kwargs)["q1"]
+        b = hybrid(ranking, **kwargs)["q1"]
+        self.assertEqual(set(a), set(b))
+        for key in a:
+            self.assertAlmostEqual(a[key], b[key], places=3, msg=key)
+
+    def test_very_ragged_docs_on_sharded_hybrid(self):
+        """A >64-passage document on the sharded hybrid view routes through
+        chunked-K grouped scoring over the hybrid engine (reference handles
+        any raggedness in every configuration, reference:
+        ``index/base.py:306-312``)."""
+        doc_ids = ["dBIG"] * 100 + [f"d{i}" for i in range(100, self.N)]
+        run = {"q1": {"dBIG": 3.0, "d5000": 2.0, f"d{self.N - 1}": 1.0}}
+        ranking = Ranking.from_run(run, queries={"q1": "a"})
+        results = []
+        for kwargs in (
+            {},
+            dict(
+                mesh_config=MeshConfig(**self.MESH),
+                hbm_budget=1 << 20,
+                stream_chunk_rows=1024,
+            ),
+        ):
+            index = InMemoryIndex(self.enc, mode=Mode.MAXP, **kwargs)
+            index.add(self.corpus, doc_ids=doc_ids)
+            results.append(index(ranking)["q1"])
+        plain, hybrid = results
+        self.assertEqual(set(plain), set(hybrid))
+        for doc in plain:
+            self.assertAlmostEqual(plain[doc], hybrid[doc], places=3, msg=doc)
+
     def test_whole_mesh_budget_fits_plain_sharded(self):
         """A corpus within chips x budget builds the PLAIN sharded view —
         the hybrid tier only engages beyond the whole mesh's HBM."""
