@@ -34,9 +34,13 @@ the ADC math for the systolic array:
   its tile's ``(r, M_PAD)`` block through the index map and takes static
   lane slices per group — no dynamic lane slicing in the kernel.
 
-Mosaic layout constraints honored (probed on v5e): trailing reshapes only
-in f32 with lane-multiple minor dims, leading-batch matmuls only, no
-dynamic gathers.
+Mosaic layout constraints honored (probed on v5e): NO trailing reshapes
+at all in the kernel body — the one-hot is built by ``pltpu.repeat`` lane
+tiling plus an iota compare, with the block-diagonal codebook rows
+permuted to the matching ``k*g + j`` order (the earlier
+``(R, g, Ks) -> (R, g*Ks)`` reshape lowered only when ``Ks`` was
+lane-multiple; Ks=16 failed infer-vector-layout on chip) — leading-batch
+matmuls only, no dynamic gathers.
 """
 
 import functools
@@ -70,6 +74,15 @@ def build_blockdiag_codebooks(
     precision (three 8-bit mantissa chunks cover the 24-bit significand),
     or ``None`` when the geometry doesn't fit the kernel (``Ds`` must
     divide 128 and the group size must divide ``M``).
+
+    Row layout is PERMUTED to match the kernel's ``pltpu.repeat``-built
+    one-hot: row ``k*g + j`` holds codeword ``k`` of in-group subspace
+    ``j`` (lane block ``j*Ds``).  The kernel tiles the ``(R, g)`` code
+    slice ``Ks`` times along lanes — column ``c`` of the tiled matrix is
+    code ``c % g`` — so the matching one-hot column order is
+    ``(k, j) -> k*g + j``.  (The straight ``j*Ks + k`` order needs a
+    ``(R, g, Ks) -> (R, g*Ks)`` trailing reshape, which Mosaic rejects
+    on v5e whenever ``Ks`` isn't lane-multiple — hit with Ks=16.)
     """
     m, ks, ds = codebooks.shape
     if ds > 128 or 128 % ds:
@@ -81,9 +94,7 @@ def build_blockdiag_codebooks(
     bd = np.zeros((num_groups, g * ks, 128), dtype=np.float32)
     for grp in range(num_groups):
         for j in range(g):
-            bd[grp, j * ks : (j + 1) * ks, j * ds : (j + 1) * ds] = codebooks[
-                grp * g + j
-            ]
+            bd[grp, j::g, j * ds : (j + 1) * ds] = codebooks[grp * g + j]
     hi = bd.astype(ml_dtypes.bfloat16)
     r1 = bd - hi.astype(np.float32)
     mid = r1.astype(ml_dtypes.bfloat16)
@@ -99,25 +110,26 @@ def _adc_kernel(
     qb = qt_ref.shape[1]
 
     codes = codes_ref[0].astype(jnp.int32)  # (R, M_pad)
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, ks), 2)
+    # codeword index per one-hot lane under the permuted (k*g + j) column
+    # order: column c compares code j = c % g against codeword k = c // g
+    k_of_lane = jax.lax.broadcasted_iota(jnp.int32, (r, g * ks), 1) // g
 
     def dot(a, b):
         return jax.lax.dot(a, b, preferred_element_type=jnp.float32)
 
-    # per group (static unroll): one lane slice + broadcast compare + f32
-    # lane-aligned collapse builds the (R, g*Ks) one-hot — no transposes
-    # (sublane relayouts measured as the dominant per-tile cost in the
-    # transpose-based variant); the dequantize is two native-bf16 passes
-    # over the resident block-diagonal codebooks, exact for one-hot LHS.
+    # per group (static unroll): one lane slice + pltpu.repeat lane tiling
+    # + iota compare builds the (R, g*Ks) one-hot with NO reshape and no
+    # transposes (Mosaic rejects the (R, g, Ks)->(R, g*Ks) trailing
+    # reshape whenever Ks isn't lane-multiple, and sublane relayouts were
+    # the dominant per-tile cost in the transpose-based variant); the
+    # dequantize is 1-3 native-bf16 passes over the resident
+    # block-diagonal codebooks (permuted row order to match — see
+    # build_blockdiag_codebooks), exact for one-hot LHS.
     deq_groups = []
     for grp in range(num_groups):
         cg = codes[:, grp * g : (grp + 1) * g]  # (R, g) static lane slice
-        oh = (
-            (cg[:, :, None] == k_iota)
-            .astype(jnp.float32)
-            .reshape(r, g * ks)
-            .astype(jnp.bfloat16)
-        )
+        tiled = pltpu.repeat(cg, ks, axis=1)  # (R, g*Ks): col c -> cg[c%g]
+        oh = (tiled == k_of_lane).astype(jnp.bfloat16)
         # "exact" arrives as Precision.HIGHEST (see the lax_precision map)
         if precision == jax.lax.Precision.HIGHEST:
             # hi/mid/lo triple pass reconstructs the fp32 codebook to full
