@@ -35,8 +35,18 @@ from fastforward_tpu.ops import host_stream
 from fastforward_tpu.quantizer import PQ, ScalarQuantizer
 from fastforward_tpu.ranking import Ranking
 
+_T0 = time.time()
+
+
+def stage(msg):
+    print(f"[{time.time() - _T0:6.0f}s] {msg}", flush=True)
+
+
 rng = np.random.default_rng(4)
-n, dim = 262144, 768
+# 131072 rows keeps every table > the budgets below while halving the
+# tunnel-upload volume (the first run of this script at n=262144 burned
+# its whole 1100 s window before the first parity line).
+n, dim = 131072, 768
 corpus = rng.normal(size=(n, dim)).astype(np.float32)
 qvec = rng.normal(size=dim).astype(np.float32)
 enc = LambdaEncoder(lambda _: qvec)
@@ -44,21 +54,26 @@ run = {"q1": {f"p{i}": 1.0 for i in range(0, n, 8)}}
 
 
 def build(quantizer, **kwargs):
+    stage(f"build start: {type(quantizer).__name__} {kwargs}")
     if quantizer is not None:
         quantizer.fit(corpus[:8192])
+        stage("  quantizer fit done")
     index = InMemoryIndex(
         enc, quantizer=quantizer, mode=Mode.PASSAGE, precision="fast",
         **kwargs,
     )
     index.add(corpus, psg_ids=[f"p{i}" for i in range(n)])
+    stage("  add done")
     return index
 
 
 def parity(tag, plain, hybrid, places=2):
     view = hybrid._device_view()
     assert view.kind == "hybrid", (tag, view.kind)
+    stage(f"parity {tag}: scoring plain")
     t0 = time.time()
     a = plain(Ranking.from_run(run, queries={"q1": "x"}))["q1"]
+    stage(f"parity {tag}: scoring hybrid (cold)")
     b = hybrid(Ranking.from_run(run, queries={"q1": "x"}))["q1"]
     b2 = hybrid(Ranking.from_run(run, queries={"q1": "x"}))["q1"]  # warm
     diff = max(abs(a[k] - b[k]) for k in a)
@@ -73,21 +88,22 @@ def parity(tag, plain, hybrid, places=2):
 
 # --- 1. int8 hybrid --------------------------------------------------------
 sq_plain = build(ScalarQuantizer())
-# int8 table = 192 MiB padded; 64 MiB budget forces ~1/3 resident
-sq_hybrid = build(ScalarQuantizer(), hbm_budget=64 << 20)
+# int8 table = 96 MiB padded; 32 MiB budget forces ~1/3 resident
+sq_hybrid = build(ScalarQuantizer(), hbm_budget=32 << 20)
 parity("int8", sq_plain, sq_hybrid)
 
 # --- 2. PQ hybrid ----------------------------------------------------------
 pq_plain = build(PQ(96, 256))
-# lane-padded codes = 32 MiB; 12 MiB budget forces streaming
-pq_hybrid = build(PQ(96, 256), hbm_budget=12 << 20)
+# lane-padded codes = 16 MiB; 6 MiB budget forces streaming
+pq_hybrid = build(PQ(96, 256), hbm_budget=6 << 20)
 parity("pq", pq_plain, pq_hybrid)
 
 # --- 3. doc-mode device K reduction on a quantized hybrid ------------------
+stage("doc-mode K-reduction check")
 doc_run = {"q1": {f"d{i}": 1.0 for i in range(0, n // 8, 4)}}
 doc_hybrid = InMemoryIndex(
     enc, quantizer=ScalarQuantizer(), mode=Mode.MAXP, precision="fast",
-    hbm_budget=64 << 20,
+    hbm_budget=32 << 20,
 )
 doc_hybrid._quantizer.fit(corpus[:8192])
 doc_hybrid.add(corpus, doc_ids=[f"d{i // 8}" for i in range(n)])
@@ -104,7 +120,8 @@ print(
 )
 
 # --- 4. dense hybrid warm zero-upload --------------------------------------
-dense_hybrid = build(None, hbm_budget=512 << 20, stream_chunk_rows=1 << 15)
+# dense table = 384 MiB; 128 MiB budget keeps a resident prefix + streamed tail
+dense_hybrid = build(None, hbm_budget=128 << 20, stream_chunk_rows=1 << 15)
 ranking = Ranking.from_run(
     {"q1": {f"p{i}": 1.0 for i in range(0, n, 64)}}, queries={"q1": "x"}
 )
