@@ -101,11 +101,12 @@ parity("pq", pq_plain, pq_hybrid)
 # --- 3. doc-mode device K reduction on a quantized hybrid ------------------
 stage("doc-mode K-reduction check")
 doc_run = {"q1": {f"d{i}": 1.0 for i in range(0, n // 8, 4)}}
+doc_sq = ScalarQuantizer()
+doc_sq.fit(corpus[:8192])  # must be fit BEFORE attaching to an index
 doc_hybrid = InMemoryIndex(
-    enc, quantizer=ScalarQuantizer(), mode=Mode.MAXP, precision="fast",
+    enc, quantizer=doc_sq, mode=Mode.MAXP, precision="fast",
     hbm_budget=32 << 20,
 )
-doc_hybrid._quantizer.fit(corpus[:8192])
 doc_hybrid.add(corpus, doc_ids=[f"d{i // 8}" for i in range(n)])
 doc_ranking = Ranking.from_run(doc_run, queries={"q1": "x"})
 n_pairs = len(doc_run["q1"])
