@@ -138,7 +138,7 @@ def _enable_compile_cache():
 
 def measure_ours(
     corpus, qvecs, run, queries, depth, repeats, precision="exact",
-    hbm_budget=None,
+    hbm_budget=None, loops=2,
 ):
     from fastforward_tpu.encoder import LambdaEncoder
     from fastforward_tpu.index import InMemoryIndex, Mode
@@ -173,7 +173,7 @@ def measure_ours(
     first_s = time.perf_counter() - t0
     log(f"ours: first serving call (after preload) {first_s:.1f}s")
 
-    # best of two timing loops: a transient tunnel hiccup (or a one-off
+    # best of N timing loops: a transient tunnel hiccup (or a one-off
     # Pallas failure falling back to XLA) must not be recorded as the
     # steady-state rate
     if hbm_budget:
@@ -181,7 +181,7 @@ def measure_ours(
 
         host_stream.reset_stats()
     qps = 0.0
-    for attempt in range(2):
+    for attempt in range(max(1, loops)):
         t0 = time.perf_counter()
         for _ in range(repeats):
             result = index(ranking)
@@ -195,7 +195,7 @@ def measure_ours(
     if hbm_budget:
         s = host_stream.STATS
         log(
-            f"hybrid tier over {2 * repeats} warm calls: "
+            f"hybrid tier over {max(1, loops) * repeats} warm calls: "
             f"{s['upload_bytes'] / 2**20:.1f} MiB host->device table "
             f"traffic ({s['uploads']} uploads, {s['block_cache_hits']} "
             f"device-block cache hits)"
@@ -896,6 +896,11 @@ def main():
     parser.add_argument("--queries", type=int, default=512)
     parser.add_argument("--depth", type=int, default=1000)
     parser.add_argument("--repeats", type=int, default=5)
+    parser.add_argument(
+        "--loops", type=int, default=3,
+        help="timing loops of --repeats calls each; best loop is reported "
+        "(later loops run with fully warm plan/program caches)",
+    )
     parser.add_argument("--ref-repeats", type=int, default=2)
     parser.add_argument("--skip-baseline", action="store_true")
     parser.add_argument("--precision", choices=["exact", "high", "fast"], default="high")
@@ -1067,7 +1072,7 @@ def main():
     )
     qps = measure_ours(
         corpus, qvecs, run, queries, args.depth, args.repeats,
-        precision=args.precision, hbm_budget=hbm_budget,
+        precision=args.precision, hbm_budget=hbm_budget, loops=args.loops,
     )
 
     baseline_file = REPO / "BASELINE_MEASURED.json"

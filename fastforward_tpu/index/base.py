@@ -256,6 +256,51 @@ def build_hybrid_view(
     )
 
 
+def _overlap_fetch_sort(
+    scores_dev, segments: tuple, n_pairs: int
+) -> "tuple[np.ndarray, np.ndarray] | None":
+    """Chunked device->host score fetch overlapped with result ordering.
+
+    The per-call score copy is the dominant warm-call cost on remote-
+    attached devices; fetching it in chunks lets the native per-query rank
+    sort run on landed queries while later chunks are still in flight.
+    Returns ``(scores, take)``, or ``None`` when the native segmented sort
+    is unavailable (the caller then runs the one-shot path).
+    """
+    if np.dtype(scores_dev.dtype) != np.float32:
+        return None
+    from fastforward_tpu.runtime.idmap import segmented_rank_argsort_into
+
+    seg_starts, out_starts = segments
+    seg_starts = np.ascontiguousarray(seg_starts, dtype=np.int64)
+    out_starts = np.ascontiguousarray(out_starts, dtype=np.int64)
+    num_q = out_starts.shape[0]
+    seg_ends = seg_starts[1:]
+    # the device buffer may carry bucket padding past n_pairs
+    buf = np.empty(int(scores_dev.shape[0]), dtype=np.float32)
+    take = np.empty(n_pairs, dtype=np.int64)
+    state = {"q": 0, "ok": True}
+
+    def on_chunk(lo: int, hi: int) -> None:
+        if not state["ok"]:
+            return
+        q0 = state["q"]
+        # queries whose candidate block ends at or before the landed prefix
+        q1 = int(np.searchsorted(seg_ends, min(hi, n_pairs), side="right"))
+        if q1 > q0:
+            if not segmented_rank_argsort_into(
+                buf, seg_starts[q0 : q1 + 1], out_starts[q0:q1], take
+            ):
+                state["ok"] = False
+                return
+            state["q"] = q1
+
+    ops.fetch_np_overlapped(scores_dev, on_chunk=on_chunk, out=buf)
+    if not state["ok"] or state["q"] < num_q:
+        return None
+    return buf[:n_pairs], take
+
+
 def _desc_rank_order(qhi: np.ndarray, scores: np.ndarray) -> np.ndarray:
     """Stable result order for (q_id desc, score desc) in ONE pass.
 
@@ -802,6 +847,7 @@ class Index(abc.ABC):
                     reduce=reduce_spec,
                     precision=view.precision,
                     table_cache=view.aux,
+                    fetch=fetch,
                 )
             elif view.mesh is not None:
                 from fastforward_tpu.parallel.sharded import (
@@ -827,6 +873,7 @@ class Index(abc.ABC):
                     precision=view.precision,
                     plan=plan,
                     reduce=reduce_spec,
+                    fetch=fetch,
                 )
             if row_scores is not None:
                 if k == 1 or row_scores.shape[0] == n_pairs:
@@ -1022,14 +1069,27 @@ class Index(abc.ABC):
                 out_starts = np.empty(n_q, dtype=np.int64)
                 out_starts[by_rank] = cum[:-1]
                 segments = (seg_starts, out_starts)
-        scores_np = ops.fetch_np(scores_dev)[:n_pairs]
-        from fastforward_tpu.runtime.idmap import segmented_rank_argsort
+        scores_np = take = None
+        if (
+            segments is not None
+            and not isinstance(scores_dev, np.ndarray)
+            and getattr(scores_dev, "is_fully_addressable", True)
+        ):
+            # overlapped fetch: the device->host score copy is the dominant
+            # warm-call cost on remote-attached devices; stream it in chunks
+            # and rank-sort each query's block while later chunks are still
+            # in flight
+            fetched = _overlap_fetch_sort(scores_dev, segments, n_pairs)
+            if fetched is not None:
+                scores_np, take = fetched
+        if scores_np is None:
+            scores_np = ops.fetch_np(scores_dev)[:n_pairs]
+            from fastforward_tpu.runtime.idmap import segmented_rank_argsort
 
-        take = None
-        if segments is not None:
-            take = segmented_rank_argsort(scores_np, *segments)
-        if take is None:
-            take = _desc_rank_order(qkey, scores_np)
+            if segments is not None:
+                take = segmented_rank_argsort(scores_np, *segments)
+            if take is None:
+                take = _desc_rank_order(qkey, scores_np)
         # ExtensionArray.take keeps arrow-backed string columns arrow-native
         # (no object round trip when assembling the result frame)
         out = pd.DataFrame(
@@ -1053,7 +1113,14 @@ class Index(abc.ABC):
                 out_arrays=(qid_arr, id_arr, query_arr),
                 ready=True,
             )
-        return Ranking._from_trusted_frame(out, "fast-forward")
+        q_ids = None
+        if plan is not None:
+            q_ids = plan.get("q_ids_set")
+            if q_ids is None:
+                q_ids = set(np.asarray(q_uniques, dtype=object))
+                plan["q_ids_set"] = q_ids
+            q_ids = q_ids.copy()  # rankings must not share the mutable set
+        return Ranking._from_trusted_frame(out, "fast-forward", q_ids=q_ids)
 
     def _device_score_flat(
         self,

@@ -18,6 +18,7 @@ entirely via the streaming matmul-select formulation (``streamed_scores`` /
 sparse candidate sets and quantized codes.
 """
 
+import os
 from functools import partial
 
 import jax
@@ -27,6 +28,76 @@ import numpy as np
 from fastforward_tpu.parallel.multihost import fetch_np
 
 _BUCKET_MIN = 256
+
+#: Number of chunks the per-call score fetch is split into so the device->
+#: host copy overlaps with per-chunk host work (result ordering, frame
+#: assembly).  On remote-attached devices the copy is the dominant warm-call
+#: cost; chunking hides the host post-processing under it.  ``0``/``1``
+#: disables chunking.
+FETCH_CHUNKS = int(os.environ.get("FFTPU_FETCH_CHUNKS", "8"))
+
+#: Below this many elements a single blocking fetch is cheaper than the
+#: extra dispatch + per-chunk synchronization.
+_FETCH_CHUNK_MIN = 1 << 17
+
+
+@partial(jax.jit, static_argnames=("bounds",))
+def _split_even(x, bounds):
+    """Slice a 1-d array into contiguous chunks (one dispatch, many results).
+
+    Separate result buffers let the host start one async copy per chunk —
+    ``x[a:b]`` slices outside jit would each pay their own dispatch.
+    """
+    return tuple(
+        jax.lax.slice_in_dim(x, bounds[i], bounds[i + 1])
+        for i in range(len(bounds) - 1)
+    )
+
+
+def fetch_np_overlapped(
+    arr, on_chunk=None, chunks: int | None = None, out: np.ndarray | None = None
+) -> np.ndarray:
+    """Fetch a 1-d single-device array, overlapping copy with host work.
+
+    All chunk copies are started asynchronously up front (the host link
+    stays busy end-to-end); ``on_chunk(lo, hi)`` runs after rows
+    ``[lo, hi)`` have landed in ``out`` (allocated here unless passed in),
+    while later chunks are still in flight.  Falls back to one blocking
+    fetch whenever chunking is disabled, unsupported by the backend, or not
+    worth the extra dispatch.
+    """
+    if chunks is None:
+        chunks = FETCH_CHUNKS
+    n = int(arr.shape[0])
+    if out is None:
+        out = np.empty(n, dtype=np.dtype(arr.dtype))
+    parts = None
+    if (
+        chunks > 1
+        and n >= _FETCH_CHUNK_MIN
+        and getattr(arr, "ndim", 0) == 1
+        and not isinstance(arr, np.ndarray)
+    ):
+        try:
+            step = -(-n // chunks)
+            bounds = tuple(min(i * step, n) for i in range(chunks + 1))
+            parts = _split_even(arr, bounds)
+            for p in parts:
+                p.copy_to_host_async()
+        except Exception:  # pragma: no cover - backend-specific
+            parts = None
+    if parts is not None:
+        for i, p in enumerate(parts):
+            lo, hi = bounds[i], bounds[i + 1]
+            if hi > lo:
+                out[lo:hi] = np.asarray(p)
+                if on_chunk is not None:
+                    on_chunk(lo, hi)
+        return out
+    out[:n] = np.asarray(jax.device_get(arr))
+    if on_chunk is not None and n:
+        on_chunk(0, n)
+    return out
 
 #: str precision tier -> lax dot precision.  TPU matmuls DEFAULT to bf16
 #: inputs; every scoring dot takes a tier so ``"exact"`` is actually fp32
@@ -207,9 +278,13 @@ def host_segment_reduce(
 
 
 def _finalize_streamed(
-    outs, slot_of_pair, reduce, plan, slot_key, seg_reduce=None
+    outs, slot_of_pair, reduce, plan, slot_key, seg_reduce=None, fetch=True
 ):
     """Fetch streamed scores, gathering/reducing on device when possible.
+
+    With ``fetch=False`` the single-device branches return the DEVICE
+    result (callers overlap the host copy with post-processing); branches
+    that must finish on the host still return numpy.
 
     - ``reduce=(op, k, counts_dev)``: slot gather + masked K reduction run
       on device; only the ``(P,)`` result crosses the host link.
@@ -234,6 +309,8 @@ def _finalize_streamed(
             if slot_dev is not None:
                 seg_dev = _seg_dev_cached(seg, plan, slot_key + "_seg")
                 red = _gather_seg_reduce(outs, slot_dev, seg_dev, n_out, op)
+                if not fetch:
+                    return red
                 return np.asarray(jax.device_get(red))
         picked = fetch_np(outs).reshape(-1)[slot_of_pair]
         return host_segment_reduce(picked, seg, n_out, op)
@@ -250,6 +327,8 @@ def _finalize_streamed(
             slot_dev = _slot_dev_cached(slot_of_pair, plan, slot_key)
             if slot_dev is not None:
                 red = _reduce_k_device(outs, slot_dev, counts_dev, k, op)
+                if not fetch:
+                    return red
                 return np.asarray(jax.device_get(red))
     elif plan is not None or multi:
         if multi:
@@ -261,6 +340,8 @@ def _finalize_streamed(
             slot_dev = _slot_dev_cached(slot_of_pair, plan, slot_key)
             if slot_dev is not None:
                 picked = _gather_slots(outs, slot_dev)
+                if not fetch:
+                    return picked
                 return np.asarray(jax.device_get(picked))
     return fetch_np(outs).reshape(-1)[slot_of_pair]
 
@@ -769,7 +850,8 @@ def streamed_scores(
     plan: dict | None = None,
     reduce: "tuple[str, int, jnp.ndarray] | None" = None,
     seg_reduce: "tuple[str, np.ndarray, int] | None" = None,
-) -> np.ndarray | None:
+    fetch: bool = True,
+) -> "np.ndarray | jax.Array | None":
     """Score ``table[rows[i]] . q_pad[qno[i]]`` via table streaming.
 
     With ``reduce=(op, k, counts_dev)`` the rows are treated as a flattened
@@ -833,7 +915,10 @@ def streamed_scores(
                         table, q_dev, cand_dev, tile_dev, slot_dev,
                         seg_dev, r, precision, n_out, op,
                     )
-                    result = np.asarray(jax.device_get(out))
+                    result = (
+                        out if not fetch
+                        else np.asarray(jax.device_get(out))
+                    )
                 elif slot_dev is not None:
                     # kernel + slot gather (+ K reduce) as one dispatch
                     if reduce is not None:
@@ -844,7 +929,10 @@ def streamed_scores(
                         table, q_dev, cand_dev, tile_dev, slot_dev,
                         counts_dev, r, precision, k, op,
                     )
-                    result = np.asarray(jax.device_get(out))
+                    result = (
+                        out if not fetch
+                        else np.asarray(jax.device_get(out))
+                    )
                 else:  # slot map too large for int32: fetch-all fallback
                     outs = stream_kernel.stream_select(
                         table, q_dev, cand_dev, tile_dev,
@@ -853,6 +941,7 @@ def streamed_scores(
                     result = _finalize_streamed(
                         outs, slot_of_pair, reduce, plan,
                         "stream_pallas_slot", seg_reduce=seg_reduce,
+                        fetch=fetch,
                     )
                 _pallas_success()
                 return result
@@ -884,7 +973,7 @@ def streamed_scores(
     )
     return _finalize_streamed(
         outs, slot_of_pair, reduce, plan, "stream_xla_slot",
-        seg_reduce=seg_reduce,
+        seg_reduce=seg_reduce, fetch=fetch,
     )
 
 
@@ -937,7 +1026,7 @@ def _stream_select_pq_seg_finalized(
 
 def _streamed_pq_pallas(
     codes, codebooks, q_pad, rows, qno, plan, reduce, precision, table_cache,
-    seg_reduce=None,
+    seg_reduce=None, fetch=True,
 ):
     """Fused Pallas streamed-ADC path, or ``None`` to use the XLA scan."""
     from fastforward_tpu.ops import stream_kernel_pq
@@ -1013,7 +1102,10 @@ def _streamed_pq_pallas(
                 codes_p, bd_hi, bd_mid, bd_lo, q_dev, cand_dev, tile_dev,
                 slot_dev, counts_dev, m, r, precision, k, op,
             )
-        result = np.asarray(jax.device_get(out))
+        # fetch=False hands the device array back for an overlapped copy;
+        # compile failures still raise here (inside the try), only async
+        # runtime failures would then surface at the caller's fetch
+        result = out if not fetch else np.asarray(jax.device_get(out))
         _pallas_success()
         return result
     except Exception as e:  # pragma: no cover - device-specific
@@ -1034,7 +1126,8 @@ def streamed_scores_pq(
     precision: str = "exact",
     table_cache: dict | None = None,
     seg_reduce: "tuple[str, np.ndarray, int] | None" = None,
-) -> np.ndarray | None:
+    fetch: bool = True,
+) -> "np.ndarray | jax.Array | None":
     """ADC-score ``codes[rows[i]] . q_pad[qno[i]]`` via code-table streaming.
 
     Same candidate bucketing (and optional layout ``plan`` cache) as
@@ -1054,7 +1147,7 @@ def streamed_scores_pq(
     if pallas_stream_enabled():
         result = _streamed_pq_pallas(
             codes, codebooks, q_pad, rows, qno, plan, reduce, precision,
-            table_cache, seg_reduce=seg_reduce,
+            table_cache, seg_reduce=seg_reduce, fetch=fetch,
         )
         if result is not None:
             return result
@@ -1087,7 +1180,7 @@ def streamed_scores_pq(
     )
     return _finalize_streamed(
         outs, slot_of_pair, reduce, plan, "stream_pq_slot",
-        seg_reduce=seg_reduce,
+        seg_reduce=seg_reduce, fetch=fetch,
     )
 
 

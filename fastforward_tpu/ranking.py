@@ -156,14 +156,20 @@ class Ranking:
 
     @classmethod
     def _from_trusted_frame(
-        cls, df: pd.DataFrame, name: str | None
+        cls, df: pd.DataFrame, name: str | None, q_ids: set | None = None
     ) -> "Ranking":
         """Internal fast path: adopt an already-sorted, typed, deduplicated
-        frame without the constructor's validation scans."""
+        frame without the constructor's validation scans.
+
+        ``q_ids`` optionally skips the unique-scan too when the caller
+        already knows the query-ID set (prepared-run plans cache it — the
+        scan is ~6 ms per call on 512k-row frames)."""
         ranking = cls.__new__(cls)
         ranking.name = name
         ranking._df = df
-        ranking._q_ids = set(pd.unique(df["q_id"]))
+        ranking._q_ids = (
+            set(pd.unique(df["q_id"])) if q_ids is None else q_ids
+        )
         ranking._by_q = None
         return ranking
 

@@ -554,3 +554,36 @@ def segmented_rank_argsort(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return out
+
+
+def segmented_rank_argsort_into(
+    scores: np.ndarray,
+    seg_starts: np.ndarray,
+    out_starts: np.ndarray,
+    out: np.ndarray,
+) -> bool:
+    """Windowed twin of :func:`segmented_rank_argsort` for overlapped
+    fetches: sorts only the segments described by ``seg_starts`` /
+    ``out_starts`` (which may be sub-slices covering a query range), writing
+    ABSOLUTE input indices into the caller's full ``out`` buffer.
+
+    ``scores`` must be the FULL contiguous fp32 score buffer — valid at
+    least up to the last segment end in this window — and ``out`` the full
+    int64 take buffer.  Returns ``False`` when the native library is
+    unavailable (caller falls back to the one-shot sort).
+    """
+    lib = _get_lib()
+    if lib is None:
+        return False
+    assert scores.dtype == np.float32 and scores.flags.c_contiguous
+    assert out.dtype == np.int64 and out.flags.c_contiguous
+    seg_starts = np.ascontiguousarray(seg_starts, dtype=np.int64)
+    out_starts = np.ascontiguousarray(out_starts, dtype=np.int64)
+    lib.segmented_rank_argsort_f32(
+        scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        seg_starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        out_starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        seg_starts.shape[0] - 1,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return True
