@@ -1096,7 +1096,9 @@ class Index(abc.ABC):
             {
                 "q_id": qid_arr.take(take),
                 "id": id_arr.take(take),
-                "score": scores_np[take].astype(score_dtype),
+                # the fancy-index already copies; skip the astype copy when
+                # the ranking's score dtype is fp32 (2 MB/call at Q=512)
+                "score": scores_np[take].astype(score_dtype, copy=False),
                 "query": query_arr.take(take),
             }
         )

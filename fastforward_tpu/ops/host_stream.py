@@ -471,6 +471,17 @@ def _build_tail_chunks(
         lo, hi = int(starts[c]), int(starts[c + 1])
         sel = order[lo:hi]
         local = (u_of_pair[sel] - c * chunk_rows).astype(np.int64)
+        # the block only needs to cover this chunk's UNIQUE rows: bucket to
+        # a power-of-two multiple of the tile size so sparse chunks (e.g.
+        # early-stopping rounds, partial last chunks) upload and cache at
+        # their real size instead of the full chunk_rows padding — the
+        # candidate grid never addresses tiles past the unique-row count,
+        # and the bucketing bounds the compile variants to log2 sizes
+        u_count = int(min(chunk_rows, u_rows.shape[0] - c * chunk_rows))
+        block_rows = min(
+            chunk_rows,
+            -(-max(r, 1 << (u_count - 1).bit_length()) // r) * r,
+        )
         layout = _sc.build_streamed_layout(
             local,
             qno[sel].astype(np.int64),
@@ -498,6 +509,7 @@ def _build_tail_chunks(
         chunks.append(
             {
                 "rows": u_rows[c * chunk_rows : (c + 1) * chunk_rows],
+                "block_rows": block_rows,
                 "cand": put(cand),
                 "tile": put(tile_idx),
                 "slot": put(_pad_pow2(slot_of_pair.astype(np.int32), 0)),
@@ -526,20 +538,30 @@ def _chunk_block(
     never read).
     """
     rows = chunk["rows"]
+    n_rows = rows.shape[0]
+    block_rows = int(chunk.get("block_rows", chunk_rows))
     width = host_tail.shape[1] if stage_width is None else stage_width
     if (
-        rows.shape[0] == chunk_rows
+        n_rows
         and host_tail.dtype == stage_dtype
         and width == host_tail.shape[1]
     ):
         # rows come sorted-unique from np.unique: contiguous iff the span
         # equals the count
         lo = int(rows[0])
-        if int(rows[-1]) - lo == chunk_rows - 1:
-            return host_tail[lo : lo + chunk_rows], True
-        return host_tail[rows], False
-    block = np.zeros((chunk_rows, width), dtype=stage_dtype)
-    block[: rows.shape[0], : host_tail.shape[1]] = host_tail[rows]
+        if (
+            int(rows[-1]) - lo == n_rows - 1
+            and lo + block_rows <= host_tail.shape[0]
+        ):
+            # contiguous candidate span: zero-copy view (rows past n_rows
+            # are real-but-unaddressed tail rows — the candidate grid only
+            # gathers slots of candidate rows, exactly as in the full-chunk
+            # view case)
+            return host_tail[lo : lo + block_rows], True
+        if n_rows == block_rows:
+            return host_tail[rows], False
+    block = np.zeros((block_rows, width), dtype=stage_dtype)
+    block[:n_rows, : host_tail.shape[1]] = host_tail[rows]
     return block, False
 
 
@@ -554,6 +576,9 @@ def _block_cache_key(chunk: dict, stage_dtype, stage_width) -> tuple:
             np.dtype(stage_dtype).char,
             stage_width,
             rows.shape[0],
+            # block size is part of the identity: the Pallas and scan tile
+            # sizes can bucket the same row set to different block shapes
+            chunk.get("block_rows"),
             hash(rows.tobytes()),
         )
         chunk["cache_key"] = key

@@ -170,6 +170,40 @@ class TestHybridTier(unittest.TestCase):
         )
         self.assertEqual(first, hybrid(ranking))
 
+    def test_sparse_chunks_stage_bucketed_blocks(self):
+        """A sparse candidate set must upload (and cache) blocks sized to
+        its unique rows, not the full ``chunk_rows`` padding.
+
+        Regression for the round-4 on-chip validation FAIL: with
+        ``chunk_rows`` blocks bigger than the leftover device budget,
+        caching was all-or-nothing and every warm call re-uploaded a full
+        padded block (96 MiB for ~1.6k candidate rows on the chip).
+        """
+        from fastforward_tpu.ops import host_stream
+
+        plain = _psg_index()
+        hybrid = _psg_index(
+            hbm_budget=(1 << 20) + (1 << 18), stream_chunk_rows=4096
+        )
+        # every 64th passage: ~80 unique tail rows against 4096-row chunks
+        run = {"q1": {f"p{i}": 1.0 for i in range(0, N, 64)}}
+        ranking = Ranking.from_run(run, queries={"q1": "a"})
+        want = plain(ranking)
+        got = hybrid(ranking)
+        self.assertEqual(want, got)
+        view = hybrid._device_view()
+        plan = next(iter(hybrid._plans.values()))
+        for chunk in plan["hybrid"]["chunks"]:
+            self.assertLess(chunk["block_rows"], 4096)
+        host_stream.reset_stats()
+        self.assertEqual(want, hybrid(ranking))
+        self.assertEqual(
+            host_stream.STATS["upload_bytes"],
+            0,
+            "warm call re-uploaded table bytes: bucketed blocks must fit "
+            f"the leftover budget ({view.tail_cache_budget} B)",
+        )
+
     def test_add_invalidates_hybrid_view(self):
         hybrid = _psg_index(hbm_budget=BUDGET, stream_chunk_rows=1024)
         ranking = _psg_ranking()
