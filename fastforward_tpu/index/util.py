@@ -120,6 +120,95 @@ def expand_pairs_grouped(
     return rows_mat.astype(np.int32), counts_per_pair.astype(np.int32)
 
 
+class ChunkIndexer:
+    """Retrieve vectors for IDs from a list of chunk arrays/memmaps.
+
+    Reference-compatible utility (reference: ``index/util.py:45-113``) for
+    users whose vectors live in a list of chunks — e.g. memmapped HDF5
+    datasets read chunk-by-chunk — rather than in one logical array.  The
+    first chunk may be larger than the rest; all later chunks share one
+    size (the reference's chunk layout).
+
+    Unlike the reference's per-ID Python loop, resolution is vectorized:
+    chunk indices come from integer arithmetic over the whole row array,
+    rows are grouped per chunk with one stable argsort, and each touched
+    chunk is read with a single fancy index.  Output pairs ``(vectors[i],
+    ids[i])`` always correspond; rows are grouped by ascending chunk (the
+    reference groups by first appearance — both orders are "grouped by
+    chunk", and no consumer depends on group order).
+    """
+
+    def __init__(
+        self,
+        chunks: "Sequence[np.ndarray]",
+        doc_id_to_idx: Mapping[str, Sequence[int]],
+        psg_id_to_idx: Mapping[str, int],
+    ) -> None:
+        """Create a chunk indexer.
+
+        :param chunks: The chunk arrays (the first may be a different size).
+        :param doc_id_to_idx: Document IDs mapped to non-chunked indices.
+        :param psg_id_to_idx: Passage IDs mapped to non-chunked indices.
+        """
+        self._chunks = list(chunks)
+        self._doc_id_to_idx = doc_id_to_idx
+        self._psg_id_to_idx = psg_id_to_idx
+
+    def _get_chunk_indices(self, idx: int) -> tuple[int, int]:
+        """Map a global row index to ``(chunk index, index within chunk)``.
+
+        Kept name-compatible with the reference helper, which its
+        ``InMemoryIndex`` calls from other modules.
+        """
+        first = int(self._chunks[0].shape[0])
+        if idx < first:
+            return 0, int(idx)
+        rest = int(self._chunks[1].shape[0])
+        return int((idx - first) // rest) + 1, int((idx - first) % rest)
+
+    def __call__(
+        self, ids: Iterable[str], mode: Mode
+    ) -> tuple[np.ndarray, list[str]]:
+        """Retrieve vectors (and their repeated IDs) for the given IDs.
+
+        :param ids: IDs to return vectors for.
+        :param mode: The ranking mode (drives doc/passage resolution).
+        :raises IndexError: When an ID cannot be found in the index.
+        :return: The vectors and corresponding IDs, grouped by chunk.
+        """
+        ids = list(ids)
+        rows, counts = resolve_rows(
+            ids, mode, self._doc_id_to_idx, self._psg_id_to_idx
+        )
+        if rows.shape[0] == 0:
+            return np.array([]), []
+        rows64 = rows.astype(np.int64)
+        first = int(self._chunks[0].shape[0])
+        if len(self._chunks) == 1:
+            chunk_no = np.zeros_like(rows64)
+            within = rows64
+        else:
+            rest = int(self._chunks[1].shape[0])
+            tail = rows64 - first
+            in_first = rows64 < first
+            chunk_no = np.where(in_first, 0, tail // rest + 1)
+            within = np.where(in_first, rows64, tail % rest)
+        id_per_row = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+        order = np.argsort(chunk_no, kind="stable")
+        chunk_no = chunk_no[order]
+        within = within[order]
+        out_ids = [ids[i] for i in id_per_row[order]]
+        bounds = np.searchsorted(
+            chunk_no, np.arange(len(self._chunks) + 1, dtype=np.int64)
+        )
+        parts = [
+            self._chunks[c][within[lo:hi]]
+            for c, (lo, hi) in enumerate(zip(bounds[:-1], bounds[1:]))
+            if hi > lo
+        ]
+        return np.concatenate(parts), out_ids
+
+
 def get_indices(
     ids: Iterable[str],
     mode: Mode,

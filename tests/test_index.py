@@ -710,5 +710,81 @@ def _assert_vectors_match(vecs_1, ids_1, vecs_2, ids_2):
             np.testing.assert_almost_equal(vecs_1[p1], vecs_2[p2], decimal=6)
 
 
+class TestChunkIndexer(unittest.TestCase):
+    """Contract of the chunked-vector retrieval utility.
+
+    Mirrors the reference's ``index.util.ChunkIndexer`` semantics
+    (reference: ``index/util.py:45-113``): resolve IDs per mode, fetch
+    rows out of a list of chunks whose first chunk may be larger, return
+    consistently paired (vectors, ids).
+    """
+
+    def setUp(self):
+        from fastforward_tpu.index.util import ChunkIndexer
+
+        rng = np.random.default_rng(7)
+        self.table = rng.normal(size=(11, 4)).astype(np.float32)
+        # first chunk larger than the rest (5 + 3 + 3)
+        self.chunks = [self.table[:5], self.table[5:8], self.table[8:]]
+        self.doc_id_to_idx = {
+            "d0": [0, 1, 6],
+            "d1": [2],
+            "d2": [5, 9, 10],
+            "d3": [4],
+        }
+        self.psg_id_to_idx = {f"p{i}": i for i in range(11)}
+        self.indexer = ChunkIndexer(
+            self.chunks, self.doc_id_to_idx, self.psg_id_to_idx
+        )
+
+    def test_get_chunk_indices(self):
+        for global_row in range(11):
+            c, w = self.indexer._get_chunk_indices(global_row)
+            np.testing.assert_array_equal(
+                self.chunks[c][w], self.table[global_row]
+            )
+
+    def test_passage_mode(self):
+        vecs, ids = self.indexer(["p3", "p8", "p5"], Mode.PASSAGE)
+        _assert_vectors_match(
+            vecs, ids, self.table[[3, 8, 5]], ["p3", "p8", "p5"]
+        )
+
+    def test_doc_modes(self):
+        for mode in (Mode.MAXP, Mode.AVEP):
+            vecs, ids = self.indexer(["d2", "d0"], mode)
+            _assert_vectors_match(
+                vecs,
+                ids,
+                self.table[[5, 9, 10, 0, 1, 6]],
+                ["d2", "d2", "d2", "d0", "d0", "d0"],
+            )
+
+    def test_firstp_mode(self):
+        vecs, ids = self.indexer(["d2", "d0", "d3"], Mode.FIRSTP)
+        _assert_vectors_match(
+            vecs, ids, self.table[[5, 0, 4]], ["d2", "d0", "d3"]
+        )
+
+    def test_single_chunk(self):
+        from fastforward_tpu.index.util import ChunkIndexer
+
+        one = ChunkIndexer(
+            [self.table], self.doc_id_to_idx, self.psg_id_to_idx
+        )
+        vecs, ids = one(["p10", "p0"], Mode.PASSAGE)
+        _assert_vectors_match(vecs, ids, self.table[[10, 0]], ["p10", "p0"])
+
+    def test_unknown_id_raises(self):
+        with self.assertRaises(IndexError):
+            self.indexer(["nope"], Mode.PASSAGE)
+
+    def test_pairing_is_consistent(self):
+        # every returned vector must equal the table row its ID resolves to
+        vecs, ids = self.indexer(["p7", "p1", "p0", "p9"], Mode.PASSAGE)
+        for v, i in zip(vecs, ids):
+            np.testing.assert_array_equal(v, self.table[int(i[1:])])
+
+
 if __name__ == "__main__":
     unittest.main()
