@@ -1,0 +1,152 @@
+"""Stage breakdown of one warm serving call on the current backend.
+
+Times the components of the prepared-run fast path at the flagship query
+shape (Q=512, depth-1000 -> 512k pair scores) against a smaller table
+(N defaults to 200k: per-call work depends on Q x depth, not N, and the
+upload stays ~30 s over the dev tunnel).  Stages:
+
+  encode    LambdaEncoder lookup + stacking (host)
+  dispatch  _device_score_grouped(fetch=False) returning the async array
+  fetch     one-shot synchronous score fetch (includes device execution)
+  ovl+sort  production path: chunked fetch overlapped with the native
+            segmented rank sort
+  assemble  categorical takes + result frame + Ranking ctor
+  full call index(ranking), the number bench.py reports
+
+Usage: timeout 1200 python scripts/profile_serving.py [--n 200000]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--n", type=int, default=200_000)
+parser.add_argument("--q", type=int, default=512)
+parser.add_argument("--depth", type=int, default=1000)
+parser.add_argument("--dim", type=int, default=768)
+parser.add_argument("--iters", type=int, default=10)
+args = parser.parse_args()
+
+import jax  # noqa: E402
+
+print("backend:", jax.default_backend(), flush=True)
+
+from fastforward_tpu.encoder import LambdaEncoder  # noqa: E402
+from fastforward_tpu.index import InMemoryIndex, Mode  # noqa: E402
+from fastforward_tpu.index.base import _overlap_fetch_sort  # noqa: E402
+from fastforward_tpu import ops  # noqa: E402
+from fastforward_tpu.ranking import Ranking  # noqa: E402
+
+rng = np.random.default_rng(0)
+corpus = rng.normal(size=(args.n, args.dim)).astype(np.float32)
+qvecs = rng.normal(size=(args.q, args.dim)).astype(np.float32)
+queries = {f"q{i}": f"query {i}" for i in range(args.q)}
+qmap = {f"query {i}": qvecs[i] for i in range(args.q)}
+
+index = InMemoryIndex(
+    LambdaEncoder(lambda q: qmap[q]),
+    mode=Mode.PASSAGE,
+    precision="high",
+)
+index.add(corpus, psg_ids=[f"p{i}" for i in range(args.n)])
+
+run = {
+    f"q{i}": {
+        f"p{j}": float(args.depth - k)
+        for k, j in enumerate(
+            rng.choice(args.n, size=args.depth, replace=False)
+        )
+    }
+    for i in range(args.q)
+}
+ranking = Ranking.from_run(run, queries=queries)
+
+t0 = time.perf_counter()
+index.preload(warm=(args.q, args.depth))
+print(f"preload: {time.perf_counter() - t0:.1f}s", flush=True)
+
+t0 = time.perf_counter()
+index(ranking)
+print(f"first call: {time.perf_counter() - t0:.2f}s", flush=True)
+index(ranking)
+
+plan = index._get_plan(ranking)
+assert plan is not None and plan.get("ready"), "plan must be warm"
+view = index._device_view()
+q_list = plan["queries"]
+segments = plan["segments"]
+n_pairs = plan["n_pairs"]
+
+
+def timed(label, fn, iters=args.iters):
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn()
+        best = min(best, time.perf_counter() - t0)
+    print(f"{label:>10}: {best * 1e3:8.2f} ms (best of {iters})", flush=True)
+    return out
+
+
+qv = timed("encode", lambda: index.encode_queries(q_list))
+
+scores_dev = timed(
+    "dispatch",
+    lambda: index._device_score_grouped(
+        view, qv, plan["rows_mat"], plan["pair_qno"], plan["counts_pp"],
+        plan["k"], fetch=False, plan=plan,
+    ),
+)
+
+timed("fetch", lambda: np.asarray(jax.device_get(scores_dev))[:n_pairs])
+
+
+def dispatch_and_overlap():
+    sd = index._device_score_grouped(
+        view, qv, plan["rows_mat"], plan["pair_qno"], plan["counts_pp"],
+        plan["k"], fetch=False, plan=plan,
+    )
+    return _overlap_fetch_sort(sd, segments, n_pairs)
+
+
+fetched = timed("disp+ovl", dispatch_and_overlap)
+assert fetched is not None, "overlapped path must be live"
+scores_np, take = fetched
+
+qid_arr, id_arr, query_arr = plan["out_arrays"]
+
+
+def assemble():
+    import pandas as pd
+
+    out = pd.DataFrame(
+        {
+            "q_id": qid_arr.take(take),
+            "id": id_arr.take(take),
+            "score": scores_np[take].astype(np.float32, copy=False),
+            "query": query_arr.take(take),
+        }
+    )
+    return Ranking._from_trusted_frame(out, "fast-forward")
+
+
+timed("assemble", assemble)
+
+timed("full call", lambda: index(ranking))
+
+# steady-state rate over a longer window (what bench.py reports)
+t0 = time.perf_counter()
+for _ in range(args.iters):
+    index(ranking)
+dt = time.perf_counter() - t0
+print(
+    f"steady: {args.iters} calls in {dt:.3f}s -> "
+    f"{args.q * args.iters / dt:.1f} QPS",
+    flush=True,
+)
