@@ -256,16 +256,43 @@ def build_hybrid_view(
     )
 
 
+def _cat_from_codes(codes: np.ndarray, like: "pd.Categorical") -> "pd.Categorical":
+    """Wrap already-gathered codes in ``like``'s categorical dtype.
+
+    ``validate=False`` skips the O(n) code-range scan — the codes are takes
+    of ``like.codes`` so they are valid by construction (older pandas
+    without the kwarg falls back to the validating path).
+    """
+    try:
+        return pd.Categorical.from_codes(codes, dtype=like.dtype, validate=False)
+    except TypeError:  # pragma: no cover - pandas < 2.1
+        return pd.Categorical.from_codes(codes, dtype=like.dtype)
+
+
 def _overlap_fetch_sort(
-    scores_dev, segments: tuple, n_pairs: int
-) -> "tuple[np.ndarray, np.ndarray] | None":
+    scores_dev,
+    segments: tuple,
+    n_pairs: int,
+    sinks: "tuple[tuple, tuple] | None" = None,
+) -> "tuple[np.ndarray, np.ndarray, bool] | None":
     """Chunked device->host score fetch overlapped with result ordering.
 
     The per-call score copy is the dominant warm-call cost on remote-
     attached devices; fetching it in chunks lets the native per-query rank
     sort run on landed queries while later chunks are still in flight.
-    Returns ``(scores, take)``, or ``None`` when the native segmented sort
-    is unavailable (the caller then runs the one-shot path).
+
+    ``sinks = (srcs, dsts)``: aligned tuples of 1-d arrays — ``srcs`` in
+    candidate (input) order, ``dsts`` in result order; the fetched score
+    buffer itself is an implicit first src whose dst must be passed as
+    ``dsts[0]`` with ``srcs[0] is None``.  As soon as a contiguous result
+    region's take entries are final, ``dst[region] = src[take[region]]``
+    runs under the still-in-flight later chunks, hiding the result
+    assembly gathers behind the transfer.
+
+    Returns ``(scores, take, materialized)`` — ``materialized`` reports
+    that every sink row was written — or ``None`` when the native
+    segmented sort is unavailable (the caller then runs the one-shot
+    path).
     """
     if np.dtype(scores_dev.dtype) != np.float32:
         return None
@@ -279,7 +306,17 @@ def _overlap_fetch_sort(
     # the device buffer may carry bucket padding past n_pairs
     buf = np.empty(int(scores_dev.shape[0]), dtype=np.float32)
     take = np.empty(n_pairs, dtype=np.int64)
-    state = {"q": 0, "ok": True}
+    pairs = ()
+    if sinks is not None:
+        srcs, dsts = sinks
+        pairs = tuple(
+            (buf if src is None else src, dst) for src, dst in zip(srcs, dsts)
+        )
+    # mat_lo: result rows [mat_lo, n_pairs) are materialized into the sinks.
+    # Sorted blocks land in input order; their result positions tile a
+    # suffix exactly when the covered length matches (blocks are disjoint
+    # and all end <= n_pairs), so the suffix check is also the hole check.
+    state = {"q": 0, "ok": True, "covered": 0, "lo_min": n_pairs, "mat_lo": n_pairs}
 
     def on_chunk(lo: int, hi: int) -> None:
         if not state["ok"]:
@@ -287,18 +324,40 @@ def _overlap_fetch_sort(
         q0 = state["q"]
         # queries whose candidate block ends at or before the landed prefix
         q1 = int(np.searchsorted(seg_ends, min(hi, n_pairs), side="right"))
-        if q1 > q0:
-            if not segmented_rank_argsort_into(
-                buf, seg_starts[q0 : q1 + 1], out_starts[q0:q1], take
-            ):
-                state["ok"] = False
-                return
-            state["q"] = q1
+        if q1 <= q0:
+            return
+        if not segmented_rank_argsort_into(
+            buf, seg_starts[q0 : q1 + 1], out_starts[q0:q1], take
+        ):
+            state["ok"] = False
+            return
+        state["q"] = q1
+        if not pairs:
+            return
+        state["covered"] += int(seg_starts[q1] - seg_starts[q0])
+        state["lo_min"] = min(state["lo_min"], int(out_starts[q0:q1].min()))
+        if (
+            state["covered"] == n_pairs - state["lo_min"]
+            and state["lo_min"] < state["mat_lo"]
+        ):
+            region = slice(state["lo_min"], state["mat_lo"])
+            sl = take[region]
+            for src, dst in pairs:
+                dst[region] = src[sl]
+            state["mat_lo"] = state["lo_min"]
 
     ops.fetch_np_overlapped(scores_dev, on_chunk=on_chunk, out=buf)
     if not state["ok"] or state["q"] < num_q:
         return None
-    return buf[:n_pairs], take
+    materialized = False
+    if pairs:
+        if state["mat_lo"] > 0:  # remainder (or non-suffix tiling orders)
+            region = slice(0, state["mat_lo"])
+            sl = take[region]
+            for src, dst in pairs:
+                dst[region] = src[sl]
+        materialized = True
+    return buf[:n_pairs], take, materialized
 
 
 def _desc_rank_order(qhi: np.ndarray, scores: np.ndarray) -> np.ndarray:
@@ -1070,6 +1129,9 @@ class Index(abc.ABC):
                 out_starts[by_rank] = cum[:-1]
                 segments = (seg_starts, out_starts)
         scores_np = take = None
+        materialized = False
+        cats = (qid_arr, id_arr, query_arr)
+        dst_cols: tuple = ()
         if (
             segments is not None
             and not isinstance(scores_dev, np.ndarray)
@@ -1079,9 +1141,19 @@ class Index(abc.ABC):
             # warm-call cost on remote-attached devices; stream it in chunks
             # and rank-sort each query's block while later chunks are still
             # in flight
-            fetched = _overlap_fetch_sort(scores_dev, segments, n_pairs)
+            sinks = None
+            if all(isinstance(a, pd.Categorical) for a in cats):
+                # result assembly rides the overlap too: gather the result-
+                # ordered score/code columns as each query block's take
+                # entries become final, instead of serially afterwards
+                dst_cols = (
+                    np.empty(n_pairs, dtype=np.float32),
+                    *(np.empty(n_pairs, dtype=a.codes.dtype) for a in cats),
+                )
+                sinks = ((None, *(a.codes for a in cats)), dst_cols)
+            fetched = _overlap_fetch_sort(scores_dev, segments, n_pairs, sinks)
             if fetched is not None:
-                scores_np, take = fetched
+                scores_np, take, materialized = fetched
         if scores_np is None:
             scores_np = ops.fetch_np(scores_dev)[:n_pairs]
             from fastforward_tpu.runtime.idmap import segmented_rank_argsort
@@ -1090,18 +1162,29 @@ class Index(abc.ABC):
                 take = segmented_rank_argsort(scores_np, *segments)
             if take is None:
                 take = _desc_rank_order(qkey, scores_np)
-        # ExtensionArray.take keeps arrow-backed string columns arrow-native
-        # (no object round trip when assembling the result frame)
-        out = pd.DataFrame(
-            {
-                "q_id": qid_arr.take(take),
-                "id": id_arr.take(take),
-                # the fancy-index already copies; skip the astype copy when
-                # the ranking's score dtype is fp32 (2 MB/call at Q=512)
-                "score": scores_np[take].astype(score_dtype, copy=False),
-                "query": query_arr.take(take),
-            }
-        )
+        if materialized:
+            score_col, qid_col, id_col, query_col = dst_cols
+            out = pd.DataFrame(
+                {
+                    "q_id": _cat_from_codes(qid_col, qid_arr),
+                    "id": _cat_from_codes(id_col, id_arr),
+                    "score": score_col.astype(score_dtype, copy=False),
+                    "query": _cat_from_codes(query_col, query_arr),
+                }
+            )
+        else:
+            # ExtensionArray.take keeps arrow-backed string columns arrow-
+            # native (no object round trip when assembling the result frame)
+            out = pd.DataFrame(
+                {
+                    "q_id": qid_arr.take(take),
+                    "id": id_arr.take(take),
+                    # the fancy-index already copies; skip the astype copy
+                    # when the ranking's score dtype is fp32 (2 MB at Q=512)
+                    "score": scores_np[take].astype(score_dtype, copy=False),
+                    "query": query_arr.take(take),
+                }
+            )
         if plan is not None and not plan.get("ready"):
             plan.update(
                 n_pairs=n_pairs,

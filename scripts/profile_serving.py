@@ -117,7 +117,7 @@ def dispatch_and_overlap():
 
 fetched = timed("disp+ovl", dispatch_and_overlap)
 assert fetched is not None, "overlapped path must be live"
-scores_np, take = fetched
+scores_np, take, _ = fetched
 
 qid_arr, id_arr, query_arr = plan["out_arrays"]
 

@@ -88,6 +88,64 @@ class TestSegmentedArgsortInto(unittest.TestCase):
         np.testing.assert_array_equal(got, want)
 
 
+class TestOverlapSinks(unittest.TestCase):
+    """Result-assembly gathers riding the overlapped fetch."""
+
+    def _run(self, out_order):
+        """Sort 6 segments of mixed lengths whose result blocks are laid
+        out in ``out_order`` (a permutation of segment numbers)."""
+        from fastforward_tpu.index.base import _overlap_fetch_sort
+
+        rng = np.random.default_rng(11)
+        lengths = np.array([5, 9, 3, 8, 1, 6], dtype=np.int64)
+        n = int(lengths.sum())
+        seg_starts = np.zeros(7, dtype=np.int64)
+        np.cumsum(lengths, out=seg_starts[1:])
+        out_starts = np.empty(6, dtype=np.int64)
+        pos = 0
+        for q in out_order:
+            out_starts[q] = pos
+            pos += lengths[q]
+        scores = rng.standard_normal(n).astype(np.float32)
+        codes = rng.integers(0, 100, size=n).astype(np.int32)
+        dst_scores = np.full(n, np.nan, dtype=np.float32)
+        dst_codes = np.full(n, -1, dtype=np.int32)
+        x = jnp.asarray(scores)
+        old = scoring._FETCH_CHUNK_MIN
+        scoring._FETCH_CHUNK_MIN = 1
+        try:
+            fetched = _overlap_fetch_sort(
+                x,
+                (seg_starts, out_starts),
+                n,
+                sinks=((None, codes), (dst_scores, dst_codes)),
+            )
+        finally:
+            scoring._FETCH_CHUNK_MIN = old
+        if fetched is None:
+            self.skipTest("native runtime unavailable")
+        got_scores, take, materialized = fetched
+        self.assertTrue(materialized)
+        np.testing.assert_array_equal(got_scores, scores)
+        np.testing.assert_array_equal(dst_scores, scores[take])
+        np.testing.assert_array_equal(dst_codes, codes[take])
+        # per-segment descending order in the result blocks
+        for q in range(6):
+            blk = dst_scores[out_starts[q] : out_starts[q] + lengths[q]]
+            self.assertTrue((np.diff(blk) <= 0).all())
+
+    def test_reverse_layout_materializes_during_fetch(self):
+        # input-ascending segments filling the result from the end — the
+        # serving path's layout (q_id desc result order)
+        self._run(out_order=[5, 4, 3, 2, 1, 0])
+
+    def test_identity_layout(self):
+        self._run(out_order=[0, 1, 2, 3, 4, 5])
+
+    def test_shuffled_layout_falls_back_to_final_remainder(self):
+        self._run(out_order=[2, 0, 4, 1, 5, 3])
+
+
 class TestOverlappedServing(unittest.TestCase):
     """End-to-end: chunk-forced warm calls match the one-shot results."""
 
