@@ -138,7 +138,7 @@ def _enable_compile_cache():
 
 def measure_ours(
     corpus, qvecs, run, queries, depth, repeats, precision="exact",
-    hbm_budget=None, loops=2,
+    hbm_budget=None, loops=2, pipelined=False,
 ):
     from fastforward_tpu.encoder import LambdaEncoder
     from fastforward_tpu.index import InMemoryIndex, Mode
@@ -183,8 +183,20 @@ def measure_ours(
     qps = 0.0
     for attempt in range(max(1, loops)):
         t0 = time.perf_counter()
-        for _ in range(repeats):
-            result = index(ranking)
+        if pipelined:
+            # depth-2 submit pipeline: call i+1's encode/dispatch/device
+            # execution overlap call i's link-bound score fetch
+            pending = None
+            for _ in range(repeats):
+                fut = index.submit(ranking)
+                assert fut.pipelined, "flagship path must defer its fetch"
+                if pending is not None:
+                    result = pending.result()
+                pending = fut
+            result = pending.result()
+        else:
+            for _ in range(repeats):
+                result = index(ranking)
         elapsed = time.perf_counter() - t0
         attempt_qps = len(queries) * repeats / elapsed
         log(
@@ -876,7 +888,7 @@ def main():
     parser.add_argument(
         "--config",
         choices=[
-            "rerank", "encoder", "pq", "int8", "early-stopping",
+            "rerank", "pipelined", "encoder", "pq", "int8", "early-stopping",
             "maxp", "alpha-sweep", "memory", "fp32-stream",
             "int8-stream", "pq-stream",
         ],
@@ -1073,6 +1085,7 @@ def main():
     qps = measure_ours(
         corpus, qvecs, run, queries, args.depth, args.repeats,
         precision=args.precision, hbm_budget=hbm_budget, loops=args.loops,
+        pipelined=args.config == "pipelined",
     )
 
     baseline_file = REPO / "BASELINE_MEASURED.json"
@@ -1110,6 +1123,8 @@ def main():
         tier_label += (
             f", beyond-HBM hybrid tier ({args.hbm_budget_gb:g} GiB budget)"
         )
+    if args.config == "pipelined":
+        tier_label += ", depth-2 submit pipeline"
     print(
         json.dumps(
             {

@@ -19,7 +19,7 @@ import abc
 import logging
 import weakref
 from collections import OrderedDict, defaultdict
-from collections.abc import Iterable, Iterator, Sequence
+from collections.abc import Callable, Iterable, Iterator, Sequence
 from dataclasses import dataclass, field
 from time import perf_counter
 
@@ -379,6 +379,41 @@ def _desc_rank_order(qhi: np.ndarray, scores: np.ndarray) -> np.ndarray:
     if order is None:
         order = np.argsort(key, kind="stable")
     return order
+
+
+class ScoreFuture:
+    """Handle for an in-flight :meth:`Index.submit` call.
+
+    ``result()`` completes the call — the link-bound score fetch plus the
+    result assembly — and returns the scored ranking; it is idempotent.
+    When the workload needed a fallback path the ranking was computed
+    eagerly at submit time and ``result()`` returns it directly (check
+    :attr:`pipelined` to see which happened).
+    """
+
+    __slots__ = ("_finish", "_result", "_pipelined")
+
+    def __init__(
+        self,
+        finish: "Callable[[], Ranking] | None" = None,
+        result: "Ranking | None" = None,
+    ) -> None:
+        self._finish = finish
+        self._result = result
+        self._pipelined = finish is not None
+
+    @property
+    def pipelined(self) -> bool:
+        """Whether the call actually deferred its fetch (vs eager)."""
+        return self._pipelined
+
+    def result(self) -> Ranking:
+        """Fetch scores, assemble and return the ranking (idempotent)."""
+        if self._result is None:
+            assert self._finish is not None
+            self._result = self._finish()
+            self._finish = None
+        return self._result
 
 
 class Index(abc.ABC):
@@ -1043,13 +1078,21 @@ class Index(abc.ABC):
         q_uniques,
         score_dtype,
         plan: dict | None = None,
-    ) -> Ranking | None:
+        defer: bool = False,
+    ) -> "Ranking | Callable[[], Ranking] | None":
         """Fused fast path: grouped scoring + device-side result ordering.
 
         Returns ``None`` when the workload needs a fallback path (very
         ragged documents).  With a *ready* ``plan`` (a previous call on the
         same ranking succeeded), ``df`` may be ``None`` — every candidate-
         derived artifact comes from the plan and only queries are live.
+
+        With ``defer=True`` the device program is dispatched now but the
+        zero-arg *finish* callable is returned instead of the ranking: the
+        link-bound score fetch + result assembly run when it is called.
+        This is the pipelined-serving seam used by :meth:`Index.submit` —
+        the next call's encode/dispatch/device execution overlap the
+        previous call's fetch.
         """
         if plan is not None and plan.get("ready"):
             n_pairs = plan["n_pairs"]
@@ -1082,6 +1125,38 @@ class Index(abc.ABC):
             plan=plan,
         )
 
+        def finish() -> Ranking:
+            return self._finish_score_and_sort(
+                scores_dev,
+                df,
+                q_uniques,
+                score_dtype,
+                plan,
+                n_pairs,
+                pair_qno,
+                rows_mat,
+                counts_pp,
+                k,
+            )
+
+        if defer:
+            return finish
+        return finish()
+
+    def _finish_score_and_sort(
+        self,
+        scores_dev,
+        df: pd.DataFrame | None,
+        q_uniques,
+        score_dtype,
+        plan: dict | None,
+        n_pairs: int,
+        pair_qno: np.ndarray,
+        rows_mat: np.ndarray,
+        counts_pp: np.ndarray,
+        k: int,
+    ) -> Ranking:
+        """Fetch + order + assemble the result of a dispatched fast path."""
         # result order: q_id desc (via per-query rank), then score desc —
         # one numpy argsort over a composite uint64 key (query rank in the
         # high bits, bit-twiddled descending score in the low bits); a
@@ -1707,6 +1782,66 @@ class Index(abc.ABC):
                 early_stopping_depths,
                 batch_size,
             )
+
+    def submit(self, ranking: Ranking) -> ScoreFuture:
+        """Dispatch scoring for a ranking and return a future (pipelined
+        serving).
+
+        The query encode and the device program dispatch happen now; the
+        link-bound score fetch and the result assembly run inside
+        ``future.result()``.  Back-to-back submits therefore overlap call
+        *i+1*'s encode/dispatch/device execution with call *i*'s fetch —
+        on remote-attached serving hosts the fetch dominates the warm
+        call, so a depth-2 pipeline hides nearly all other per-call work::
+
+            pending = None
+            for r in rankings:
+                fut = index.submit(r)
+                if pending is not None:
+                    results.append(pending.result())
+                pending = fut
+            results.append(pending.result())
+
+        Workloads outside the deferred fast path (early stopping, very
+        ragged documents, host-gather stores) are computed eagerly here —
+        the future then just hands back the finished ranking
+        (``future.pipelined`` is ``False``).
+
+        :param ranking: The ranking (queries must be attached).
+        :raises ValueError: When the ranking has no queries attached.
+        :raises IndexError: When an ID is missing from the index.
+        :return: A :class:`ScoreFuture` whose ``result()`` is the scored
+            ranking (identical to ``self(ranking)``).
+        """
+        if not ranking.has_queries:
+            raise ValueError("Input ranking has no queries attached.")
+        score_dtype = ranking._df.dtypes["score"]
+        plan = self._get_plan(ranking)
+        if plan.get("ready"):
+            queries = plan["queries"]
+            query_vectors = self.encode_queries(queries)
+            deferred = self._score_and_sort(
+                None,
+                query_vectors,
+                plan["q_uniques"],
+                score_dtype,
+                plan=plan,
+                defer=True,
+            )
+        else:
+            df = ranking._df.copy()
+            q_codes, q_uniques = pd.factorize(df["q_id"], sort=False)
+            df["q_no"] = q_codes
+            queries = df.loc[~df["q_id"].duplicated(), "query"].tolist()
+            plan["queries"] = queries
+            plan["q_uniques"] = q_uniques
+            query_vectors = self.encode_queries(queries)
+            deferred = self._score_and_sort(
+                df, query_vectors, q_uniques, score_dtype, plan=plan, defer=True
+            )
+        if deferred is None:  # fallback paths have no deferred-fetch seam
+            return ScoreFuture(result=self(ranking))
+        return ScoreFuture(finish=deferred)
 
     def _call(
         self,

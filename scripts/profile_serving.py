@@ -119,6 +119,27 @@ fetched = timed("disp+ovl", dispatch_and_overlap)
 assert fetched is not None, "overlapped path must be live"
 scores_np, take, _ = fetched
 
+
+def dispatch_overlap_materialize():
+    import pandas as pd
+
+    sd = index._device_score_grouped(
+        view, qv, plan["rows_mat"], plan["pair_qno"], plan["counts_pp"],
+        plan["k"], fetch=False, plan=plan,
+    )
+    cats = plan["out_arrays"]
+    dst = (
+        np.empty(n_pairs, dtype=np.float32),
+        *(np.empty(n_pairs, dtype=a.codes.dtype) for a in cats),
+    )
+    sinks = ((None, *(a.codes for a in cats)), dst)
+    assert all(isinstance(a, pd.Categorical) for a in cats)
+    return _overlap_fetch_sort(sd, segments, n_pairs, sinks)
+
+
+got = timed("disp+ovl+mat", dispatch_overlap_materialize)
+assert got is not None and got[2], "materialized path must engage"
+
 qid_arr, id_arr, query_arr = plan["out_arrays"]
 
 
@@ -147,6 +168,23 @@ for _ in range(args.iters):
 dt = time.perf_counter() - t0
 print(
     f"steady: {args.iters} calls in {dt:.3f}s -> "
+    f"{args.q * args.iters / dt:.1f} QPS",
+    flush=True,
+)
+
+# depth-2 submit pipeline (bench.py --config pipelined)
+t0 = time.perf_counter()
+pending = None
+for _ in range(args.iters):
+    fut = index.submit(ranking)
+    assert fut.pipelined
+    if pending is not None:
+        pending.result()
+    pending = fut
+pending.result()
+dt = time.perf_counter() - t0
+print(
+    f"steady pipelined: {args.iters} calls in {dt:.3f}s -> "
     f"{args.q * args.iters / dt:.1f} QPS",
     flush=True,
 )
