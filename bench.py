@@ -138,7 +138,7 @@ def _enable_compile_cache():
 
 def measure_ours(
     corpus, qvecs, run, queries, depth, repeats, precision="exact",
-    hbm_budget=None, loops=2, pipelined=False,
+    hbm_budget=None, loops=2, pipelined=False, transport="f32",
 ):
     from fastforward_tpu.encoder import LambdaEncoder
     from fastforward_tpu.index import InMemoryIndex, Mode
@@ -156,6 +156,7 @@ def measure_ours(
         mode=Mode.PASSAGE,
         precision=precision,
         hbm_budget=hbm_budget,
+        score_transport=transport,
     )
     index.add(corpus, psg_ids=[f"p{i}" for i in range(corpus.shape[0])])
     ranking = Ranking.from_run(run, queries=queries)
@@ -916,6 +917,11 @@ def main():
     parser.add_argument("--ref-repeats", type=int, default=2)
     parser.add_argument("--skip-baseline", action="store_true")
     parser.add_argument("--precision", choices=["exact", "high", "fast"], default="high")
+    parser.add_argument(
+        "--transport", choices=["f32", "u16"], default="f32",
+        help="score transport for rerank/pipelined configs (u16 halves the "
+        "per-call device->host score copy)",
+    )
     args = parser.parse_args()
 
     ensure_backend()
@@ -1085,7 +1091,7 @@ def main():
     qps = measure_ours(
         corpus, qvecs, run, queries, args.depth, args.repeats,
         precision=args.precision, hbm_budget=hbm_budget, loops=args.loops,
-        pipelined=args.config == "pipelined",
+        pipelined=args.config == "pipelined", transport=args.transport,
     )
 
     baseline_file = REPO / "BASELINE_MEASURED.json"
@@ -1125,6 +1131,8 @@ def main():
         )
     if args.config == "pipelined":
         tier_label += ", depth-2 submit pipeline"
+    if args.transport == "u16":
+        tier_label += ", u16 score transport"
     print(
         json.dumps(
             {

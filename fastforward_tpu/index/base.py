@@ -256,6 +256,18 @@ def build_hybrid_view(
     )
 
 
+def _fetch_scores_np(scores_dev) -> np.ndarray:
+    """One-shot score fetch; decodes the u16 transport pair when present."""
+    if isinstance(scores_dev, tuple):
+        codes_dev, header_dev = scores_dev
+        header = np.asarray(jax.device_get(header_dev), dtype=np.float32)
+        out = ops.fetch_np(codes_dev).astype(np.float32)
+        out *= float(header[1])
+        out += float(header[0])
+        return out
+    return ops.fetch_np(scores_dev)
+
+
 def _cat_from_codes(codes: np.ndarray, like: "pd.Categorical") -> "pd.Categorical":
     """Wrap already-gathered codes in ``like``'s categorical dtype.
 
@@ -289,13 +301,30 @@ def _overlap_fetch_sort(
     runs under the still-in-flight later chunks, hiding the result
     assembly gathers behind the transfer.
 
+    ``scores_dev`` may also be the u16-transport pair ``(codes, header)``
+    (see ``ops.encode_scores_u16``): the 2-float header is fetched first
+    (one tiny sync), then each landed u16 chunk is dequantized into the
+    fp32 buffer before its queries are sorted.
+
     Returns ``(scores, take, materialized)`` — ``materialized`` reports
     that every sink row was written — or ``None`` when the native
     segmented sort is unavailable (the caller then runs the one-shot
     path).
     """
-    if np.dtype(scores_dev.dtype) != np.float32:
+    raw = None
+    mn = scale = 0.0
+    if isinstance(scores_dev, tuple):
+        codes_dev, header_dev = scores_dev
+        if np.dtype(codes_dev.dtype) != np.uint16:
+            return None
+        header = np.asarray(jax.device_get(header_dev), dtype=np.float32)
+        mn, scale = float(header[0]), float(header[1])
+        fetch_arr = codes_dev
+        raw = np.empty(int(codes_dev.shape[0]), dtype=np.uint16)
+    elif np.dtype(scores_dev.dtype) != np.float32:
         return None
+    else:
+        fetch_arr = scores_dev
     from fastforward_tpu.runtime.idmap import segmented_rank_argsort_into
 
     seg_starts, out_starts = segments
@@ -304,7 +333,7 @@ def _overlap_fetch_sort(
     num_q = out_starts.shape[0]
     seg_ends = seg_starts[1:]
     # the device buffer may carry bucket padding past n_pairs
-    buf = np.empty(int(scores_dev.shape[0]), dtype=np.float32)
+    buf = np.empty(int(fetch_arr.shape[0]), dtype=np.float32)
     take = np.empty(n_pairs, dtype=np.int64)
     pairs = ()
     if sinks is not None:
@@ -321,6 +350,11 @@ def _overlap_fetch_sort(
     def on_chunk(lo: int, hi: int) -> None:
         if not state["ok"]:
             return
+        if raw is not None:  # u16 transport: dequantize the landed chunk
+            t = raw[lo:hi].astype(np.float32)
+            t *= scale
+            t += mn
+            buf[lo:hi] = t
         q0 = state["q"]
         # queries whose candidate block ends at or before the landed prefix
         q1 = int(np.searchsorted(seg_ends, min(hi, n_pairs), side="right"))
@@ -346,7 +380,9 @@ def _overlap_fetch_sort(
                 dst[region] = src[sl]
             state["mat_lo"] = state["lo_min"]
 
-    ops.fetch_np_overlapped(scores_dev, on_chunk=on_chunk, out=buf)
+    ops.fetch_np_overlapped(
+        fetch_arr, on_chunk=on_chunk, out=buf if raw is None else raw
+    )
     if not state["ok"] or state["q"] < num_q:
         return None
     materialized = False
@@ -422,12 +458,20 @@ class Index(abc.ABC):
     _query_encoder: Encoder | None = None
     _quantizer: Quantizer | None = None
 
+    #: score transport for the fast serving path: "f32" ships exact fp32
+    #: scores; "u16" affine-quantizes them on device and dequantizes on the
+    #: host, halving the per-call device->host copy (the dominant warm-call
+    #: cost on remote-attached hosts).  Max added error per call is
+    #: score_range / 131070 — below the "fast" tier's compute error.
+    _score_transport = "f32"
+
     def __init__(
         self,
         query_encoder: Encoder | None = None,
         quantizer: Quantizer | None = None,
         mode: Mode = Mode.MAXP,
         encoder_batch_size: int = 32,
+        score_transport: str = "f32",
     ) -> None:
         """Create an index.
 
@@ -435,13 +479,23 @@ class Index(abc.ABC):
         :param quantizer: The quantizer to use.
         :param mode: The ranking mode.
         :param encoder_batch_size: The query-encoder batch size.
+        :param score_transport: ``"f32"`` (exact) or ``"u16"`` (compact
+            device->host score copy, ~half the per-call transfer on
+            remote-attached serving hosts; adds at most
+            ``score_range / 131070`` absolute score error per call).
         """
+        if score_transport not in ("f32", "u16"):
+            raise ValueError(
+                f"score_transport must be 'f32' or 'u16', got "
+                f"{score_transport!r}"
+            )
         if query_encoder is not None:
             self.query_encoder = query_encoder
         self.mode = mode
         if quantizer is not None:
             self.quantizer = quantizer
         self._encoder_batch_size = encoder_batch_size
+        self._score_transport = score_transport
         # host string-ID -> int-row map (native C++ when available); the
         # device only ever sees int32 rows + segment ids
         from fastforward_tpu.runtime import create_idmap
@@ -1124,6 +1178,12 @@ class Index(abc.ABC):
             fetch=False,
             plan=plan,
         )
+        if (
+            self._score_transport == "u16"
+            and isinstance(scores_dev, jax.Array)
+            and np.dtype(scores_dev.dtype) == np.float32
+        ):
+            scores_dev = ops.encode_scores_u16(scores_dev)
 
         def finish() -> Ranking:
             return self._finish_score_and_sort(
@@ -1230,7 +1290,7 @@ class Index(abc.ABC):
             if fetched is not None:
                 scores_np, take, materialized = fetched
         if scores_np is None:
-            scores_np = ops.fetch_np(scores_dev)[:n_pairs]
+            scores_np = _fetch_scores_np(scores_dev)[:n_pairs]
             from fastforward_tpu.runtime.idmap import segmented_rank_argsort
 
             if segments is not None:

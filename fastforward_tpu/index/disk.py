@@ -54,6 +54,7 @@ class OnDiskIndex(Index):
         mesh_config=None,
         hbm_budget: int | None = None,
         stream_chunk_rows: int | None = None,
+        score_transport: str = "f32",
     ) -> None:
         """Create an index on disk.
 
@@ -80,6 +81,8 @@ class OnDiskIndex(Index):
             ``InMemoryIndex``).
         :param stream_chunk_rows: Rows per streamed tail block for the
             hybrid tier.
+        :param score_transport: ``"f32"`` (exact scores) or ``"u16"``
+            (compact device->host score copy, see ``InMemoryIndex``).
         :raises ValueError: When the file exists and ``overwrite=False``.
         """
         index_file = Path(index_file)
@@ -122,6 +125,7 @@ class OnDiskIndex(Index):
             quantizer=quantizer,
             mode=mode,
             encoder_batch_size=encoder_batch_size,
+            score_transport=score_transport,
         )
 
     # -- file layout ---------------------------------------------------------
@@ -616,6 +620,7 @@ class OnDiskIndex(Index):
         mesh_config=None,
         hbm_budget: int | None = None,
         stream_chunk_rows: int | None = None,
+        score_transport: str = "f32",
     ) -> "OnDiskIndex":
         """Open an existing index file (reference- or TPU-built).
 
@@ -633,6 +638,8 @@ class OnDiskIndex(Index):
             than this byte budget from the beyond-HBM hybrid tier (see
             ``InMemoryIndex``).
         :param stream_chunk_rows: Rows per streamed tail block.
+        :param score_transport: ``"f32"`` (exact scores) or ``"u16"``
+            (compact device->host score copy, see ``InMemoryIndex``).
         :return: The index.
         """
         index_file = Path(index_file)
@@ -643,6 +650,7 @@ class OnDiskIndex(Index):
             quantizer=None,
             mode=mode,
             encoder_batch_size=encoder_batch_size,
+            score_transport=score_transport,
         )
         index._index_file = index_file.absolute()
         index._memory_mapped = memory_mapped

@@ -70,6 +70,7 @@ class InMemoryIndex(Index):
         store: str = "host",
         hbm_budget: int | None = None,
         stream_chunk_rows: int | None = None,
+        score_transport: str = "f32",
     ) -> None:
         """Create an in-memory index.
 
@@ -116,6 +117,10 @@ class InMemoryIndex(Index):
             (must fit HBM).
         :param stream_chunk_rows: Rows per streamed tail block for the
             hybrid tier (default ``ops.host_stream.HOST_CHUNK_ROWS``).
+        :param score_transport: ``"f32"`` (exact scores) or ``"u16"``
+            (compact device->host score copy — halves the dominant
+            warm-call transfer on remote-attached serving hosts; adds at
+            most ``score_range / 131070`` absolute score error per call).
         """
         if store not in ("host", "device"):
             raise ValueError(f"store must be 'host' or 'device', got {store!r}")
@@ -174,6 +179,7 @@ class InMemoryIndex(Index):
             quantizer=quantizer,
             mode=mode,
             encoder_batch_size=encoder_batch_size,
+            score_transport=score_transport,
         )
 
     # -- storage -------------------------------------------------------------

@@ -99,6 +99,34 @@ def fetch_np_overlapped(
         on_chunk(0, n)
     return out
 
+@jax.jit
+def encode_scores_u16(scores: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Affine-quantize fp32 scores to uint16 for compact host transport.
+
+    The warm serving call is bound by the device->host score copy on
+    remote-attached hosts (~25-35 MB/s over a dev tunnel); shipping u16
+    codes + a 2-float header halves it.  Calibration is per call over the
+    finite entries (padded pairs in ``max`` mode are ``-inf``; they encode
+    as 0 and are never read back).  Max dequantization error is
+    ``(max - min) / 131070`` — at typical dot-product score ranges this is
+    far below the ``"fast"`` tier's bf16 compute error and comparable to
+    ``"high"``'s.
+
+    :param scores: Per-pair scores, ``(S,)`` fp32 (may contain ``-inf``
+        padding).
+    :return: ``(codes, header)`` — ``(S,)`` uint16 and ``[min, scale]``
+        fp32; ``score ~= header[0] + header[1] * code``.
+    """
+    finite = jnp.isfinite(scores)
+    big = jnp.float32(3.4e38)
+    mn = jnp.min(jnp.where(finite, scores, big))
+    mx = jnp.max(jnp.where(finite, scores, -big))
+    scale = jnp.maximum(mx - mn, jnp.float32(1e-30)) / jnp.float32(65535.0)
+    q = jnp.round((scores - mn) / scale)
+    codes = jnp.clip(jnp.where(finite, q, 0.0), 0.0, 65535.0).astype(jnp.uint16)
+    return codes, jnp.stack([mn, scale])
+
+
 #: str precision tier -> lax dot precision.  TPU matmuls DEFAULT to bf16
 #: inputs; every scoring dot takes a tier so ``"exact"`` is actually fp32
 #: (``Precision.HIGHEST``) on TPU, not silently truncated.  ``"high"`` is

@@ -31,6 +31,7 @@ parser.add_argument("--q", type=int, default=512)
 parser.add_argument("--depth", type=int, default=1000)
 parser.add_argument("--dim", type=int, default=768)
 parser.add_argument("--iters", type=int, default=10)
+parser.add_argument("--transport", choices=["f32", "u16"], default="f32")
 args = parser.parse_args()
 
 import jax  # noqa: E402
@@ -53,6 +54,7 @@ index = InMemoryIndex(
     LambdaEncoder(lambda q: qmap[q]),
     mode=Mode.PASSAGE,
     precision="high",
+    score_transport=args.transport,
 )
 index.add(corpus, psg_ids=[f"p{i}" for i in range(args.n)])
 

@@ -96,4 +96,16 @@ got_pq = s_pq["q1"]
 err = max(abs(got_pq[f"p{i}"] - ref[i]) for i in range(20))
 print(f"PQ ADC scoring max abs err vs decode-dot: {err:.5f}")
 assert err < 1e-2
+
+# 8. u16 score transport: warm call + submit pipeline vs the f32 scores
+u16 = InMemoryIndex(enc, mode=Mode.PASSAGE, score_transport="u16")
+u16.add(corpus, psg_ids=[f"p{i}" for i in range(N)])
+s_u16 = u16(ranking)  # cold (compiles the encode program)
+s_u16 = u16.submit(ranking).result()  # warm, deferred fetch
+g32, g16 = semantic["q1"], s_u16["q1"]
+span = max(g32.values()) - min(g32.values())
+tol = span / 131070 * 2 + 1e-3
+err16 = max(abs(g32[k] - g16[k]) for k in g32)
+print(f"u16 transport max abs err vs f32: {err16:.5f} (bound {tol:.5f})")
+assert err16 < tol, (err16, tol)
 print("ALL DRIVE CHECKS PASSED")
