@@ -20,6 +20,7 @@ import logging
 import weakref
 from collections import OrderedDict, defaultdict
 from collections.abc import Callable, Iterable, Iterator, Sequence
+from typing import NamedTuple
 from dataclasses import dataclass, field
 from time import perf_counter
 
@@ -256,15 +257,16 @@ def build_hybrid_view(
     )
 
 
+class _PackedScores(NamedTuple):
+    """u16-transport score buffer: in-band header + codes (one fetch)."""
+
+    packed: "jax.Array"  # (4 + S,) uint16, see ops.encode_scores_u16
+
+
 def _fetch_scores_np(scores_dev) -> np.ndarray:
-    """One-shot score fetch; decodes the u16 transport pair when present."""
-    if isinstance(scores_dev, tuple):
-        codes_dev, header_dev = scores_dev
-        header = np.asarray(jax.device_get(header_dev), dtype=np.float32)
-        out = ops.fetch_np(codes_dev).astype(np.float32)
-        out *= float(header[1])
-        out += float(header[0])
-        return out
+    """One-shot score fetch; decodes the u16 transport when present."""
+    if isinstance(scores_dev, _PackedScores):
+        return ops.decode_scores_u16(ops.fetch_np(scores_dev.packed))
     return ops.fetch_np(scores_dev)
 
 
@@ -301,10 +303,11 @@ def _overlap_fetch_sort(
     runs under the still-in-flight later chunks, hiding the result
     assembly gathers behind the transfer.
 
-    ``scores_dev`` may also be the u16-transport pair ``(codes, header)``
-    (see ``ops.encode_scores_u16``): the 2-float header is fetched first
-    (one tiny sync), then each landed u16 chunk is dequantized into the
-    fp32 buffer before its queries are sorted.
+    ``scores_dev`` may also be a u16-transport ``_PackedScores`` buffer
+    (see ``ops.encode_scores_u16``): the 4-lane calibration header rides
+    in-band at the front (a separate header fetch would pay the link's
+    large fixed per-fetch cost a second time), and each landed u16 chunk
+    is dequantized into the fp32 buffer before its queries are sorted.
 
     Returns ``(scores, take, materialized)`` — ``materialized`` reports
     that every sink row was written — or ``None`` when the native
@@ -312,19 +315,18 @@ def _overlap_fetch_sort(
     path).
     """
     raw = None
-    mn = scale = 0.0
-    if isinstance(scores_dev, tuple):
-        codes_dev, header_dev = scores_dev
-        if np.dtype(codes_dev.dtype) != np.uint16:
+    if isinstance(scores_dev, _PackedScores):
+        packed = scores_dev.packed
+        if np.dtype(packed.dtype) != np.uint16:
             return None
-        header = np.asarray(jax.device_get(header_dev), dtype=np.float32)
-        mn, scale = float(header[0]), float(header[1])
-        fetch_arr = codes_dev
-        raw = np.empty(int(codes_dev.shape[0]), dtype=np.uint16)
+        fetch_arr = packed
+        raw = np.empty(int(packed.shape[0]), dtype=np.uint16)
+        n_scores = int(packed.shape[0]) - 4
     elif np.dtype(scores_dev.dtype) != np.float32:
         return None
     else:
         fetch_arr = scores_dev
+        n_scores = int(scores_dev.shape[0])
     from fastforward_tpu.runtime.idmap import segmented_rank_argsort_into
 
     seg_starts, out_starts = segments
@@ -333,7 +335,7 @@ def _overlap_fetch_sort(
     num_q = out_starts.shape[0]
     seg_ends = seg_starts[1:]
     # the device buffer may carry bucket padding past n_pairs
-    buf = np.empty(int(fetch_arr.shape[0]), dtype=np.float32)
+    buf = np.empty(n_scores, dtype=np.float32)
     take = np.empty(n_pairs, dtype=np.int64)
     pairs = ()
     if sinks is not None:
@@ -345,16 +347,33 @@ def _overlap_fetch_sort(
     # Sorted blocks land in input order; their result positions tile a
     # suffix exactly when the covered length matches (blocks are disjoint
     # and all end <= n_pairs), so the suffix check is also the hole check.
-    state = {"q": 0, "ok": True, "covered": 0, "lo_min": n_pairs, "mat_lo": n_pairs}
+    state = {
+        "q": 0,
+        "ok": True,
+        "covered": 0,
+        "lo_min": n_pairs,
+        "mat_lo": n_pairs,
+        "deq": 0,
+    }
 
     def on_chunk(lo: int, hi: int) -> None:
         if not state["ok"]:
             return
-        if raw is not None:  # u16 transport: dequantize the landed chunk
-            t = raw[lo:hi].astype(np.float32)
-            t *= scale
-            t += mn
-            buf[lo:hi] = t
+        if raw is not None:  # u16 transport: dequantize the landed prefix
+            if hi < 4:
+                return  # in-band header not complete yet
+            hdr = state.get("hdr")
+            if hdr is None:
+                hdr = ops.decode_u16_header(raw[:4])
+                state["hdr"] = hdr
+            a, b = state["deq"], hi - 4  # score coords (raw is offset by 4)
+            if b > a:
+                t = raw[a + 4 : hi].astype(np.float32)
+                t *= hdr[1]
+                t += hdr[0]
+                buf[a:b] = t
+                state["deq"] = b
+            hi = b
         q0 = state["q"]
         # queries whose candidate block ends at or before the landed prefix
         q1 = int(np.searchsorted(seg_ends, min(hi, n_pairs), side="right"))
@@ -1183,7 +1202,7 @@ class Index(abc.ABC):
             and isinstance(scores_dev, jax.Array)
             and np.dtype(scores_dev.dtype) == np.float32
         ):
-            scores_dev = ops.encode_scores_u16(scores_dev)
+            scores_dev = _PackedScores(ops.encode_scores_u16(scores_dev))
 
         def finish() -> Ranking:
             return self._finish_score_and_sort(

@@ -25,28 +25,36 @@ class TestEncodeScoresU16(unittest.TestCase):
     def test_round_trip_error_bound(self):
         rng = np.random.default_rng(0)
         scores = (rng.standard_normal(5000) * 30).astype(np.float32)
-        codes, header = ops.encode_scores_u16(jnp.asarray(scores))
-        codes, header = np.asarray(codes), np.asarray(header)
-        self.assertEqual(codes.dtype, np.uint16)
-        decoded = header[0] + header[1] * codes.astype(np.float32)
+        packed = np.asarray(ops.encode_scores_u16(jnp.asarray(scores)))
+        self.assertEqual(packed.dtype, np.uint16)
+        self.assertEqual(packed.shape, (5004,))  # 4-lane in-band header
+        decoded = ops.decode_scores_u16(packed)
         bound = (scores.max() - scores.min()) / 131070 + 1e-4
         self.assertLess(np.abs(decoded - scores).max(), bound)
 
+    def test_header_floats_survive_the_u16_bit_split(self):
+        scores = np.array([-1234.5678, 0.125, 98765.4], np.float32)
+        packed = np.asarray(ops.encode_scores_u16(jnp.asarray(scores)))
+        mn, scale = ops.decode_u16_header(packed[:4])
+        # header floats are exact bit round-trips, not quantized
+        self.assertEqual(np.float32(mn), np.float32(-1234.5678))
+        self.assertAlmostEqual(
+            scale, (98765.4 - -1234.5678) / 65535.0, places=2
+        )
+
     def test_inf_padding_is_masked_from_calibration(self):
         scores = np.array([-np.inf, 1.0, 2.0, 3.0, -np.inf], np.float32)
-        codes, header = ops.encode_scores_u16(jnp.asarray(scores))
-        codes, header = np.asarray(codes), np.asarray(header)
-        self.assertTrue(np.isfinite(header).all())
-        decoded = header[0] + header[1] * codes[1:4].astype(np.float32)
-        np.testing.assert_allclose(decoded, [1.0, 2.0, 3.0], atol=1e-3)
+        packed = np.asarray(ops.encode_scores_u16(jnp.asarray(scores)))
+        decoded = ops.decode_scores_u16(packed)
+        self.assertTrue(np.isfinite(decoded).all())
+        np.testing.assert_allclose(decoded[1:4], [1.0, 2.0, 3.0], atol=1e-3)
 
     def test_constant_scores(self):
         scores = np.full(100, 7.25, np.float32)
-        codes, header = ops.encode_scores_u16(jnp.asarray(scores))
-        decoded = np.asarray(header)[0] + np.asarray(header)[1] * np.asarray(
-            codes
-        ).astype(np.float32)
-        np.testing.assert_allclose(decoded, scores, atol=1e-5)
+        packed = np.asarray(ops.encode_scores_u16(jnp.asarray(scores)))
+        np.testing.assert_allclose(
+            ops.decode_scores_u16(packed), scores, atol=1e-5
+        )
 
 
 def _build(mode=Mode.PASSAGE, n=4096, dim=24, num_q=5, depth=48, seed=0, **kw):
