@@ -139,6 +139,7 @@ def _enable_compile_cache():
 def measure_ours(
     corpus, qvecs, run, queries, depth, repeats, precision="exact",
     hbm_budget=None, loops=2, pipelined=False, transport="f32",
+    serve=None,
 ):
     from fastforward_tpu.encoder import LambdaEncoder
     from fastforward_tpu.index import InMemoryIndex, Mode
@@ -181,10 +182,26 @@ def measure_ours(
         from fastforward_tpu.ops import host_stream
 
         host_stream.reset_stats()
+    if serve is not None:
+        # compile the fused serve program off the timed path
+        index.serve(ranking, serve[0], serve[1])
     qps = 0.0
     for attempt in range(max(1, loops)):
         t0 = time.perf_counter()
-        if pipelined:
+        if serve is not None:
+            # fused production flow: semantic scoring + interpolation +
+            # top-k cut in one device program; depth-2 submit pipeline —
+            # only (2, Q, cutoff) int32 cross the device->host link
+            alpha, cutoff = serve
+            pending = None
+            for _ in range(repeats):
+                fut = index.submit_serve(ranking, alpha, cutoff)
+                assert fut.pipelined, "serve path must stay fused"
+                if pending is not None:
+                    result = pending.result()
+                pending = fut
+            result = pending.result()
+        elif pipelined:
             # depth-2 submit pipeline: call i+1's encode/dispatch/device
             # execution overlap call i's link-bound score fetch
             pending = None
@@ -219,6 +236,10 @@ def measure_ours(
     q0 = result["q0"]
     for pid in list(q0)[:3]:
         expected = float(corpus[int(pid[1:])] @ qvecs[0])
+        if serve is not None:
+            expected = (
+                serve[0] * run["q0"][pid] + (1.0 - serve[0]) * expected
+            )
         assert abs(expected - q0[pid]) < tolerance, (pid, expected, q0[pid])
 
     # rank fidelity: top-10 per query must match the exact fp32 ordering
@@ -229,14 +250,22 @@ def measure_ours(
         got = result[f"q{qi}"]
         cand_rows = np.array([int(p[1:]) for p in run[f"q{qi}"]])
         exact = corpus[cand_rows] @ qvecs[qi]
+        if serve is not None:
+            lex = np.array([run[f"q{qi}"][f"p{r}"] for r in cand_rows])
+            exact = serve[0] * lex + (1.0 - serve[0]) * exact
         top_exact = [f"p{cand_rows[j]}" for j in np.argsort(-exact)[:10]]
         agree += int(list(got)[:10] == top_exact)
     log(f"top-10 rank agreement vs exact fp32: {agree}/{checked} queries")
     return qps
 
 
-def measure_reference(corpus, qvecs, run, queries, repeats):
-    """Run the actual CPU reference implementation on the same workload."""
+def measure_reference(corpus, qvecs, run, queries, repeats, serve=None):
+    """Run the actual CPU reference implementation on the same workload.
+
+    With ``serve=(alpha, cutoff)`` the timed loop runs the reference's full
+    production flow — score, interpolate (``ranking.py:293-326``), cut
+    (``ranking.py:279-291``) — matching our fused ``Index.serve``.
+    """
     import importlib.metadata as importlib_metadata
     import types
 
@@ -267,7 +296,9 @@ def measure_reference(corpus, qvecs, run, queries, repeats):
         index(ranking)  # warm-up
         t0 = time.perf_counter()
         for _ in range(repeats):
-            index(ranking)
+            out = index(ranking)
+            if serve is not None:
+                ranking.interpolate(out, serve[0]).cut(serve[1])
         elapsed = time.perf_counter() - t0
         qps = len(queries) * repeats / elapsed
         log(f"reference: {repeats} calls in {elapsed:.3f}s -> {qps:.1f} QPS")
@@ -889,8 +920,8 @@ def main():
     parser.add_argument(
         "--config",
         choices=[
-            "rerank", "pipelined", "encoder", "pq", "int8", "early-stopping",
-            "maxp", "alpha-sweep", "memory", "fp32-stream",
+            "rerank", "pipelined", "serve", "encoder", "pq", "int8",
+            "early-stopping", "maxp", "alpha-sweep", "memory", "fp32-stream",
             "int8-stream", "pq-stream",
         ],
         default="rerank",
@@ -1005,8 +1036,12 @@ def main():
         )
         return
 
+    serve = (0.2, 10) if args.config == "serve" else None
     config_key = hashlib.sha1(
-        f"{args.n}-{args.queries}-{args.depth}-{DIM}".encode()
+        (
+            f"{args.n}-{args.queries}-{args.depth}-{DIM}"
+            + (f"-serve{serve}" if serve else "")
+        ).encode()
     ).hexdigest()[:12]
 
     log(f"workload: N={args.n} Q={args.queries} depth={args.depth} dim={DIM}")
@@ -1092,6 +1127,7 @@ def main():
         corpus, qvecs, run, queries, args.depth, args.repeats,
         precision=args.precision, hbm_budget=hbm_budget, loops=args.loops,
         pipelined=args.config == "pipelined", transport=args.transport,
+        serve=serve,
     )
 
     baseline_file = REPO / "BASELINE_MEASURED.json"
@@ -1105,7 +1141,7 @@ def main():
         log(f"reference (cached): {ref_qps:.1f} QPS")
     else:
         ref_qps = measure_reference(
-            corpus, qvecs, run, queries, args.ref_repeats
+            corpus, qvecs, run, queries, args.ref_repeats, serve=serve
         )
         cache[config_key] = {
             "ref_qps": ref_qps,
@@ -1115,6 +1151,7 @@ def main():
                 "depth": args.depth,
                 "dim": DIM,
                 "mode": "PASSAGE",
+                "serve": serve,
                 "hardware": "CPU (reference implementation)",
             },
         }
@@ -1131,13 +1168,21 @@ def main():
         )
     if args.config == "pipelined":
         tier_label += ", depth-2 submit pipeline"
+    if serve is not None:
+        tier_label += (
+            f", fused serve (interpolate a={serve[0]} + top-{serve[1]} "
+            "on device, depth-2 pipeline)"
+        )
     if args.transport == "u16":
         tier_label += ", u16 score transport"
+    metric_head = (
+        "end-to-end serve QPS" if serve is not None else "re-rank QPS"
+    )
     print(
         json.dumps(
             {
                 "metric": (
-                    f"re-rank QPS (depth-{args.depth}, {DIM}d, {tier_label}, "
+                    f"{metric_head} (depth-{args.depth}, {DIM}d, {tier_label}, "
                     f"N={args.n}, PASSAGE, incl. host orchestration)"
                 ),
                 "value": round(qps, 1),

@@ -1181,12 +1181,22 @@ class Index(abc.ABC):
             # host-gather fallback rebuilds its per-call table every time
             if plan is not None and self._device_view() is None:
                 plan = None
-            n_pairs = len(df)
-            pair_qno = df["q_no"].to_numpy(dtype=np.int64)
-            prep = self._candidate_arrays(df)
-            if prep is None:
-                return None
-            view, rows_mat, counts_pp, k = prep
+            if plan is not None and plan.get("cand_ready"):
+                # candidate resolution already done (e.g. by a serve() call
+                # on the same ranking); only the assembly artifacts are new
+                n_pairs = plan["n_pairs"]
+                pair_qno = plan["pair_qno"]
+                rows_mat = plan["rows_mat"]
+                counts_pp = plan["counts_pp"]
+                k = plan["k"]
+                view = self._device_view()
+            else:
+                n_pairs = len(df)
+                pair_qno = df["q_no"].to_numpy(dtype=np.int64)
+                prep = self._candidate_arrays(df)
+                if prep is None:
+                    return None
+                view, rows_mat, counts_pp, k = prep
         scores_dev = self._device_score_grouped(
             view,
             query_vectors,
@@ -1350,6 +1360,7 @@ class Index(abc.ABC):
                 qkey=qkey,
                 segments=segments,
                 out_arrays=(qid_arr, id_arr, query_arr),
+                cand_ready=True,
                 ready=True,
             )
         q_ids = None
@@ -1921,6 +1932,234 @@ class Index(abc.ABC):
         if deferred is None:  # fallback paths have no deferred-fetch seam
             return ScoreFuture(result=self(ranking))
         return ScoreFuture(finish=deferred)
+
+    def serve(self, ranking: Ranking, alpha: float, cutoff: int) -> Ranking:
+        """One fused production re-rank call: semantic scoring + score
+        interpolation + per-query top-``cutoff`` cut.
+
+        Equivalent to the unfused serving flow
+        ``ranking.interpolate(self(ranking), alpha).cut(cutoff)``
+        (reference: interpolation ``ranking.py:293-326``, cut
+        ``ranking.py:279-291``, adapter ``util/pyterrier.py:75-83``), but
+        the interpolation and the top-k selection run ON DEVICE in one
+        fused program, so only ``num_queries x cutoff`` packed
+        (score, index) pairs cross the device->host link instead of the
+        full ``num_queries x depth`` score matrix — on remote-attached
+        serving hosts the score fetch dominates the warm call.
+
+        ``alpha`` is traced, not compiled in: alpha sweeps on a prepared
+        run reuse both the plan and the compiled program.  Ties at the
+        cutoff boundary may resolve differently from the host flow (both
+        orders are valid top-k sets).  Workloads outside the device fast
+        path (host-gather stores, very ragged documents, multi-host
+        meshes) fall back to the unfused flow transparently.
+
+        :param ranking: The ranking (queries must be attached).
+        :param alpha: Interpolation parameter (lexical weight).
+        :param cutoff: Top-k depth per query to return.
+        :raises ValueError: When the ranking has no queries attached.
+        :raises ValueError: When the cutoff is not positive.
+        :raises IndexError: When an ID is missing from the index.
+        :return: The interpolated, cut ranking.
+        """
+        out = self._serve(ranking, alpha, cutoff, defer=False)
+        assert isinstance(out, Ranking)
+        return out
+
+    def submit_serve(
+        self, ranking: Ranking, alpha: float, cutoff: int
+    ) -> ScoreFuture:
+        """Pipelined :meth:`serve`: dispatch now, fetch in ``result()``.
+
+        Same overlap contract as :meth:`submit` — back-to-back
+        ``submit_serve`` calls overlap the next call's encode/dispatch
+        with the previous call's (already tiny) result fetch.
+
+        :param ranking: The ranking (queries must be attached).
+        :param alpha: Interpolation parameter (lexical weight).
+        :param cutoff: Top-k depth per query to return.
+        :return: A :class:`ScoreFuture` whose ``result()`` equals
+            ``self.serve(ranking, alpha, cutoff)``.
+        """
+        out = self._serve(ranking, alpha, cutoff, defer=True)
+        if isinstance(out, Ranking):  # eager fallback path
+            return ScoreFuture(result=out)
+        return ScoreFuture(finish=out)
+
+    def _serve(
+        self, ranking: Ranking, alpha: float, cutoff: int, defer: bool
+    ) -> "Ranking | Callable[[], Ranking]":
+        if not ranking.has_queries:
+            raise ValueError("Input ranking has no queries attached.")
+        if cutoff < 1:
+            raise ValueError("cutoff must be positive.")
+        t0 = perf_counter()
+        plan = self._get_plan(ranking)
+        if plan.get("cand_ready") and plan.get("queries") is not None:
+            queries = plan["queries"]
+            q_uniques = plan["q_uniques"]
+            q_codes = None
+        else:
+            q_codes, q_uniques = pd.factorize(ranking._df["q_id"], sort=False)
+            first = ~ranking._df["q_id"].duplicated()
+            queries = ranking._df.loc[first, "query"].tolist()
+            plan["queries"] = queries
+            plan["q_uniques"] = q_uniques
+        query_vectors = self.encode_queries(queries)
+        fused = self._serve_fused(
+            ranking, query_vectors, q_uniques, q_codes, plan, alpha, cutoff, defer
+        )
+        if fused is not None:
+            if not defer:
+                LOGGER.info(
+                    "served interpolated top-%d in %s seconds",
+                    cutoff,
+                    perf_counter() - t0,
+                )
+            return fused
+        # unfused fallback (host-gather store, very ragged documents, ...)
+        ff = self(ranking)
+        out = ranking.interpolate(ff, alpha).cut(cutoff)
+        out.name = "fast-forward"
+        return out
+
+    def _serve_fused(
+        self,
+        ranking: Ranking,
+        query_vectors: np.ndarray,
+        q_uniques,
+        q_codes: "np.ndarray | None",
+        plan: dict,
+        alpha: float,
+        cutoff: int,
+        defer: bool,
+    ) -> "Ranking | Callable[[], Ranking] | None":
+        """Dispatch the fused serve program; ``None`` -> caller falls back.
+
+        Static artifacts (candidate arrays, the per-query slot layout, the
+        lexical score upload, output id arrays) are plan-cached: warm calls
+        pay only encode + device program + the ``(2, Q, cutoff)`` fetch.
+        """
+        if jax.process_count() > 1:  # multi-host: no fused serve (yet)
+            return None
+        view = self._device_view()
+        if view is None:
+            return None
+        score_dtype = ranking._df.dtypes["score"]
+        if plan.get("cand_ready"):
+            n_pairs = plan["n_pairs"]
+            pair_qno = plan["pair_qno"]
+            rows_mat = plan["rows_mat"]
+            counts_pp = plan["counts_pp"]
+            k = plan["k"]
+        else:
+            n_pairs = len(ranking._df)
+            pair_qno = q_codes.astype(np.int64)
+            prep = self._candidate_arrays(ranking._df)
+            if prep is None:
+                return None
+            view, rows_mat, counts_pp, k = prep
+            plan.update(
+                n_pairs=n_pairs,
+                pair_qno=pair_qno,
+                rows_mat=rows_mat,
+                counts_pp=counts_pp,
+                k=k,
+                cand_ready=True,
+            )
+        scores_dev = self._device_score_grouped(
+            view,
+            query_vectors,
+            rows_mat,
+            pair_qno,
+            counts_pp,
+            k,
+            fetch=False,
+            plan=plan,
+        )
+        sv = plan.get("serve")
+        if sv is None or not sv.get("ready"):
+            n_q = len(q_uniques)
+            d_max = (
+                int(np.bincount(pair_qno, minlength=n_q).max())
+                if n_pairs
+                else 1
+            )
+            slot = np.full((n_q, d_max), -1, dtype=np.int32)
+            if n_pairs:
+                if (np.diff(pair_qno) >= 0).all():
+                    spq, order = pair_qno, None
+                else:
+                    order = np.argsort(pair_qno, kind="stable")
+                    spq = pair_qno[order]
+                seg_starts = np.searchsorted(spq, np.arange(n_q))
+                pos = np.arange(n_pairs, dtype=np.int64) - seg_starts[spq]
+                slot[spq, pos] = (
+                    np.arange(n_pairs, dtype=np.int32)
+                    if order is None
+                    else order.astype(np.int32)
+                )
+            # output query order: q_id descending (the ranking sort
+            # convention) — bake it into the slot rows so the device
+            # result is already in final row order
+            by_rank = np.argsort(np.asarray(q_uniques, dtype=object))[
+                ::-1
+            ].astype(np.int64)
+            slot = slot[by_rank]
+            lex = np.zeros(ops.bucket(n_pairs), dtype=np.float32)
+            lex[:n_pairs] = ranking._df["score"].to_numpy(dtype=np.float32)
+            sv = {
+                "slot": slot,
+                "slot_dev": jnp.asarray(slot),
+                "lex": lex,
+                "lex_dev": jnp.asarray(lex),
+                "qid_arr": ranking._df["q_id"].array,
+                "id_arr": ranking._df["id"].array,
+                "ready": True,
+            }
+            plan["serve"] = sv
+        kc = min(cutoff, sv["slot"].shape[1])
+        device_path = isinstance(scores_dev, jax.Array) and getattr(
+            scores_dev, "is_fully_addressable", True
+        )
+        if device_path:
+            packed = ops.serve_topk(
+                scores_dev, sv["lex_dev"], sv["slot_dev"], np.float32(alpha), kc
+            )
+        else:
+            packed = None
+
+        def finish() -> Ranking:
+            if packed is not None:
+                packed_np = np.asarray(jax.device_get(packed))
+                vals, pair_idx = ops.decode_serve_topk(packed_np)
+            else:
+                scores_np = _fetch_scores_np(scores_dev)[:n_pairs]
+                vals, pair_idx = ops.serve_topk_host(
+                    scores_np, sv["lex"], sv["slot"], alpha, kc
+                )
+            flat_idx = pair_idx.reshape(-1)
+            mask = flat_idx >= 0
+            take = flat_idx[mask]
+            scores = vals.reshape(-1)[mask]
+            out = pd.DataFrame(
+                {
+                    "q_id": sv["qid_arr"].take(take),
+                    "id": sv["id_arr"].take(take),
+                    "score": scores.astype(score_dtype, copy=False),
+                }
+            )
+            q_ids = plan.get("q_ids_set")
+            if q_ids is None:
+                q_ids = set(np.asarray(q_uniques, dtype=object))
+                plan["q_ids_set"] = q_ids
+            return Ranking._from_trusted_frame(
+                out, "fast-forward", q_ids=q_ids.copy()
+            )
+
+        if defer:
+            return finish
+        return finish()
 
     def _call(
         self,

@@ -1394,3 +1394,88 @@ def interpolate_scores(
 @jax.jit
 def _interpolate(lexical, semantic, alpha):
     return alpha * lexical + (1.0 - alpha) * semantic
+
+
+@partial(jax.jit, static_argnames=("cutoff",))
+def serve_topk(
+    scores_pad: jnp.ndarray,
+    lex_pad: jnp.ndarray,
+    slot_mat: jnp.ndarray,
+    alpha,
+    cutoff: int,
+) -> jnp.ndarray:
+    """Fused serving tail: interpolate + per-query top-k, on device.
+
+    Computes ``alpha * lexical + (1 - alpha) * semantic`` per pair
+    (reference host equivalent: ``ranking.py:293-326``), scatters the
+    interpolated scores into the per-query candidate layout and selects the
+    top ``cutoff`` pairs per query (reference ``ranking.py:279-291``), all
+    inside one jit — so only ``(2, Q, cutoff)`` int32 cross the
+    device->host link instead of the full per-pair score array (the
+    dominant warm-call cost on remote-attached serving hosts).
+
+    ``alpha`` is a traced scalar: alpha sweeps reuse the compiled program.
+    Row order of ``slot_mat`` is the caller's output query order; invalid
+    slots are ``-1`` (selected only when a query has fewer than ``cutoff``
+    candidates; they surface as ``-inf`` scores / ``-1`` indices for the
+    host to drop).
+
+    :param scores_pad: Per-pair semantic scores, ``(S,)`` fp32 (padded).
+    :param lex_pad: Per-pair lexical (first-stage) scores, ``(S,)`` fp32.
+    :param slot_mat: ``(Q, D)`` int32 flat pair positions, ``-1`` padding.
+    :param alpha: Interpolation parameter (traced fp32 scalar).
+    :param cutoff: Top-k per query (static).
+    :return: ``(2, Q, cutoff)`` int32 — ``[0]`` the selected interpolated
+        scores (fp32 bit pattern), ``[1]`` the selected flat pair indices.
+    """
+    valid = slot_mat >= 0
+    safe = jnp.where(valid, slot_mat, 0)
+    # gather BOTH sides per slot (rather than interpolating the flat arrays
+    # elementwise) so score arrays of any padded length >= n_pairs work
+    interp = alpha * lex_pad[safe] + (1.0 - alpha) * scores_pad[safe]
+    gathered = jnp.where(valid, interp, -jnp.inf)
+    vals, pos = jax.lax.top_k(gathered, cutoff)
+    pair_idx = jnp.take_along_axis(slot_mat, pos, axis=1)
+    return jnp.stack(
+        [
+            jax.lax.bitcast_convert_type(
+                vals.astype(jnp.float32), jnp.int32
+            ),
+            pair_idx.astype(jnp.int32),
+        ],
+        axis=0,
+    )
+
+
+def serve_topk_host(
+    scores: np.ndarray,
+    lex: np.ndarray,
+    slot_mat: np.ndarray,
+    alpha: float,
+    cutoff: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host fallback of :func:`serve_topk` for already-fetched scores.
+
+    Same selection semantics (ties resolved toward the lower slot
+    position, matching ``lax.top_k``).
+
+    :return: ``(vals, pair_idx)`` float32/int32 arrays of ``(Q, cutoff)``.
+    """
+    valid = slot_mat >= 0
+    taken = slot_mat[valid]
+    interp = (
+        np.float32(alpha) * lex[taken].astype(np.float32, copy=False)
+        + np.float32(1.0 - alpha) * scores[taken].astype(np.float32, copy=False)
+    )
+    gathered = np.full(slot_mat.shape, -np.inf, dtype=np.float32)
+    gathered[valid] = interp
+    pos = np.argsort(-gathered, axis=1, kind="stable")[:, :cutoff]
+    vals = np.take_along_axis(gathered, pos, axis=1)
+    pair_idx = np.take_along_axis(slot_mat, pos, axis=1)
+    return vals, pair_idx.astype(np.int32, copy=False)
+
+
+def decode_serve_topk(packed: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Split a fetched :func:`serve_topk` result into scores + indices."""
+    vals = np.ascontiguousarray(packed[0]).view(np.float32)
+    return vals, packed[1]

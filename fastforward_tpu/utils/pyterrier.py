@@ -82,3 +82,58 @@ class FFInterpolate(pt.Transformer):
         out = inp[["qid", "docno", "query"]].copy()
         out["score"] = self.alpha * inp["score_0"] + (1 - self.alpha) * inp["score"]
         return pt.model.add_ranks(out, single_query=False)
+
+
+class FFRerank(pt.Transformer):
+    """Fused re-rank transformer: ``FFScore >> FFInterpolate >> % cutoff``
+    in ONE device program.
+
+    Backed by :meth:`fastforward_tpu.index.Index.serve` — semantic
+    scoring, score interpolation and the per-query top-``cutoff`` cut run
+    fused on device, so only ``num_queries x cutoff`` results cross the
+    device->host link (the two-transformer pipeline fetches the full
+    ``num_queries x depth`` score matrix first).  Pipeline contract
+    matches ``bm25 % 5000 >> FFScore(idx) >> FFInterpolate(a) % cutoff``
+    (reference: ``util/pyterrier.py:15-83``).
+    """
+
+    def __init__(self, index: Index, alpha: float, cutoff: int) -> None:
+        """Create a fused re-rank transformer.
+
+        :param index: The Fast-Forward index to score with.
+        :param alpha: The interpolation parameter (lexical weight).
+        :param cutoff: Results to keep per query.
+        """
+        self._index = index
+        # named exactly `alpha` so pyterrier.GridScan can tune it
+        self.alpha = alpha
+        self.cutoff = cutoff
+        super().__init__()
+
+    def transform(self, inp: pd.DataFrame) -> pd.DataFrame:
+        """Serve interpolated top-``cutoff`` results per query.
+
+        :param inp: PyTerrier frame with ``qid, docno, query, score``.
+        :return: Frame with interpolated scores and ranks, ``cutoff``
+            rows per query.
+        """
+        ranking = Ranking(
+            inp.rename(columns={"qid": "q_id", "docno": "id"}),
+            copy=False,
+            is_sorted=True,  # scoring does not require sorted input
+        )
+        served = self._index.serve(ranking, self.alpha, self.cutoff)
+        out = served._df.rename(columns={"q_id": "qid", "id": "docno"})[
+            ["qid", "docno", "score"]
+        ]
+        queries = inp[["qid", "query"]].drop_duplicates("qid")
+        out = out.merge(queries, on="qid", how="left")
+        return pt.model.add_ranks(out, single_query=False)
+
+    def __repr__(self) -> str:
+        """Unique per (index, encoder) so PyTerrier caching works."""
+        return (
+            f"{type(self).__name__}"
+            f"({id(self._index)}, {id(self._index.query_encoder)}, "
+            f"{self.alpha}, {self.cutoff})"
+        )

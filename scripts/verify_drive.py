@@ -18,6 +18,10 @@ import jax
 _p = os.environ.get("JAX_PLATFORMS")
 if _p and "," not in _p:
     jax.config.update("jax_platforms", _p)
+# persistent compile cache: first-compile on the remote TPU toolchain can
+# take many minutes; cached re-verifies take seconds
+jax.config.update("jax_compilation_cache_dir", str(Path(__file__).resolve().parent.parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 print("backend:", jax.default_backend(), jax.devices())
 
 from fastforward_tpu import Ranking
@@ -108,4 +112,16 @@ tol = span / 131070 * 2 + 1e-3
 err16 = max(abs(g32[k] - g16[k]) for k in g32)
 print(f"u16 transport max abs err vs f32: {err16:.5f} (bound {tol:.5f})")
 assert err16 < tol, (err16, tol)
+
+# 9. fused serve (interpolate + top-k on device) vs the unfused flow
+want = ranking.interpolate(semantic, 0.2).cut(10)
+served = index.serve(ranking, 0.2, 10)  # cold: compiles serve_topk
+served = index.submit_serve(ranking, 0.2, 10).result()  # warm, deferred
+assert served.q_ids == want.q_ids
+for q in want.q_ids:
+    gw, gs = want[q], served[q]
+    assert set(gw) == set(gs), (q, set(gw) ^ set(gs))
+    errs = max(abs(gw[k] - gs[k]) for k in gw)
+    assert errs < 1e-2, (q, errs)
+print("fused serve(alpha=0.2, cutoff=10) matches interpolate+cut")
 print("ALL DRIVE CHECKS PASSED")

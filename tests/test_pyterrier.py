@@ -166,6 +166,27 @@ class TestPyTerrierTransforms(unittest.TestCase):
         self.assertEqual(["d0", "d1", "d2"], list(q1["docno"]))
         np.testing.assert_allclose([6.0, 4.0, 2.5], q1["score"].to_numpy())
 
+    def test_ffrerank_fused_matches_pipeline(self):
+        # FFRerank == FFScore >> FFInterpolate >> top-cutoff, in one call
+        FFRerank = self._adapter.FFRerank
+        out = FFRerank(self.index, 0.5, 2).transform(self._input_frame())
+        self.assertEqual(["query", "rank"], sorted(set(out.columns) - {"qid", "docno", "score"}))
+        q1 = out[out["qid"] == "q1"].sort_values("rank")
+        # q1 interpolated: d0=6, d1=4, d2=2.5 -> top-2 is d0, d1
+        self.assertEqual(["d0", "d1"], list(q1["docno"]))
+        np.testing.assert_allclose([6.0, 4.0], q1["score"].to_numpy())
+        self.assertEqual(["query one", "query one"], list(q1["query"]))
+        q2 = out[out["qid"] == "q2"].sort_values("rank")
+        # q2 interpolated: d0 = 0.5*7+0.5*2 = 4.5, d2 = 0.5*2+0.5*4 = 3
+        self.assertEqual(["d0", "d2"], list(q2["docno"]))
+        np.testing.assert_allclose([4.5, 3.0], q2["score"].to_numpy())
+
+    def test_ffrerank_repr_unique(self):
+        FFRerank = self._adapter.FFRerank
+        a = FFRerank(self.index, 0.5, 10)
+        b = FFRerank(self.index, 0.2, 10)
+        self.assertNotEqual(repr(a), repr(b))
+
 
 if __name__ == "__main__":
     unittest.main()
