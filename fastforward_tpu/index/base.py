@@ -716,7 +716,11 @@ class Index(abc.ABC):
         """
         return None
 
-    def preload(self, warm: "tuple[int, int] | None" = None) -> bool:
+    def preload(
+        self,
+        warm: "tuple[int, int] | None" = None,
+        serve: "tuple[float, int] | None" = None,
+    ) -> bool:
         """Eagerly build/upload the device scoring table.
 
         Normally the upload happens lazily on the first scoring call; call
@@ -732,7 +736,12 @@ class Index(abc.ABC):
         call with the same ``bucket(num_queries)`` / ``bucket(pairs)``
         hits the warm cache.  The synthetic plan itself is dropped.
 
+        With ``serve=(alpha, cutoff)`` (requires ``warm``) the synthetic
+        workload additionally runs through :meth:`serve`, compiling the
+        fused interpolate + top-k program for that cutoff as well.
+
         :param warm: Optional ``(num_queries, depth)`` workload shape.
+        :param serve: Optional ``(alpha, cutoff)`` to warm :meth:`serve`.
         :return: Whether a device table exists for this backend.
         """
         view = self._device_view()
@@ -802,6 +811,8 @@ class Index(abc.ABC):
                 depth,
             )
             self(ranking)
+            if serve is not None:
+                self.serve(ranking, serve[0], serve[1])
         finally:
             self._query_encoder = encoder
             self._plans.pop((id(ranking._df), self._mode), None)

@@ -246,6 +246,13 @@ class TestServe(unittest.TestCase):
         for q in want.q_ids:
             self.assertEqual(set(got[q]), set(want[q]))
 
+    def test_preload_serve_warm(self):
+        index, ranking = _build(seed=14, depth=16)
+        self.assertTrue(index.preload(warm=(4, 16), serve=(0.2, 5)))
+        want = _reference_serve(index, ranking, 0.2, 5)
+        got = index.serve(ranking, 0.2, 5)
+        _assert_equivalent(self, got, want, 4)
+
     def test_serve_requires_queries_and_valid_cutoff(self):
         index, ranking = _build()
         bare = Ranking(ranking._df.drop(columns=["query"]))
