@@ -7,6 +7,7 @@ MS MARCO; swap the marked sections for real data.
 Run:  python examples/rerank_pipeline.py
 """
 
+import os
 import sys
 import tempfile
 from pathlib import Path
@@ -14,6 +15,14 @@ from pathlib import Path
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
+
+# honor an explicit JAX_PLATFORMS override (e.g. cpu) even when the
+# environment pins a TPU platform through sitecustomize
+import jax
+
+_p = os.environ.get("JAX_PLATFORMS")
+if _p and "," not in _p:
+    jax.config.update("jax_platforms", _p)
 
 from fastforward_tpu import Ranking
 from fastforward_tpu.encoder import LambdaEncoder
@@ -74,4 +83,9 @@ print("top-3 for q0:", list(fused["q0"].items())[:3])
 # --- 5. evaluation (swap for real qrels) -----------------------------------
 qrels = {q: {doc: 1 for doc in list(run[q])[:5]} for q in run}
 print(f"nDCG@10 = {ndcg_at_k(fused, qrels):.3f}  RR@10 = {rr_at_k(fused, qrels):.3f}")
+
+# --- 6. fused serving: scoring + interpolation + top-k in ONE device call --
+# (raw-score interpolation; only Q x 10 results cross the device->host link)
+topk = serving.serve(lexical, alpha=0.2, cutoff=10)
+print("fused serve top-3 for q0:", list(topk["q0"].items())[:3])
 print(f"artifacts in {workdir}")

@@ -1944,7 +1944,13 @@ class Index(abc.ABC):
             return ScoreFuture(result=self(ranking))
         return ScoreFuture(finish=deferred)
 
-    def serve(self, ranking: Ranking, alpha: float, cutoff: int) -> Ranking:
+    def serve(
+        self,
+        ranking: Ranking,
+        alpha: float,
+        cutoff: int,
+        early_stopping_depths: "Iterable[int] | None" = None,
+    ) -> Ranking:
         """One fused production re-rank call: semantic scoring + score
         interpolation + per-query top-``cutoff`` cut.
 
@@ -1965,20 +1971,40 @@ class Index(abc.ABC):
         path (host-gather stores, very ragged documents, multi-host
         meshes) fall back to the unfused flow transparently.
 
+        With ``early_stopping_depths`` the semantic scores come from the
+        early-stopping schedule (reference ``index/base.py:316-387``) and
+        the interpolation is restricted to the scored subset — the final
+        step the reference leaves to the user, where a naive
+        ``Ranking.interpolate`` (outer merge, missing semantic scores
+        treated as 0) would surface never-scored candidates on their
+        lexical score alone.
+
         :param ranking: The ranking (queries must be attached).
         :param alpha: Interpolation parameter (lexical weight).
         :param cutoff: Top-k depth per query to return.
+        :param early_stopping_depths: Optional early-stopping depth
+            schedule (the ES cutoff/alpha are ``cutoff``/``alpha``).
         :raises ValueError: When the ranking has no queries attached.
         :raises ValueError: When the cutoff is not positive.
         :raises IndexError: When an ID is missing from the index.
         :return: The interpolated, cut ranking.
         """
-        out = self._serve(ranking, alpha, cutoff, defer=False)
+        out = self._serve(
+            ranking,
+            alpha,
+            cutoff,
+            defer=False,
+            early_stopping_depths=early_stopping_depths,
+        )
         assert isinstance(out, Ranking)
         return out
 
     def submit_serve(
-        self, ranking: Ranking, alpha: float, cutoff: int
+        self,
+        ranking: Ranking,
+        alpha: float,
+        cutoff: int,
+        early_stopping_depths: "Iterable[int] | None" = None,
     ) -> ScoreFuture:
         """Pipelined :meth:`serve`: dispatch now, fetch in ``result()``.
 
@@ -1989,21 +2015,38 @@ class Index(abc.ABC):
         :param ranking: The ranking (queries must be attached).
         :param alpha: Interpolation parameter (lexical weight).
         :param cutoff: Top-k depth per query to return.
+        :param early_stopping_depths: Optional early-stopping depth
+            schedule (computed eagerly; ``pipelined`` is then ``False``).
         :return: A :class:`ScoreFuture` whose ``result()`` equals
             ``self.serve(ranking, alpha, cutoff)``.
         """
-        out = self._serve(ranking, alpha, cutoff, defer=True)
+        out = self._serve(
+            ranking,
+            alpha,
+            cutoff,
+            defer=True,
+            early_stopping_depths=early_stopping_depths,
+        )
         if isinstance(out, Ranking):  # eager fallback path
             return ScoreFuture(result=out)
         return ScoreFuture(finish=out)
 
     def _serve(
-        self, ranking: Ranking, alpha: float, cutoff: int, defer: bool
+        self,
+        ranking: Ranking,
+        alpha: float,
+        cutoff: int,
+        defer: bool,
+        early_stopping_depths: "Iterable[int] | None" = None,
     ) -> "Ranking | Callable[[], Ranking]":
         if not ranking.has_queries:
             raise ValueError("Input ranking has no queries attached.")
         if cutoff < 1:
             raise ValueError("cutoff must be positive.")
+        if early_stopping_depths is not None:
+            return self._serve_early_stopping(
+                ranking, alpha, cutoff, early_stopping_depths
+            )
         t0 = perf_counter()
         plan = self._get_plan(ranking)
         if plan.get("cand_ready") and plan.get("queries") is not None:
@@ -2033,6 +2076,46 @@ class Index(abc.ABC):
         out = ranking.interpolate(ff, alpha).cut(cutoff)
         out.name = "fast-forward"
         return out
+
+    def _serve_early_stopping(
+        self,
+        ranking: Ranking,
+        alpha: float,
+        cutoff: int,
+        depths: Iterable[int],
+    ) -> Ranking:
+        """Early-stopping serve: schedule-scored subset -> interpolate -> cut.
+
+        The interpolation is an INNER join over the scored subset — a
+        plain outer-merge ``interpolate`` would give never-scored
+        candidates a semantic score of 0 and surface them on
+        ``alpha * lexical`` alone (reference semantics leave this step to
+        the user; ES subset per ``index/base.py:316-387``).
+        """
+        from fastforward_tpu.ranking import _plain_ids
+
+        ff = self(
+            ranking,
+            early_stopping=cutoff,
+            early_stopping_alpha=alpha,
+            early_stopping_depths=depths,
+        )
+        sem = _plain_ids(ff._df)[["q_id", "id", "score"]].rename(
+            columns={"score": "ff"}
+        )
+        lex = _plain_ids(ranking._df)[["q_id", "id", "score"]]
+        merged = sem.merge(lex, on=["q_id", "id"], how="left")
+        merged["score"] = (
+            alpha * merged["score"] + (1.0 - alpha) * merged["ff"]
+        )
+        out = Ranking(
+            merged[["q_id", "id", "score"]],
+            name="fast-forward",
+            dtype=ranking._df.dtypes["score"],
+            copy=False,
+            is_sorted=False,
+        )
+        return out.cut(cutoff)
 
     def _serve_fused(
         self,
@@ -2096,6 +2179,11 @@ class Index(abc.ABC):
                 if n_pairs
                 else 1
             )
+            # pad the depth axis to a power of two: the fused program is
+            # keyed on the slot shape, so runs with nearby depths reuse
+            # the compiled program (padding slots are -1 -> -inf, never
+            # selected ahead of real candidates)
+            d_max = 1 << max(3, (d_max - 1).bit_length())
             slot = np.full((n_q, d_max), -1, dtype=np.int32)
             if n_pairs:
                 if (np.diff(pair_qno) >= 0).all():

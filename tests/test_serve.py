@@ -246,6 +246,78 @@ class TestServe(unittest.TestCase):
         for q in want.q_ids:
             self.assertEqual(set(got[q]), set(want[q]))
 
+    def test_ondisk_hbm_cache_serve(self):
+        import tempfile
+        from pathlib import Path
+
+        from fastforward_tpu.index import OnDiskIndex
+
+        rng = np.random.default_rng(20)
+        n, dim, num_q = 1024, 16, 3
+        corpus = rng.standard_normal((n, dim)).astype(np.float32)
+        qvecs = rng.standard_normal((num_q, dim)).astype(np.float32)
+        by_text = {f"query {i}": qvecs[i] for i in range(num_q)}
+        with tempfile.TemporaryDirectory() as tmp:
+            index = OnDiskIndex(
+                Path(tmp) / "idx.h5",
+                LambdaEncoder(lambda t: by_text[t]),
+                mode=Mode.PASSAGE,
+                hbm_cache=True,
+            )
+            index.add(corpus, psg_ids=[f"p{i}" for i in range(n)])
+            run = {
+                f"q{i}": {
+                    f"p{j}": float(rng.standard_normal())
+                    for j in rng.choice(n, size=24, replace=False)
+                }
+                for i in range(num_q)
+            }
+            ranking = Ranking.from_run(
+                run, queries={f"q{i}": f"query {i}" for i in range(num_q)}
+            )
+            want = _reference_serve(index, ranking, 0.3, 8)
+            got = index.serve(ranking, 0.3, 8)
+            _assert_equivalent(self, got, want, num_q)
+
+    def test_early_stopping_serve_full_depth_equals_fused(self):
+        # a single schedule depth >= the run depth scores everything, so
+        # ES serve must equal the fused serve exactly (same candidates)
+        index, ranking = _build(seed=15, depth=32)
+        want = index.serve(ranking, 0.2, 10)
+        got = index.serve(ranking, 0.2, 10, early_stopping_depths=(32,))
+        _assert_equivalent(self, got, want, 4)
+
+    def test_early_stopping_serve_matches_composed_flow(self):
+        # multi-round schedule: must equal the user-composed flow —
+        # ES scoring, interpolation RESTRICTED to the scored subset, cut
+        index, ranking = _build(seed=16, depth=64)
+        ff = index(
+            ranking,
+            early_stopping=5,
+            early_stopping_alpha=0.3,
+            early_stopping_depths=(8, 64),
+        )
+        got = index.serve(ranking, 0.3, 5, early_stopping_depths=(8, 64))
+        for q in got.q_ids:
+            lex, sem = ranking[q], ff[q]
+            interp = {
+                d: 0.3 * lex[d] + 0.7 * s for d, s in sem.items()
+            }
+            want_top = sorted(interp.items(), key=lambda kv: -kv[1])[:5]
+            g = got[q]
+            self.assertEqual({d for d, _ in want_top}, set(g))
+            for d, s in want_top:
+                self.assertAlmostEqual(g[d], s, places=4)
+
+    def test_early_stopping_submit_serve_is_eager(self):
+        index, ranking = _build(seed=17, depth=32)
+        fut = index.submit_serve(
+            ranking, 0.2, 5, early_stopping_depths=(8, 32)
+        )
+        self.assertFalse(fut.pipelined)
+        want = index.serve(ranking, 0.2, 5, early_stopping_depths=(8, 32))
+        _assert_equivalent(self, fut.result(), want, 4)
+
     def test_preload_serve_warm(self):
         index, ranking = _build(seed=14, depth=16)
         self.assertTrue(index.preload(warm=(4, 16), serve=(0.2, 5)))
