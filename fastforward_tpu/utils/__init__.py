@@ -13,10 +13,12 @@ from fastforward_tpu.index.base import Index
 from fastforward_tpu.ranking import Ranking
 from fastforward_tpu.utils.evaluate import ndcg_at_k, recall_at_k, rr_at_k
 from fastforward_tpu.utils.indexer import Indexer, IndexingDict
+from fastforward_tpu.utils.serving import BatchingServer
 
 __all__ = [
     "Indexer",
     "IndexingDict",
+    "BatchingServer",
     "to_ir_measures",
     "cos_dist",
     "create_coalesced_index",

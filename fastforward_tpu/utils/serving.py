@@ -1,0 +1,267 @@
+"""Micro-batching serving front-end over :meth:`Index.submit_serve`.
+
+Production interpolation re-ranking is dominated by the fixed per-call
+cost (device dispatch + one device->host result round trip — ~30 ms on a
+remote-attached serving host), not by per-query compute: one fused serve
+call over 512 queries costs nearly the same as one over 8.  The reference
+leaves request handling entirely to the caller (its serving story is the
+one-call ``Ranking`` flow, reference ``index/base.py:227-273``); this
+module adds the piece a deployment actually needs on top of that flow —
+a :class:`BatchingServer` that coalesces concurrent small requests into
+one fused device call and fans the per-request rankings back out.
+
+Requests are merged by namespacing query IDs with an opaque per-request
+prefix (so concurrent requests may reuse the same ``q_id`` strings), run
+through ONE ``submit_serve`` dispatch (semantic scoring + interpolation
++ per-query top-``cutoff`` cut on device, only ``(2, Q, cutoff)`` packed
+values fetched), and split back into per-request results whose futures
+resolve independently.  Batches are pipelined depth-2: while batch *i*'s
+result fetch is in flight, batch *i+1* is collected and dispatched.
+"""
+
+import logging
+import queue
+import threading
+from concurrent.futures import Future
+from time import monotonic
+
+import numpy as np
+import pandas as pd
+
+from fastforward_tpu.ranking import Ranking, _plain_ids
+
+LOGGER = logging.getLogger(__name__)
+
+#: Separator between the per-request namespace tag and the original q_id.
+#: U+001F (unit separator) never appears in TREC query IDs.
+_SEP = "\x1f"
+
+
+class _Request:
+    __slots__ = ("ranking", "future", "tag")
+
+    def __init__(self, ranking: Ranking, tag: str) -> None:
+        self.ranking = ranking
+        self.future: "Future[Ranking]" = Future()
+        self.tag = tag
+
+
+class BatchingServer:
+    """Coalesce concurrent re-ranking requests into fused device calls.
+
+    Usage::
+
+        with BatchingServer(index, alpha=0.2, cutoff=10) as server:
+            future = server.submit(ranking)   # thread-safe, non-blocking
+            topk = future.result()            # == index.serve(ranking, ...)
+
+    :param index: The index to serve from (its device table should be
+        :meth:`~fastforward_tpu.index.Index.preload`-ed).
+    :param alpha: Interpolation parameter (lexical weight).
+    :param cutoff: Top-k depth per query to return.
+    :param max_batch_queries: Dispatch a batch once it holds at least this
+        many unique queries (requests are never split across batches, so a
+        batch may exceed this by one request's query count).
+    :param max_wait_ms: Dispatch a non-empty batch after waiting this long
+        for more requests, even if it is below ``max_batch_queries``.
+    """
+
+    def __init__(
+        self,
+        index,
+        alpha: float,
+        cutoff: int,
+        *,
+        max_batch_queries: int = 512,
+        max_wait_ms: float = 2.0,
+    ) -> None:
+        if cutoff < 1:
+            raise ValueError("cutoff must be positive.")
+        if max_batch_queries < 1:
+            raise ValueError("max_batch_queries must be positive.")
+        self._index = index
+        self._alpha = alpha
+        self._cutoff = cutoff
+        self._max_q = max_batch_queries
+        self._max_wait_s = max_wait_ms / 1000.0
+        self._queue: "queue.SimpleQueue[_Request | None]" = queue.SimpleQueue()
+        self._seq = 0
+        self._seq_lock = threading.Lock()
+        self._closed = False
+        self._worker = threading.Thread(
+            target=self._serve_loop, name="ff-batching-server", daemon=True
+        )
+        self._worker.start()
+
+    # -- client API ----------------------------------------------------------
+
+    def submit(self, ranking: Ranking) -> "Future[Ranking]":
+        """Enqueue one request; its future resolves to the served ranking.
+
+        :param ranking: The ranking to re-rank (queries must be attached).
+        :raises ValueError: When the ranking has no queries attached.
+        :raises RuntimeError: When the server is closed.
+        :return: A future yielding ``index.serve(ranking, alpha, cutoff)``.
+        """
+        if self._closed:
+            raise RuntimeError("BatchingServer is closed.")
+        if not ranking.has_queries:
+            raise ValueError("Input ranking has no queries attached.")
+        with self._seq_lock:
+            tag = f"{self._seq:012d}"
+            self._seq += 1
+        req = _Request(ranking, tag)
+        self._queue.put(req)
+        return req.future
+
+    def serve(self, ranking: Ranking) -> Ranking:
+        """Blocking convenience wrapper around :meth:`submit`."""
+        return self.submit(ranking).result()
+
+    def close(self) -> None:
+        """Drain pending requests, then stop the worker thread."""
+        if self._closed:
+            return
+        self._closed = True
+        self._queue.put(None)
+        self._worker.join()
+        # a submit() racing close() may have enqueued after the sentinel;
+        # fail those futures rather than leaving them forever pending
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if req is not None and req.future.set_running_or_notify_cancel():
+                req.future.set_exception(
+                    RuntimeError("BatchingServer is closed.")
+                )
+
+    def __enter__(self) -> "BatchingServer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # -- worker --------------------------------------------------------------
+
+    def _collect_batch(self, first: "_Request | None") -> "list[_Request] | None":
+        """Block for the first request, then gather more until the batch is
+        full or ``max_wait_ms`` elapses.  ``None`` -> shutdown."""
+        if first is None:
+            first = self._queue.get()
+            if first is None:
+                return None
+        batch = [first]
+        n_q = len(first.ranking.q_ids)
+        deadline = monotonic() + self._max_wait_s
+        while n_q < self._max_q:
+            timeout = deadline - monotonic()
+            if timeout <= 0:
+                break
+            try:
+                req = self._queue.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if req is None:  # propagate shutdown after this batch
+                self._queue.put(None)
+                break
+            batch.append(req)
+            n_q += len(req.ranking.q_ids)
+        return batch
+
+    def _serve_loop(self) -> None:
+        pending: "tuple[list[_Request], object] | None" = None
+        carry: "_Request | None" = None
+        while True:
+            batch = self._collect_batch(carry)
+            carry = None
+            if batch is None:
+                if pending is not None:
+                    self._resolve(*pending)
+                return
+            future = self._dispatch(batch)
+            if pending is not None:
+                self._resolve(*pending)
+            if future is None:  # dispatch failed; futures already errored
+                continue
+            pending = (batch, future)
+            # opportunistic immediate resolve when no request is waiting:
+            # latency matters more than pipeline depth on an idle server
+            try:
+                carry = self._queue.get_nowait()
+            except queue.Empty:
+                self._resolve(*pending)
+                pending = None
+                continue
+            if carry is None:
+                self._resolve(*pending)
+                self._queue.put(None)
+                pending, carry = None, None
+
+    def _dispatch(self, batch: "list[_Request]"):
+        """Merge the batch into one namespaced ranking and dispatch it."""
+        try:
+            frames = []
+            for req in batch:
+                df = _plain_ids(req.ranking._df)[
+                    ["q_id", "id", "score", "query"]
+                ]
+                frames.append(df.assign(q_id=req.tag + _SEP + df["q_id"]))
+            merged = Ranking(
+                pd.concat(frames, ignore_index=True),
+                copy=False,
+            )
+            LOGGER.debug(
+                "dispatching batch: %d requests, %d queries, %d pairs",
+                len(batch),
+                len(merged.q_ids),
+                len(merged),
+            )
+            return self._index.submit_serve(merged, self._alpha, self._cutoff)
+        except Exception as exc:  # noqa: BLE001 - fan the failure out
+            for req in batch:
+                if not req.future.set_running_or_notify_cancel():
+                    continue
+                req.future.set_exception(exc)
+            return None
+
+    def _resolve(self, batch: "list[_Request]", future) -> None:
+        """Fetch the batch result and split it back per request."""
+        try:
+            served = future.result()
+            df = _plain_ids(served._df)
+            if len(df):
+                parts = df["q_id"].str.split(_SEP, n=1, expand=True)
+                tags = parts[0].to_numpy()
+                out = df.assign(q_id=parts[1])
+            else:
+                tags = np.empty(0, dtype=object)
+                out = df
+            # the served frame is q_id-descending over the namespaced IDs,
+            # so each request's rows are contiguous: slice, don't groupby
+            by_tag: dict[str, pd.DataFrame] = {}
+            if len(tags):
+                change = np.empty(len(tags), dtype=bool)
+                change[0] = True
+                np.not_equal(tags[1:], tags[:-1], out=change[1:])
+                starts = np.flatnonzero(change)
+                bounds = np.append(starts, len(tags))
+                for i, start in enumerate(starts):
+                    by_tag[tags[start]] = out.iloc[start : bounds[i + 1]]
+            for req in batch:
+                if not req.future.set_running_or_notify_cancel():
+                    continue
+                part = by_tag.get(req.tag)
+                if part is None:
+                    part = out.iloc[0:0]
+                req.future.set_result(
+                    Ranking._from_trusted_frame(
+                        part.reset_index(drop=True), "fast-forward"
+                    )
+                )
+        except Exception as exc:  # noqa: BLE001 - fan the failure out
+            for req in batch:
+                if not req.future.set_running_or_notify_cancel():
+                    continue
+                req.future.set_exception(exc)

@@ -1,0 +1,156 @@
+"""Micro-batching serving front-end (``utils/serving.py``).
+
+Each request's result must equal its individual fused-serve result
+(``index.serve(ranking, alpha, cutoff)``), regardless of how requests
+were coalesced into device batches.  The reference has no server layer
+(serving is the bare one-call flow, reference ``index/base.py:227-273``);
+these tests pin the batching semantics this package adds on top.
+"""
+
+import threading
+import unittest
+
+import numpy as np
+import pandas as pd
+
+from fastforward_tpu.encoder import LambdaEncoder
+from fastforward_tpu.index import InMemoryIndex, Mode
+from fastforward_tpu.ranking import Ranking
+from fastforward_tpu.utils.serving import BatchingServer
+
+ALPHA, CUTOFF = 0.3, 5
+
+
+def _build(n=1024, dim=16, num_q_total=24, seed=0):
+    rng = np.random.default_rng(seed)
+    corpus = rng.standard_normal((n, dim)).astype(np.float32)
+    qvecs = rng.standard_normal((num_q_total, dim)).astype(np.float32)
+    by_text = {f"query {i}": qvecs[i] for i in range(num_q_total)}
+    index = InMemoryIndex(LambdaEncoder(lambda t: by_text[t]), mode=Mode.PASSAGE)
+    index.add(corpus, psg_ids=[f"p{i}" for i in range(n)])
+    return index, rng, n
+
+
+def _request(rng, n, q_ids, depth=32):
+    run = {
+        q: {
+            f"p{j}": float(rng.standard_normal())
+            for j in rng.choice(n, size=depth, replace=False)
+        }
+        for q in q_ids
+    }
+    queries = {q: f"query {int(q.split('-')[-1]) % 24}" for q in q_ids}
+    return Ranking.from_run(run, queries=queries)
+
+
+def _assert_same(test, got: Ranking, want: Ranking):
+    g = got._df.sort_values(["q_id", "id"]).reset_index(drop=True)
+    w = want._df.sort_values(["q_id", "id"]).reset_index(drop=True)
+    test.assertEqual(list(g["q_id"]), list(w["q_id"]))
+    test.assertEqual(list(g["id"]), list(w["id"]))
+    np.testing.assert_allclose(
+        g["score"].to_numpy(), w["score"].to_numpy(), rtol=1e-5, atol=1e-5
+    )
+
+
+class TestBatchingServer(unittest.TestCase):
+    def test_concurrent_requests_match_individual_serve(self):
+        index, rng, n = _build()
+        requests = [
+            _request(rng, n, [f"r{i}-q-{j}" for j in range(1 + i % 4)])
+            for i in range(12)
+        ]
+        want = [index.serve(r, ALPHA, CUTOFF) for r in requests]
+        with BatchingServer(
+            index, ALPHA, CUTOFF, max_batch_queries=8, max_wait_ms=20.0
+        ) as server:
+            futures = [server.submit(r) for r in requests]
+            got = [f.result(timeout=60) for f in futures]
+        for g, w in zip(got, want):
+            _assert_same(self, g, w)
+            self.assertEqual(len(g), len(w))
+
+    def test_duplicate_q_ids_across_requests(self):
+        # two concurrent requests reuse the SAME q_id strings: the server's
+        # per-request namespace must keep them apart
+        index, rng, n = _build()
+        r1 = _request(rng, n, ["q-0", "q-1"])
+        r2 = _request(rng, n, ["q-0", "q-1"])
+        want = [index.serve(r, ALPHA, CUTOFF) for r in (r1, r2)]
+        with BatchingServer(
+            index, ALPHA, CUTOFF, max_batch_queries=64, max_wait_ms=50.0
+        ) as server:
+            futures = [server.submit(r1), server.submit(r2)]
+            got = [f.result(timeout=60) for f in futures]
+        for g, w in zip(got, want):
+            _assert_same(self, g, w)
+
+    def test_submitters_from_many_threads(self):
+        index, rng, n = _build()
+        requests = [_request(rng, n, [f"t{i}-q-0"]) for i in range(8)]
+        want = {i: index.serve(r, ALPHA, CUTOFF) for i, r in enumerate(requests)}
+        got = {}
+        lock = threading.Lock()
+        with BatchingServer(
+            index, ALPHA, CUTOFF, max_batch_queries=4, max_wait_ms=5.0
+        ) as server:
+
+            def _one(i):
+                res = server.serve(requests[i])
+                with lock:
+                    got[i] = res
+
+            threads = [
+                threading.Thread(target=_one, args=(i,)) for i in range(8)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+        for i in range(8):
+            _assert_same(self, got[i], want[i])
+
+    def test_requires_queries(self):
+        index, rng, n = _build()
+        r = _request(rng, n, ["q-0"])
+        bare = Ranking(r._df[["q_id", "id", "score"]], copy=True)
+        with BatchingServer(index, ALPHA, CUTOFF) as server:
+            with self.assertRaises(ValueError):
+                server.submit(bare)
+
+    def test_closed_server_rejects(self):
+        index, rng, n = _build()
+        server = BatchingServer(index, ALPHA, CUTOFF)
+        server.close()
+        with self.assertRaises(RuntimeError):
+            server.submit(_request(rng, n, ["q-0"]))
+        server.close()  # idempotent
+
+    def test_bad_request_fails_its_future_only(self):
+        index, rng, n = _build()
+        good = _request(rng, n, ["g-q-0"])
+        bad = _request(rng, n, ["b-q-0"])
+        # an ID missing from the index fails the whole device batch; the
+        # server surfaces the error on every future of that batch — later
+        # batches on the same server still succeed
+        bad._df.loc[bad._df.index[0], "id"] = "missing-passage"
+        want = index.serve(good, ALPHA, CUTOFF)
+        with BatchingServer(
+            index, ALPHA, CUTOFF, max_batch_queries=64, max_wait_ms=5.0
+        ) as server:
+            fut_bad = server.submit(bad)
+            with self.assertRaises(Exception):
+                fut_bad.result(timeout=60)
+            got = server.submit(good).result(timeout=60)
+        _assert_same(self, got, want)
+
+    def test_cutoff_and_batch_validation(self):
+        index, _, _ = _build()
+        with self.assertRaises(ValueError):
+            BatchingServer(index, ALPHA, 0)
+        with self.assertRaises(ValueError):
+            BatchingServer(index, ALPHA, CUTOFF, max_batch_queries=0)
+
+
+if __name__ == "__main__":
+    unittest.main()
