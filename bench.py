@@ -314,6 +314,97 @@ def measure_reference(corpus, qvecs, run, queries, repeats, serve=None):
         importlib_metadata.version = orig_version
 
 
+def measure_server(
+    corpus, qvecs, run, queries, depth, repeats, precision, req_q, loops=3
+):
+    """Config: concurrent small requests through ``utils.BatchingServer``.
+
+    The production-concurrency story: R requests of ``req_q`` queries each
+    arrive together; the server coalesces them into fused serve batches
+    (one device dispatch + one tiny result fetch per batch) instead of
+    paying the per-call fixed cost R times.  The sequential per-request
+    ``index.serve`` loop is measured as the contrast.
+    """
+    import concurrent.futures
+
+    from fastforward_tpu.encoder import LambdaEncoder
+    from fastforward_tpu.index import InMemoryIndex, Mode
+    from fastforward_tpu.ranking import Ranking
+    from fastforward_tpu.utils.serving import BatchingServer
+
+    _enable_compile_cache()
+    alpha, cutoff = 0.2, 10
+    index = InMemoryIndex(
+        LambdaEncoder(_query_map(qvecs, queries)),
+        mode=Mode.PASSAGE,
+        precision=precision,
+    )
+    index.add(corpus, psg_ids=[f"p{i}" for i in range(corpus.shape[0])])
+
+    q_ids = list(run)
+    requests = []
+    for start in range(0, len(q_ids), req_q):
+        chunk = q_ids[start : start + req_q]
+        requests.append(
+            Ranking.from_run(
+                {q: run[q] for q in chunk},
+                queries={q: queries[q] for q in chunk},
+            )
+        )
+    log(
+        f"server workload: {len(requests)} concurrent requests x "
+        f"{req_q} queries x depth-{depth}"
+    )
+
+    t0 = time.perf_counter()
+    index.preload(warm=(len(q_ids), depth), serve=(alpha, cutoff))
+    log(f"preload (upload + full-batch serve warm): {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    want0 = index.serve(requests[0], alpha, cutoff)  # warm per-request shape
+    log(f"per-request serve warm: {time.perf_counter() - t0:.1f}s")
+
+    # contrast: one-by-one serving pays the fixed per-call cost R times
+    t0 = time.perf_counter()
+    for r in requests:
+        index.serve(r, alpha, cutoff)
+    seq_s = time.perf_counter() - t0
+    seq_qps = len(q_ids) / seq_s
+    log(
+        f"sequential serve: {len(requests)} requests in {seq_s:.3f}s "
+        f"-> {seq_qps:.1f} QPS aggregate"
+    )
+
+    qps = 0.0
+    with BatchingServer(
+        index,
+        alpha,
+        cutoff,
+        max_batch_queries=len(q_ids),
+        max_wait_ms=5.0,
+    ) as server:
+        got0 = server.serve(requests[0])  # warm the server path
+        assert list(got0["q0"]) == list(want0["q0"]), "server != serve"
+        pool = concurrent.futures.ThreadPoolExecutor(max_workers=16)
+        for attempt in range(max(1, loops)):
+            t0 = time.perf_counter()
+            for _ in range(repeats):
+                futures = list(
+                    pool.map(server.submit, requests)
+                )
+                for f in futures:
+                    f.result()
+            elapsed = time.perf_counter() - t0
+            attempt_qps = len(q_ids) * repeats / elapsed
+            log(
+                f"batched (loop {attempt + 1}): {repeats} rounds of "
+                f"{len(requests)} requests in {elapsed:.3f}s -> "
+                f"{attempt_qps:.1f} QPS aggregate"
+            )
+            qps = max(qps, attempt_qps)
+        pool.shutdown()
+    return qps, seq_qps
+
+
 def bench_encoder(batch: int, length: int, repeats: int):
     """Config #2 flavor: query-tower throughput, JAX/TPU vs torch/CPU.
 
@@ -926,7 +1017,7 @@ def main():
     parser.add_argument(
         "--config",
         choices=[
-            "rerank", "pipelined", "serve", "encoder", "pq", "int8",
+            "rerank", "pipelined", "serve", "server", "encoder", "pq", "int8",
             "early-stopping", "maxp", "alpha-sweep", "memory", "fp32-stream",
             "int8-stream", "pq-stream",
         ],
@@ -950,6 +1041,10 @@ def main():
         "--loops", type=int, default=3,
         help="timing loops of --repeats calls each; best loop is reported "
         "(later loops run with fully warm plan/program caches)",
+    )
+    parser.add_argument(
+        "--server-request-queries", type=int, default=8,
+        help="queries per concurrent request for --config server",
     )
     parser.add_argument("--ref-repeats", type=int, default=2)
     parser.add_argument("--skip-baseline", action="store_true")
@@ -1119,6 +1214,30 @@ def main():
                     "value": round(warm, 1),
                     "unit": "QPS",
                     "vs_baseline": None,
+                }
+            )
+        )
+        return
+
+    if args.config == "server":
+        qps, seq_qps = measure_server(
+            corpus, qvecs, run, queries, args.depth, args.repeats,
+            args.precision, args.server_request_queries, loops=args.loops,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        f"BatchingServer aggregate serve QPS "
+                        f"({args.queries // args.server_request_queries} "
+                        f"concurrent requests x "
+                        f"{args.server_request_queries} queries, "
+                        f"depth-{args.depth}, N={args.n}; sequential "
+                        f"per-request serve: {round(seq_qps, 1)} QPS)"
+                    ),
+                    "value": round(qps, 1),
+                    "unit": "QPS",
+                    "vs_baseline": round(qps / seq_qps, 1) if seq_qps else None,
                 }
             )
         )
