@@ -716,6 +716,38 @@ class Index(abc.ABC):
         """
         return None
 
+    @staticmethod
+    def _ensure_compile_cache() -> None:
+        """Enable JAX's persistent compilation cache when none is configured.
+
+        Remote/TPU compiles of the serving programs cost minutes per
+        process; the persistent cache turns every later process's warm
+        into a sub-second disk hit (measured on the dev tunnel: 195 s
+        first compile -> 0.6 s cached).  Users who configured their own
+        ``jax_compilation_cache_dir`` (or set ``FFTPU_NO_COMPILE_CACHE``)
+        are left alone.
+        """
+        import os
+
+        try:
+            if (
+                jax.config.jax_compilation_cache_dir
+                or os.environ.get("FFTPU_NO_COMPILE_CACHE")
+            ):
+                return
+            from pathlib import Path
+
+            path = (
+                Path(os.environ.get("XDG_CACHE_HOME", Path.home() / ".cache"))
+                / "fastforward_tpu"
+                / "xla_cache"
+            )
+            path.mkdir(parents=True, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", str(path))
+            LOGGER.info("persistent XLA compile cache enabled at %s", path)
+        except Exception:  # pragma: no cover - cache is best-effort
+            LOGGER.debug("could not enable persistent compile cache")
+
     def preload(
         self,
         warm: "tuple[int, int] | None" = None,
@@ -744,6 +776,7 @@ class Index(abc.ABC):
         :param serve: Optional ``(alpha, cutoff)`` to warm :meth:`serve`.
         :return: Whether a device table exists for this backend.
         """
+        self._ensure_compile_cache()
         view = self._device_view()
         if view is None:
             return False
@@ -2225,6 +2258,13 @@ class Index(abc.ABC):
             packed = ops.serve_topk(
                 scores_dev, sv["lex_dev"], sv["slot_dev"], np.float32(alpha), kc
             )
+            if defer:
+                # start the (tiny) result copy the moment the device
+                # finishes — result() then only waits, it doesn't initiate
+                try:
+                    packed.copy_to_host_async()
+                except Exception:  # pragma: no cover - backend-specific
+                    pass
         else:
             packed = None
 

@@ -525,3 +525,38 @@ class TestPreloadWarm(unittest.TestCase):
         from fastforward_tpu.index import InMemoryIndex
 
         self.assertFalse(InMemoryIndex().preload(warm=(2, 10)))
+
+    def test_preload_enables_persistent_compile_cache(self):
+        import os
+
+        import jax
+
+        from fastforward_tpu.index.base import Index
+
+        prev = jax.config.jax_compilation_cache_dir
+        prev_env = os.environ.pop("FFTPU_NO_COMPILE_CACHE", None)
+        try:
+            jax.config.update("jax_compilation_cache_dir", None)
+            Index._ensure_compile_cache()
+            enabled = jax.config.jax_compilation_cache_dir
+            self.assertIsNotNone(enabled)
+            self.assertIn("fastforward_tpu", enabled)
+            # a user-configured directory is left alone
+            Index._ensure_compile_cache()
+            self.assertEqual(jax.config.jax_compilation_cache_dir, enabled)
+            jax.config.update("jax_compilation_cache_dir", "/tmp/my-cache")
+            Index._ensure_compile_cache()
+            self.assertEqual(
+                jax.config.jax_compilation_cache_dir, "/tmp/my-cache"
+            )
+            # explicit opt-out
+            jax.config.update("jax_compilation_cache_dir", None)
+            os.environ["FFTPU_NO_COMPILE_CACHE"] = "1"
+            Index._ensure_compile_cache()
+            self.assertIsNone(jax.config.jax_compilation_cache_dir)
+        finally:
+            jax.config.update("jax_compilation_cache_dir", prev)
+            if prev_env is None:
+                os.environ.pop("FFTPU_NO_COMPILE_CACHE", None)
+            else:
+                os.environ["FFTPU_NO_COMPILE_CACHE"] = prev_env
