@@ -202,15 +202,20 @@ class BatchingServer:
     def _dispatch(self, batch: "list[_Request]"):
         """Merge the batch into one namespaced ranking and dispatch it."""
         try:
+            # request frames are individually (q_id desc, score desc)-sorted
+            # (the Ranking ctor invariant) and the fixed-width tag prefix
+            # dominates the namespaced q_id sort — so concatenating in
+            # tag-DESCENDING order yields an already-sorted merged frame and
+            # the trusted ctor skips the O(B log B) re-sort (the dominant
+            # per-batch host cost at 512k pairs)
             frames = []
-            for req in batch:
+            for req in sorted(batch, key=lambda r: r.tag, reverse=True):
                 df = _plain_ids(req.ranking._df)[
                     ["q_id", "id", "score", "query"]
                 ]
                 frames.append(df.assign(q_id=req.tag + _SEP + df["q_id"]))
-            merged = Ranking(
-                pd.concat(frames, ignore_index=True),
-                copy=False,
+            merged = Ranking._from_trusted_frame(
+                pd.concat(frames, ignore_index=True), None
             )
             LOGGER.debug(
                 "dispatching batch: %d requests, %d queries, %d pairs",
