@@ -190,3 +190,31 @@ print(
     f"{args.q * args.iters / dt:.1f} QPS",
     flush=True,
 )
+
+# --- fused serve breakdown (bench.py --config serve) ---------------------
+ALPHA, CUTOFF = 0.2, 10
+index.serve(ranking, ALPHA, CUTOFF)  # compile + plan-cache the fused tail
+
+srv_fut = timed(
+    "srv disp",
+    lambda: index.submit_serve(ranking, ALPHA, CUTOFF),
+)
+assert srv_fut.pipelined, "fused serve must stay on the device path"
+timed("srv wait", srv_fut.result, iters=1)  # fetch+assemble of that call
+timed("srv call", lambda: index.serve(ranking, ALPHA, CUTOFF))
+
+t0 = time.perf_counter()
+pending = None
+for _ in range(args.iters):
+    fut = index.submit_serve(ranking, ALPHA, CUTOFF)
+    assert fut.pipelined
+    if pending is not None:
+        pending.result()
+    pending = fut
+pending.result()
+dt = time.perf_counter() - t0
+print(
+    f"steady serve pipelined: {args.iters} calls in {dt:.3f}s -> "
+    f"{args.q * args.iters / dt:.1f} QPS",
+    flush=True,
+)
