@@ -125,12 +125,18 @@ def _query_map(qvecs, queries):
 
 
 def _enable_compile_cache():
-    """Persist XLA compilations under the repo (remote TPU compiles are
-    minutes-slow; the cache survives across bench runs)."""
+    """Persist XLA compilations (remote TPU compiles are minutes-slow).
+
+    Uses the library default (``~/.cache/fastforward_tpu/xla_cache`` via
+    ``Index._ensure_compile_cache``) rather than a repo-local directory:
+    the home-dir cache survives workspace resets between rounds, so a
+    fresh checkout's first bench still warms from disk."""
     import jax
 
     try:
-        jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+        from fastforward_tpu.index.base import Index
+
+        Index._ensure_compile_cache()
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception as e:  # pragma: no cover
         log(f"compile cache unavailable: {e}")
@@ -190,7 +196,10 @@ def measure_ours(
         host_stream.reset_stats()
     if serve is not None:
         # compile the fused serve program off the timed path
-        index.serve(ranking, serve[0], serve[1])
+        index.serve(
+            ranking, serve[0], serve[1],
+            refine=serve[2] if len(serve) > 2 else None,
+        )
     qps = 0.0
     for attempt in range(max(1, loops)):
         t0 = time.perf_counter()
@@ -198,10 +207,11 @@ def measure_ours(
             # fused production flow: semantic scoring + interpolation +
             # top-k cut in one device program; depth-2 submit pipeline —
             # only (2, Q, cutoff) int32 cross the device->host link
-            alpha, cutoff = serve
+            alpha, cutoff = serve[0], serve[1]
+            refine = serve[2] if len(serve) > 2 else None
             pending = None
             for _ in range(repeats):
-                fut = index.submit_serve(ranking, alpha, cutoff)
+                fut = index.submit_serve(ranking, alpha, cutoff, refine=refine)
                 assert fut.pipelined, "serve path must stay fused"
                 if pending is not None:
                     result = pending.result()
@@ -1050,6 +1060,11 @@ def main():
         "--server-request-queries", type=int, default=8,
         help="queries per concurrent request for --config server",
     )
+    parser.add_argument(
+        "--refine", type=int, default=None,
+        help="--config serve: two-phase margin (bf16 fast preselect of "
+        "top cutoff+M, exact fp32 rescore on device)",
+    )
     parser.add_argument("--ref-repeats", type=int, default=2)
     parser.add_argument("--skip-baseline", action="store_true")
     parser.add_argument("--precision", choices=["exact", "high", "fast"], default="high")
@@ -1141,11 +1156,17 @@ def main():
         )
         return
 
-    serve = (0.2, 10) if args.config == "serve" else None
+    serve = None
+    if args.config == "serve":
+        serve = (
+            (0.2, 10, args.refine) if args.refine is not None else (0.2, 10)
+        )
+    # the reference baseline is the same for refined and unrefined serving
+    # (the reference always computes exact host-side interpolate + cut)
     config_key = hashlib.sha1(
         (
             f"{args.n}-{args.queries}-{args.depth}-{DIM}"
-            + (f"-serve{serve}" if serve else "")
+            + (f"-serve{serve[:2]}" if serve else "")
         ).encode()
     ).hexdigest()[:12]
 
@@ -1291,6 +1312,8 @@ def main():
         "high": "fp32 table, bf16x3 'high' scoring",
         "fast": "bf16 'fast' scoring",
     }[args.precision]
+    if serve is not None and len(serve) > 2:
+        tier_label = "fp32 table, bf16 fast scan + exact fp32 rescore"
     if hbm_budget is not None:
         tier_label += (
             f", beyond-HBM hybrid tier ({args.hbm_budget_gb:g} GiB budget)"
@@ -1300,7 +1323,13 @@ def main():
     if serve is not None:
         tier_label += (
             f", fused serve (interpolate a={serve[0]} + top-{serve[1]} "
-            "on device, depth-2 pipeline)"
+            "on device, depth-2 pipeline"
+            + (
+                f", two-phase refine margin {serve[2]}"
+                if len(serve) > 2
+                else ""
+            )
+            + ")"
         )
     if args.transport == "u16":
         tier_label += ", u16 score transport"

@@ -11,6 +11,7 @@ Run:  python benchmarks/breakdown.py [--n 2000000 --queries 512]
 import argparse
 import sys
 import time
+import os
 from pathlib import Path
 
 import numpy as np
@@ -23,7 +24,7 @@ import jax.numpy as jnp  # noqa: E402
 try:
     jax.config.update(
         "jax_compilation_cache_dir",
-        str(Path(__file__).parent.parent / ".jax_cache"),
+        str(Path(os.environ.get("XDG_CACHE_HOME", Path.home() / ".cache")) / "fastforward_tpu" / "xla_cache"),
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:

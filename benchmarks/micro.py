@@ -7,6 +7,7 @@ Prints one line per measurement (stderr-free, machine-parsable).
 import argparse
 import sys
 import time
+import os
 from pathlib import Path
 
 import numpy as np
@@ -19,7 +20,7 @@ import jax.numpy as jnp  # noqa: E402
 try:
     jax.config.update(
         "jax_compilation_cache_dir",
-        str(Path(__file__).parent.parent / ".jax_cache"),
+        str(Path(os.environ.get("XDG_CACHE_HOME", Path.home() / ".cache")) / "fastforward_tpu" / "xla_cache"),
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:

@@ -21,6 +21,7 @@ import weakref
 from collections import OrderedDict, defaultdict
 from collections.abc import Callable, Iterable, Iterator, Sequence
 from typing import NamedTuple
+import dataclasses
 from dataclasses import dataclass, field
 from time import perf_counter
 
@@ -770,7 +771,9 @@ class Index(abc.ABC):
 
         With ``serve=(alpha, cutoff)`` (requires ``warm``) the synthetic
         workload additionally runs through :meth:`serve`, compiling the
-        fused interpolate + top-k program for that cutoff as well.
+        fused interpolate + top-k program for that cutoff as well; an
+        optional third element warms the two-phase path
+        (``serve=(alpha, cutoff, refine_margin)``).
 
         :param warm: Optional ``(num_queries, depth)`` workload shape.
         :param serve: Optional ``(alpha, cutoff)`` to warm :meth:`serve`.
@@ -845,7 +848,12 @@ class Index(abc.ABC):
             )
             self(ranking)
             if serve is not None:
-                self.serve(ranking, serve[0], serve[1])
+                self.serve(
+                    ranking,
+                    serve[0],
+                    serve[1],
+                    refine=serve[2] if len(serve) > 2 else None,
+                )
         finally:
             self._query_encoder = encoder
             self._plans.pop((id(ranking._df), self._mode), None)
@@ -1983,6 +1991,7 @@ class Index(abc.ABC):
         alpha: float,
         cutoff: int,
         early_stopping_depths: "Iterable[int] | None" = None,
+        refine: "int | None" = None,
     ) -> Ranking:
         """One fused production re-rank call: semantic scoring + score
         interpolation + per-query top-``cutoff`` cut.
@@ -2012,13 +2021,27 @@ class Index(abc.ABC):
         treated as 0) would surface never-scored candidates on their
         lexical score alone.
 
+        With ``refine=margin`` (dense single-passage tables on one device)
+        the call runs two-phase: a single-pass bf16 ``"fast"`` scan
+        preselects the top ``cutoff + margin`` candidates per query, whose
+        dots are then recomputed in full fp32 on device before the final
+        cut — a third of the MXU streaming work with *exact* final scores;
+        the approximation is confined to the preselection (a true
+        top-``cutoff`` candidate is lost only if the ~0.4 % bf16 relative
+        error pushes it below ``margin`` others; ``margin >= 2 x cutoff``
+        is a comfortable default in practice).  Configurations outside the
+        two-phase fast path (quantized/hybrid/sharded tables, doc modes)
+        ignore ``refine`` and serve through the standard fused program.
+
         :param ranking: The ranking (queries must be attached).
         :param alpha: Interpolation parameter (lexical weight).
         :param cutoff: Top-k depth per query to return.
         :param early_stopping_depths: Optional early-stopping depth
             schedule (the ES cutoff/alpha are ``cutoff``/``alpha``).
+        :param refine: Optional two-phase margin (see above).
         :raises ValueError: When the ranking has no queries attached.
         :raises ValueError: When the cutoff is not positive.
+        :raises ValueError: When ``refine`` is negative.
         :raises IndexError: When an ID is missing from the index.
         :return: The interpolated, cut ranking.
         """
@@ -2028,6 +2051,7 @@ class Index(abc.ABC):
             cutoff,
             defer=False,
             early_stopping_depths=early_stopping_depths,
+            refine=refine,
         )
         assert isinstance(out, Ranking)
         return out
@@ -2038,6 +2062,7 @@ class Index(abc.ABC):
         alpha: float,
         cutoff: int,
         early_stopping_depths: "Iterable[int] | None" = None,
+        refine: "int | None" = None,
     ) -> ScoreFuture:
         """Pipelined :meth:`serve`: dispatch now, fetch in ``result()``.
 
@@ -2059,6 +2084,7 @@ class Index(abc.ABC):
             cutoff,
             defer=True,
             early_stopping_depths=early_stopping_depths,
+            refine=refine,
         )
         if isinstance(out, Ranking):  # eager fallback path
             return ScoreFuture(result=out)
@@ -2071,11 +2097,14 @@ class Index(abc.ABC):
         cutoff: int,
         defer: bool,
         early_stopping_depths: "Iterable[int] | None" = None,
+        refine: "int | None" = None,
     ) -> "Ranking | Callable[[], Ranking]":
         if not ranking.has_queries:
             raise ValueError("Input ranking has no queries attached.")
         if cutoff < 1:
             raise ValueError("cutoff must be positive.")
+        if refine is not None and refine < 0:
+            raise ValueError("refine margin must be non-negative.")
         if early_stopping_depths is not None:
             return self._serve_early_stopping(
                 ranking, alpha, cutoff, early_stopping_depths
@@ -2094,7 +2123,8 @@ class Index(abc.ABC):
             plan["q_uniques"] = q_uniques
         query_vectors = self.encode_queries(queries)
         fused = self._serve_fused(
-            ranking, query_vectors, q_uniques, q_codes, plan, alpha, cutoff, defer
+            ranking, query_vectors, q_uniques, q_codes, plan, alpha, cutoff,
+            defer, refine=refine,
         )
         if fused is not None:
             if not defer:
@@ -2160,6 +2190,7 @@ class Index(abc.ABC):
         alpha: float,
         cutoff: int,
         defer: bool,
+        refine: "int | None" = None,
     ) -> "Ranking | Callable[[], Ranking] | None":
         """Dispatch the fused serve program; ``None`` -> caller falls back.
 
@@ -2194,8 +2225,25 @@ class Index(abc.ABC):
                 k=k,
                 cand_ready=True,
             )
+        # two-phase refine: single-pass bf16 preselect + exact rescore of
+        # the top (cutoff + margin) per query — dense single-passage
+        # single-device tables only; other configurations serve normally
+        refine_live = (
+            refine is not None
+            and view.kind == "dense"
+            and view.mesh is None
+            and view.table.ndim == 2
+            and k == 1
+            # fast-tier indexes already run single-pass; refining them
+            # still upgrades the final top-k scores to exact fp32
+        )
+        scoring_view = (
+            dataclasses.replace(view, precision="fast")
+            if refine_live
+            else view
+        )
         scores_dev = self._device_score_grouped(
-            view,
+            scoring_view,
             query_vectors,
             rows_mat,
             pair_qno,
@@ -2247,6 +2295,7 @@ class Index(abc.ABC):
                 "lex_dev": jnp.asarray(lex),
                 "qid_arr": ranking._df["q_id"].array,
                 "id_arr": ranking._df["id"].array,
+                "by_rank": by_rank,
                 "ready": True,
             }
             plan["serve"] = sv
@@ -2254,19 +2303,58 @@ class Index(abc.ABC):
         device_path = isinstance(scores_dev, jax.Array) and getattr(
             scores_dev, "is_fully_addressable", True
         )
-        if device_path:
+        if device_path and refine_live:
+            from fastforward_tpu.ops.scoring import _cached_q_upload
+
+            rows_dev = sv.get("rows_dev")
+            if rows_dev is None:
+                rows_pad = np.zeros(ops.bucket(n_pairs), dtype=np.int32)
+                rows_pad[:n_pairs] = rows_mat[:, 0]
+                rows_dev = jnp.asarray(rows_pad)
+                sv["rows_dev"] = rows_dev
+                # slot-row -> query-index permutation (slot rows are in
+                # output order, queries in first-appearance order)
+                br = sv.get("by_rank")
+                if br is None:
+                    br = np.argsort(np.asarray(q_uniques, dtype=object))[
+                        ::-1
+                    ]
+                sv["q_perm_dev"] = jnp.asarray(br.astype(np.int32))
+            cached_qt = plan.get("q_t_dev")
+            if cached_qt is not None:
+                q_dev, q_transposed = cached_qt[1], True
+            else:
+                q_pad = self._pad_queries(query_vectors, view)
+                q_dev, q_transposed = (
+                    _cached_q_upload(q_pad, plan, "q_dev"),
+                    False,
+                )
+            packed = ops.serve_topk_refine(
+                scores_dev,
+                sv["lex_dev"],
+                sv["slot_dev"],
+                np.float32(alpha),
+                kc,
+                int(refine),
+                view.table,
+                rows_dev,
+                q_dev,
+                sv["q_perm_dev"],
+                q_transposed=q_transposed,
+            )
+        elif device_path:
             packed = ops.serve_topk(
                 scores_dev, sv["lex_dev"], sv["slot_dev"], np.float32(alpha), kc
             )
-            if defer:
-                # start the (tiny) result copy the moment the device
-                # finishes — result() then only waits, it doesn't initiate
-                try:
-                    packed.copy_to_host_async()
-                except Exception:  # pragma: no cover - backend-specific
-                    pass
         else:
             packed = None
+        if packed is not None and defer:
+            # start the (tiny) result copy the moment the device finishes
+            # — result() then only waits, it doesn't initiate
+            try:
+                packed.copy_to_host_async()
+            except Exception:  # pragma: no cover - backend-specific
+                pass
 
         def finish() -> Ranking:
             if packed is not None:

@@ -20,7 +20,12 @@ if _p and "," not in _p:
     jax.config.update("jax_platforms", _p)
 # persistent compile cache: first-compile on the remote TPU toolchain can
 # take many minutes; cached re-verifies take seconds
-jax.config.update("jax_compilation_cache_dir", str(Path(__file__).resolve().parent.parent / ".jax_cache"))
+from pathlib import Path as _P
+import os as _os
+jax.config.update(
+    "jax_compilation_cache_dir",
+    str(_P(_os.environ.get("XDG_CACHE_HOME", _P.home() / ".cache")) / "fastforward_tpu" / "xla_cache"),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 print("backend:", jax.default_backend(), jax.devices())
 
@@ -124,4 +129,14 @@ for q in want.q_ids:
     errs = max(abs(gw[k] - gs[k]) for k in gw)
     assert errs < 1e-2, (q, errs)
 print("fused serve(alpha=0.2, cutoff=10) matches interpolate+cut")
+
+# 10. two-phase refine serve (bf16 fast preselect + exact fp32 rescore)
+refined = index.serve(ranking, 0.2, 10, refine=64)
+assert refined.q_ids == want.q_ids
+for q in want.q_ids:
+    gw, gs = want[q], refined[q]
+    assert set(gw) == set(gs), (q, set(gw) ^ set(gs))
+    errs = max(abs(gw[k] - gs[k]) for k in gw)
+    assert errs < 1e-2, (q, errs)
+print("two-phase refine serve matches interpolate+cut")
 print("ALL DRIVE CHECKS PASSED")

@@ -102,6 +102,94 @@ class TestServe(unittest.TestCase):
             self.assertEqual(len(set(qids[lo : lo + 10])), 1)
             self.assertTrue((np.diff(scores[lo : lo + 10]) <= 1e-6).all())
 
+    def test_refine_matches_standard_serve(self):
+        # two-phase (fast preselect + exact rescore): with a margin
+        # covering every candidate, results must equal the exact flow
+        index, ranking = _build(seed=11)
+        want = _reference_serve(index, ranking, 0.3, 10)
+        got = index.serve(ranking, 0.3, 10, refine=64)
+        _assert_equivalent(self, got, want, 4)
+
+    def test_refine_warm_and_alpha_sweep(self):
+        index, ranking = _build(seed=12)
+        index.serve(ranking, 0.2, 10, refine=20)  # build plan + artifacts
+        for alpha in (0.0, 0.5, 1.0):
+            want = _reference_serve(index, ranking, alpha, 10)
+            got = index.serve(ranking, alpha, 10, refine=20)
+            _assert_equivalent(self, got, want, 4)
+        # refine and standard serve share the plan; both stay correct
+        got_std = index.serve(ranking, 0.5, 10)
+        _assert_equivalent(self, got_std, _reference_serve(index, ranking, 0.5, 10), 4)
+
+    def test_refine_scores_exact_fp32(self):
+        # the refined top-k scores are full-fp32 dots of the stored rows
+        index, ranking = _build(seed=13, n=512, dim=32)
+        got = index.serve(ranking, 0.0, 5, refine=27)
+        vecs = {f"p{i}": i for i in range(512)}
+        corpus = index._get_vectors([f"p{i}" for i in range(512)])[0]
+        for q in got.q_ids:
+            qv = index.encode_queries([f"query {q[1:]}"])[0]
+            for pid, score in got[q].items():
+                want = float(corpus[vecs[pid]] @ qv)
+                self.assertAlmostEqual(score, want, places=4)
+
+    def test_refine_falls_back_on_doc_modes_and_quantized(self):
+        index, ranking = _build_docs(mode=Mode.MAXP)
+        want = _reference_serve(index, ranking, 0.5, 5)
+        got = index.serve(ranking, 0.5, 5, refine=8)  # ignored, still right
+        _assert_equivalent(self, got, want, 3)
+
+        from fastforward_tpu.quantizer import PQ
+
+        rng = np.random.default_rng(14)
+        n, dim, num_q = 1024, 16, 4
+        corpus = rng.standard_normal((n, dim)).astype(np.float32)
+        qvecs = rng.standard_normal((num_q, dim)).astype(np.float32)
+        by_text = {f"query {i}": qvecs[i] for i in range(num_q)}
+        pq = PQ(M=4, Ks=16)
+        pq.fit(corpus[:512])
+        index2 = InMemoryIndex(
+            LambdaEncoder(lambda t: by_text[t]),
+            quantizer=pq,
+            mode=Mode.PASSAGE,
+        )
+        index2.add(corpus, psg_ids=[f"p{i}" for i in range(n)])
+        run = {
+            f"q{i}": {
+                f"p{j}": float(rng.standard_normal())
+                for j in rng.choice(n, size=32, replace=False)
+            }
+            for i in range(num_q)
+        }
+        ranking2 = Ranking.from_run(
+            run, queries={f"q{i}": f"query {i}" for i in range(num_q)}
+        )
+        want2 = _reference_serve(index2, ranking2, 0.3, 10)
+        got2 = index2.serve(ranking2, 0.3, 10, refine=8)
+        _assert_equivalent(self, got2, want2, 4)
+
+    def test_refine_validation(self):
+        index, ranking = _build(seed=15)
+        with self.assertRaises(ValueError):
+            index.serve(ranking, 0.3, 10, refine=-1)
+
+    def test_refine_submit_serve_pipelined(self):
+        index, ranking = _build(seed=16)
+        want = index.serve(ranking, 0.3, 10, refine=16)
+        fut = index.submit_serve(ranking, 0.3, 10, refine=16)
+        self.assertTrue(fut.pipelined)
+        got = fut.result()
+        _assert_equivalent(self, got, want, 4)
+
+    def test_preload_serve_refine_warm(self):
+        index, ranking = _build(seed=17)
+        self.assertTrue(
+            index.preload(warm=(4, 32), serve=(0.2, 10, 16))
+        )
+        want = _reference_serve(index, ranking, 0.2, 10)
+        got = index.serve(ranking, 0.2, 10, refine=16)
+        _assert_equivalent(self, got, want, 4)
+
     def test_doc_modes_match_unfused(self):
         for mode in (Mode.MAXP, Mode.AVEP, Mode.FIRSTP):
             with self.subTest(mode=mode):
