@@ -1082,6 +1082,7 @@ class Index(abc.ABC):
                     precision=view.precision,
                     plan=plan,
                     reduce=reduce_spec,
+                    fetch=fetch,
                 )
             else:
                 row_scores = ops.streamed_scores(

@@ -139,7 +139,8 @@ def streamed_scores_sharded(
     plan: dict | None = None,
     reduce: "tuple | None" = None,
     seg_reduce: "tuple | None" = None,
-) -> "np.ndarray | None":
+    fetch: bool = True,
+) -> "np.ndarray | jax.Array | None":
     """Sharded equivalent of ``ops.streamed_scores``.
 
     Partitions candidates by their owning shard on the host, builds one
@@ -212,7 +213,7 @@ def streamed_scores_sharded(
 
     return _finalize_streamed(
         outs, slot_of_pair, reduce, plan, "stream_sharded_slot",
-        seg_reduce=seg_reduce,
+        seg_reduce=seg_reduce, fetch=fetch,
     )
 
 

@@ -64,6 +64,9 @@ class BatchingServer:
         batch may exceed this by one request's query count).
     :param max_wait_ms: Dispatch a non-empty batch after waiting this long
         for more requests, even if it is below ``max_batch_queries``.
+    :param refine: Optional two-phase margin forwarded to
+        :meth:`Index.submit_serve` (bf16 fast preselect of the top
+        ``cutoff + refine`` per query, exact fp32 rescore on device).
     """
 
     def __init__(
@@ -74,6 +77,7 @@ class BatchingServer:
         *,
         max_batch_queries: int = 512,
         max_wait_ms: float = 2.0,
+        refine: "int | None" = None,
     ) -> None:
         if cutoff < 1:
             raise ValueError("cutoff must be positive.")
@@ -82,6 +86,7 @@ class BatchingServer:
         self._index = index
         self._alpha = alpha
         self._cutoff = cutoff
+        self._refine = refine
         self._max_q = max_batch_queries
         self._max_wait_s = max_wait_ms / 1000.0
         self._queue: "queue.SimpleQueue[_Request | None]" = queue.SimpleQueue()
@@ -223,7 +228,9 @@ class BatchingServer:
                 len(merged.q_ids),
                 len(merged),
             )
-            return self._index.submit_serve(merged, self._alpha, self._cutoff)
+            return self._index.submit_serve(
+                merged, self._alpha, self._cutoff, refine=self._refine
+            )
         except Exception as exc:  # noqa: BLE001 - fan the failure out
             for req in batch:
                 if not req.future.set_running_or_notify_cancel():

@@ -295,6 +295,18 @@ class TestServe(unittest.TestCase):
         got = index.serve(ranking, 0.3, 10)
         _assert_equivalent(self, got, want, 4)
 
+    def test_sharded_mesh_serve_stays_fused(self):
+        # the per-shard streamed scores stay on device and feed the fused
+        # interpolate + top-k tail — submit_serve must defer (pipelined)
+        index, ranking = _build(
+            seed=18, n=8192, dim=128, depth=64,
+            mesh_config=MeshConfig(data=2, shard=4),
+        )
+        want = _reference_serve(index, ranking, 0.3, 10)
+        fut = index.submit_serve(ranking, 0.3, 10)
+        self.assertTrue(fut.pipelined, "mesh serve must stay fused")
+        _assert_equivalent(self, fut.result(), want, 4)
+
     def test_quantized_serve(self):
         from fastforward_tpu.quantizer import PQ
 

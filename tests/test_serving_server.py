@@ -110,6 +110,16 @@ class TestBatchingServer(unittest.TestCase):
         for i in range(8):
             _assert_same(self, got[i], want[i])
 
+    def test_refine_passthrough(self):
+        index, rng, n = _build()
+        r1 = _request(rng, n, ["q-0", "q-1"])
+        want = index.serve(r1, ALPHA, CUTOFF, refine=64)
+        with BatchingServer(
+            index, ALPHA, CUTOFF, max_wait_ms=5.0, refine=64
+        ) as server:
+            got = server.serve(r1)
+        _assert_same(self, got, want)
+
     def test_requires_queries(self):
         index, rng, n = _build()
         r = _request(rng, n, ["q-0"])
