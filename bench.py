@@ -1061,9 +1061,10 @@ def main():
         help="queries per concurrent request for --config server",
     )
     parser.add_argument(
-        "--refine", type=int, default=None,
+        "--refine", type=int, default=22,
         help="--config serve: two-phase margin (bf16 fast preselect of "
-        "top cutoff+M, exact fp32 rescore on device)",
+        "top cutoff+M, exact fp32 rescore on device); 0 disables "
+        "(bf16x3 'high' scan, serve_topk only)",
     )
     parser.add_argument("--ref-repeats", type=int, default=2)
     parser.add_argument("--skip-baseline", action="store_true")
@@ -1158,9 +1159,7 @@ def main():
 
     serve = None
     if args.config == "serve":
-        serve = (
-            (0.2, 10, args.refine) if args.refine is not None else (0.2, 10)
-        )
+        serve = (0.2, 10, args.refine) if args.refine else (0.2, 10)
     # the reference baseline is the same for refined and unrefined serving
     # (the reference always computes exact host-side interpolate + cut)
     config_key = hashlib.sha1(
