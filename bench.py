@@ -145,7 +145,7 @@ def _enable_compile_cache():
 def measure_ours(
     corpus, qvecs, run, queries, depth, repeats, precision="exact",
     hbm_budget=None, loops=2, pipelined=False, transport="f32",
-    serve=None,
+    serve=None, pipeline_depth=4,
 ):
     from fastforward_tpu.encoder import LambdaEncoder
     from fastforward_tpu.index import InMemoryIndex, Mode
@@ -205,29 +205,35 @@ def measure_ours(
         t0 = time.perf_counter()
         if serve is not None:
             # fused production flow: semantic scoring + interpolation +
-            # top-k cut in one device program; depth-2 submit pipeline —
-            # only (2, Q, cutoff) int32 cross the device->host link
+            # top-k cut in one device program; depth-`pipeline_depth`
+            # submit pipeline — in-flight tunnel round trips overlap almost
+            # perfectly (bench_logs/serve_depth.log: depth-2 leaves one
+            # serialized RTT exposed per call, depth 4-8 converge), and
+            # only (2, Q, cutoff) packed values cross the link per call
             alpha, cutoff = serve[0], serve[1]
             refine = serve[2] if len(serve) > 2 else None
-            pending = None
+            pending = []
             for _ in range(repeats):
                 fut = index.submit_serve(ranking, alpha, cutoff, refine=refine)
                 assert fut.pipelined, "serve path must stay fused"
-                if pending is not None:
-                    result = pending.result()
-                pending = fut
-            result = pending.result()
+                pending.append(fut)
+                if len(pending) >= pipeline_depth:
+                    result = pending.pop(0).result()
+            for fut in pending:
+                result = fut.result()
         elif pipelined:
-            # depth-2 submit pipeline: call i+1's encode/dispatch/device
-            # execution overlap call i's link-bound score fetch
-            pending = None
+            # depth-`pipeline_depth` submit pipeline: later calls'
+            # encode/dispatch/device execution overlap earlier calls'
+            # link-bound score fetches
+            pending = []
             for _ in range(repeats):
                 fut = index.submit(ranking)
                 assert fut.pipelined, "flagship path must defer its fetch"
-                if pending is not None:
-                    result = pending.result()
-                pending = fut
-            result = pending.result()
+                pending.append(fut)
+                if len(pending) >= pipeline_depth:
+                    result = pending.pop(0).result()
+            for fut in pending:
+                result = fut.result()
         else:
             for _ in range(repeats):
                 result = index(ranking)
@@ -1061,6 +1067,12 @@ def main():
         help="queries per concurrent request for --config server",
     )
     parser.add_argument(
+        "--pipeline-depth", type=int, default=4,
+        help="in-flight submit/submit_serve futures for the serve and "
+        "pipelined configs; in-flight tunnel round trips overlap almost "
+        "perfectly, and depth 4-8 converge (bench_logs/serve_depth.log)",
+    )
+    parser.add_argument(
         "--refine", type=int, default=22,
         help="--config serve: two-phase margin (bf16 fast preselect of "
         "top cutoff+M, exact fp32 rescore on device); 0 disables "
@@ -1160,6 +1172,10 @@ def main():
     serve = None
     if args.config == "serve":
         serve = (0.2, 10, args.refine) if args.refine else (0.2, 10)
+        # the pipeline only reaches steady state once it holds several
+        # multiples of its depth in flight; keep each timing loop long
+        # enough to amortize the fill/drain ramps
+        args.repeats = max(args.repeats, 4 * args.pipeline_depth)
     # the reference baseline is the same for refined and unrefined serving
     # (the reference always computes exact host-side interpolate + cut)
     config_key = hashlib.sha1(
@@ -1276,7 +1292,7 @@ def main():
         corpus, qvecs, run, queries, args.depth, args.repeats,
         precision=args.precision, hbm_budget=hbm_budget, loops=args.loops,
         pipelined=args.config == "pipelined", transport=args.transport,
-        serve=serve,
+        serve=serve, pipeline_depth=args.pipeline_depth,
     )
 
     baseline_file = REPO / "BASELINE_MEASURED.json"
@@ -1318,11 +1334,11 @@ def main():
             f", beyond-HBM hybrid tier ({args.hbm_budget_gb:g} GiB budget)"
         )
     if args.config == "pipelined":
-        tier_label += ", depth-2 submit pipeline"
+        tier_label += f", depth-{args.pipeline_depth} submit pipeline"
     if serve is not None:
         tier_label += (
             f", fused serve (interpolate a={serve[0]} + top-{serve[1]} "
-            "on device, depth-2 pipeline"
+            f"on device, depth-{args.pipeline_depth} pipeline"
             + (
                 f", two-phase refine margin {serve[2]}"
                 if len(serve) > 2
