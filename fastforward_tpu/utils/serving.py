@@ -22,11 +22,13 @@ result fetch is in flight, batch *i+1* is collected and dispatched.
 import logging
 import queue
 import threading
+from collections import deque
 from concurrent.futures import Future
 from time import monotonic
 
 import numpy as np
 import pandas as pd
+from pandas.api.types import union_categoricals
 
 from fastforward_tpu.ranking import Ranking, _plain_ids
 
@@ -35,6 +37,15 @@ LOGGER = logging.getLogger(__name__)
 #: Separator between the per-request namespace tag and the original q_id.
 #: U+001F (unit separator) never appears in TREC query IDs.
 _SEP = "\x1f"
+
+
+def _concat_col(parts: list) -> "pd.Series | pd.Categorical":
+    """Concatenate one column across request frames, keeping categoricals
+    categorical (``pd.concat`` would silently widen mismatched-category
+    columns to object, materializing every string)."""
+    if all(isinstance(p.dtype, pd.CategoricalDtype) for p in parts):
+        return union_categoricals([p.array for p in parts])
+    return pd.concat(parts, ignore_index=True)
 
 
 class _Request:
@@ -67,6 +78,12 @@ class BatchingServer:
     :param refine: Optional two-phase margin forwarded to
         :meth:`Index.submit_serve` (bf16 fast preselect of the top
         ``cutoff + refine`` per query, exact fp32 rescore on device).
+    :param pipeline_depth: Max in-flight dispatched batches before the
+        oldest result is fetched.  In-flight device->host round trips
+        overlap almost perfectly on remote-attached hosts
+        (``bench_logs/serve_depth.log``), so under continuous load a
+        deeper pipeline hides the fetch latency of every batch but the
+        last; an idle server still resolves immediately.
     """
 
     def __init__(
@@ -78,15 +95,19 @@ class BatchingServer:
         max_batch_queries: int = 512,
         max_wait_ms: float = 2.0,
         refine: "int | None" = None,
+        pipeline_depth: int = 4,
     ) -> None:
         if cutoff < 1:
             raise ValueError("cutoff must be positive.")
         if max_batch_queries < 1:
             raise ValueError("max_batch_queries must be positive.")
+        if pipeline_depth < 1:
+            raise ValueError("pipeline_depth must be positive.")
         self._index = index
         self._alpha = alpha
         self._cutoff = cutoff
         self._refine = refine
+        self._depth = pipeline_depth
         self._max_q = max_batch_queries
         self._max_wait_s = max_wait_ms / 1000.0
         self._queue: "queue.SimpleQueue[_Request | None]" = queue.SimpleQueue()
@@ -176,33 +197,34 @@ class BatchingServer:
         return batch
 
     def _serve_loop(self) -> None:
-        pending: "tuple[list[_Request], object] | None" = None
+        pending: "deque[tuple[list[_Request], object]]" = deque()
         carry: "_Request | None" = None
         while True:
             batch = self._collect_batch(carry)
             carry = None
             if batch is None:
-                if pending is not None:
-                    self._resolve(*pending)
+                while pending:
+                    self._resolve(*pending.popleft())
                 return
             future = self._dispatch(batch)
-            if pending is not None:
-                self._resolve(*pending)
-            if future is None:  # dispatch failed; futures already errored
-                continue
-            pending = (batch, future)
-            # opportunistic immediate resolve when no request is waiting:
+            if future is not None:  # else futures already errored
+                pending.append((batch, future))
+            while len(pending) >= self._depth:
+                self._resolve(*pending.popleft())
+            # opportunistic immediate drain when no request is waiting:
             # latency matters more than pipeline depth on an idle server
-            try:
-                carry = self._queue.get_nowait()
-            except queue.Empty:
-                self._resolve(*pending)
-                pending = None
-                continue
-            if carry is None:
-                self._resolve(*pending)
-                self._queue.put(None)
-                pending, carry = None, None
+            while pending:
+                try:
+                    carry = self._queue.get_nowait()
+                except queue.Empty:
+                    self._resolve(*pending.popleft())
+                    continue
+                if carry is None:  # propagate shutdown after the drain
+                    while pending:
+                        self._resolve(*pending.popleft())
+                    self._queue.put(None)
+                    carry = None
+                break
 
     def _dispatch(self, batch: "list[_Request]"):
         """Merge the batch into one namespaced ranking and dispatch it."""
@@ -211,16 +233,33 @@ class BatchingServer:
             # (the Ranking ctor invariant) and the fixed-width tag prefix
             # dominates the namespaced q_id sort — so concatenating in
             # tag-DESCENDING order yields an already-sorted merged frame and
-            # the trusted ctor skips the O(B log B) re-sort (the dominant
-            # per-batch host cost at 512k pairs)
-            frames = []
+            # the trusted ctor skips the O(B log B) re-sort.  Namespacing
+            # renames CATEGORIES (a handful of strings per request), never
+            # rows, so the merge is O(pairs) pointer/code copies
+            qid_parts, col_parts = [], {"id": [], "score": [], "query": []}
             for req in sorted(batch, key=lambda r: r.tag, reverse=True):
-                df = _plain_ids(req.ranking._df)[
-                    ["q_id", "id", "score", "query"]
-                ]
-                frames.append(df.assign(q_id=req.tag + _SEP + df["q_id"]))
+                df = req.ranking._df
+                qid = df["q_id"]
+                cat = (
+                    qid.array
+                    if isinstance(qid.dtype, pd.CategoricalDtype)
+                    else pd.Categorical(qid)
+                )
+                qid_parts.append(
+                    cat.rename_categories(
+                        req.tag + _SEP + cat.categories.astype(str)
+                    )
+                )
+                for col, parts in col_parts.items():
+                    parts.append(df[col])
             merged = Ranking._from_trusted_frame(
-                pd.concat(frames, ignore_index=True), None
+                pd.DataFrame(
+                    {
+                        "q_id": union_categoricals(qid_parts),
+                        **{c: _concat_col(p) for c, p in col_parts.items()},
+                    }
+                ),
+                None,
             )
             LOGGER.debug(
                 "dispatching batch: %d requests, %d queries, %d pairs",
