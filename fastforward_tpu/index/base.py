@@ -2199,8 +2199,7 @@ class Index(abc.ABC):
         lexical score upload, output id arrays) are plan-cached: warm calls
         pay only encode + device program + the ``(2, Q, cutoff)`` fetch.
         """
-        if jax.process_count() > 1:  # multi-host: no fused serve (yet)
-            return None
+        multiprocess = jax.process_count() > 1
         view = self._device_view()
         if view is None:
             return None
@@ -2231,6 +2230,7 @@ class Index(abc.ABC):
         # single-device tables only; other configurations serve normally
         refine_live = (
             refine is not None
+            and not multiprocess
             and view.kind == "dense"
             and view.mesh is None
             and view.table.ndim == 2
@@ -2291,9 +2291,12 @@ class Index(abc.ABC):
             lex[:n_pairs] = ranking._df["score"].to_numpy(dtype=np.float32)
             sv = {
                 "slot": slot,
-                "slot_dev": jnp.asarray(slot),
+                # multi-process: a process-committed device copy can't feed
+                # a global-mesh jit, but replicated numpy can (every process
+                # holds identical arrays)
+                "slot_dev": slot if multiprocess else jnp.asarray(slot),
                 "lex": lex,
-                "lex_dev": jnp.asarray(lex),
+                "lex_dev": lex if multiprocess else jnp.asarray(lex),
                 "qid_arr": ranking._df["q_id"].array,
                 "id_arr": ranking._df["id"].array,
                 "by_rank": by_rank,
@@ -2301,8 +2304,13 @@ class Index(abc.ABC):
             }
             plan["serve"] = sv
         kc = min(cutoff, sv["slot"].shape[1])
-        device_path = isinstance(scores_dev, jax.Array) and getattr(
-            scores_dev, "is_fully_addressable", True
+        # the serve tail needs a device score array; under multi-process it
+        # runs as a global-mesh jit over the (non-addressable, replicated
+        # post-psum) sharded scores and the tiny packed result is fetched
+        # through the allgather seam
+        device_path = isinstance(scores_dev, jax.Array) and (
+            multiprocess
+            or getattr(scores_dev, "is_fully_addressable", True)
         )
         if device_path and refine_live:
             from fastforward_tpu.ops.scoring import _cached_q_upload
@@ -2359,7 +2367,7 @@ class Index(abc.ABC):
 
         def finish() -> Ranking:
             if packed is not None:
-                packed_np = np.asarray(jax.device_get(packed))
+                packed_np = ops.fetch_np(packed)
                 vals, pair_idx = ops.decode_serve_topk(packed_np)
             else:
                 scores_np = _fetch_scores_np(scores_dev)[:n_pairs]

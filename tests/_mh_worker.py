@@ -243,6 +243,27 @@ def main() -> None:
         assert abs(es_out[pid] - full[pid]) < 1e-3, (pid,)
     digests.append(sum(sorted(es_out.values())[-20:]))
 
+    # --- fused serve (interpolate + top-k on device) across processes ----
+    alpha, cutoff = 0.3, 5
+    served = index.serve(ranking, alpha, cutoff)
+    assert len(served["q1"]) == cutoff, len(served["q1"])
+    want = {
+        pid: alpha * run["q1"][pid]
+        + (1 - alpha) * float(corpus[int(pid[1:])] @ qvecs["a"])
+        for pid in run["q1"]
+    }
+    top_want = sorted(want, key=want.get, reverse=True)[:cutoff]
+    got_serve = served["q1"]
+    assert set(got_serve) == set(top_want), (set(got_serve), set(top_want))
+    for pid in top_want:
+        assert abs(got_serve[pid] - want[pid]) < 1e-3, (
+            pid, want[pid], got_serve[pid],
+        )
+    # pipelined variant returns the identical result
+    fut = index.submit_serve(ranking, alpha, cutoff)
+    assert fut.result() == served
+    digests.append(sum(sorted(got_serve.values())))
+
     print(f"MH_OK {np.round(np.asarray(digests), 4).tolist()}", flush=True)
 
 
