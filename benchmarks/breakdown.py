@@ -22,10 +22,9 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 try:
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        str(Path(os.environ.get("XDG_CACHE_HOME", Path.home() / ".cache")) / "fastforward_tpu" / "xla_cache"),
-    )
+    from fastforward_tpu.index.base import Index as _Index
+
+    _Index._ensure_compile_cache()
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:
     pass

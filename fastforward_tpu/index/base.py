@@ -779,6 +779,12 @@ class Index(abc.ABC):
         :param serve: Optional ``(alpha, cutoff)`` to warm :meth:`serve`.
         :return: Whether a device table exists for this backend.
         """
+        if serve is not None and warm is None:
+            raise ValueError(
+                "preload(serve=...) requires warm=(num_queries, depth): the "
+                "fused serve program is warmed by running the synthetic "
+                "workload through serve()."
+            )
         self._ensure_compile_cache()
         view = self._device_view()
         if view is None:
@@ -2299,6 +2305,14 @@ class Index(abc.ABC):
                 "lex_dev": lex if multiprocess else jnp.asarray(lex),
                 "qid_arr": ranking._df["q_id"].array,
                 "id_arr": ranking._df["id"].array,
+                # keep the query column on the fused path so serve() output
+                # has the same schema as the host fallback (which goes
+                # through interpolate and retains it)
+                "query_arr": (
+                    ranking._df["query"].array
+                    if "query" in ranking._df.columns
+                    else None
+                ),
                 "by_rank": by_rank,
                 "ready": True,
             }
@@ -2323,17 +2337,20 @@ class Index(abc.ABC):
                 sv["rows_dev"] = rows_dev
                 # slot-row -> query-index permutation (slot rows are in
                 # output order, queries in first-appearance order)
-                br = sv.get("by_rank")
-                if br is None:
-                    br = np.argsort(np.asarray(q_uniques, dtype=object))[
-                        ::-1
-                    ]
-                sv["q_perm_dev"] = jnp.asarray(br.astype(np.int32))
+                sv["q_perm_dev"] = jnp.asarray(
+                    sv["by_rank"].astype(np.int32)
+                )
+            # reuse the streamed path's transposed query upload only after
+            # validating it against THIS call's query vectors — the cache
+            # may be stale when scoring took a path that doesn't refresh it
+            # (Pallas fallback, grouped/bounded) after an encoder swap
+            q_pad = self._pad_queries(query_vectors, view)
             cached_qt = plan.get("q_t_dev")
-            if cached_qt is not None:
+            if cached_qt is not None and np.array_equal(
+                cached_qt[0], q_pad.T.reshape(-1, q_pad.shape[0])
+            ):
                 q_dev, q_transposed = cached_qt[1], True
             else:
-                q_pad = self._pad_queries(query_vectors, view)
                 q_dev, q_transposed = (
                     _cached_q_upload(q_pad, plan, "q_dev"),
                     False,
@@ -2378,13 +2395,14 @@ class Index(abc.ABC):
             mask = flat_idx >= 0
             take = flat_idx[mask]
             scores = vals.reshape(-1)[mask]
-            out = pd.DataFrame(
-                {
-                    "q_id": sv["qid_arr"].take(take),
-                    "id": sv["id_arr"].take(take),
-                    "score": scores.astype(score_dtype, copy=False),
-                }
-            )
+            cols = {
+                "q_id": sv["qid_arr"].take(take),
+                "id": sv["id_arr"].take(take),
+                "score": scores.astype(score_dtype, copy=False),
+            }
+            if sv.get("query_arr") is not None:
+                cols["query"] = sv["query_arr"].take(take)
+            out = pd.DataFrame(cols)
             q_ids = plan.get("q_ids_set")
             if q_ids is None:
                 q_ids = set(np.asarray(q_uniques, dtype=object))

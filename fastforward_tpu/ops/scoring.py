@@ -362,7 +362,20 @@ def _finalize_streamed(
     multi = not getattr(outs, "is_fully_addressable", True)
     if seg_reduce is not None:
         op, seg, n_out = seg_reduce
-        if not multi:
+        if multi:
+            slot_np = _slot_np_cached(slot_of_pair, plan, slot_key)
+            if slot_np is not None:
+                seg_key = slot_key + "_seg_np"
+                seg_np = plan.get(seg_key) if plan is not None else None
+                if seg_np is None:
+                    seg_np = seg.astype(np.int32)
+                    if plan is not None:
+                        plan[seg_key] = seg_np
+                red = _gather_seg_reduce(outs, slot_np, seg_np, n_out, op)
+                if not fetch:
+                    return red
+                return fetch_np(red)
+        else:
             slot_dev = _slot_dev_cached(slot_of_pair, plan, slot_key)
             if slot_dev is not None:
                 seg_dev = _seg_dev_cached(seg, plan, slot_key + "_seg")
@@ -380,6 +393,8 @@ def _finalize_streamed(
                 red = _reduce_k_device(
                     outs, slot_np, np.asarray(counts_dev), k, op
                 )
+                if not fetch:
+                    return red
                 return fetch_np(red)
         else:
             slot_dev = _slot_dev_cached(slot_of_pair, plan, slot_key)
@@ -393,6 +408,8 @@ def _finalize_streamed(
             slot_np = _slot_np_cached(slot_of_pair, plan, slot_key)
             if slot_np is not None:
                 picked = _gather_slots(outs, slot_np)
+                if not fetch:
+                    return picked
                 return fetch_np(picked)
         else:
             slot_dev = _slot_dev_cached(slot_of_pair, plan, slot_key)

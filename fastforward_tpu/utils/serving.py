@@ -129,15 +129,19 @@ class BatchingServer:
         :raises RuntimeError: When the server is closed.
         :return: A future yielding ``index.serve(ranking, alpha, cutoff)``.
         """
-        if self._closed:
-            raise RuntimeError("BatchingServer is closed.")
         if not ranking.has_queries:
             raise ValueError("Input ranking has no queries attached.")
+        # the closed-check and the put are atomic vs close() (which flips
+        # _closed under the same lock before enqueuing the sentinel), so a
+        # request is either enqueued ahead of the sentinel — and served by
+        # the drain — or rejected here; no future can be left pending
         with self._seq_lock:
+            if self._closed:
+                raise RuntimeError("BatchingServer is closed.")
             tag = f"{self._seq:012d}"
             self._seq += 1
-        req = _Request(ranking, tag)
-        self._queue.put(req)
+            req = _Request(ranking, tag)
+            self._queue.put(req)
         return req.future
 
     def serve(self, ranking: Ranking) -> Ranking:
@@ -146,13 +150,15 @@ class BatchingServer:
 
     def close(self) -> None:
         """Drain pending requests, then stop the worker thread."""
-        if self._closed:
-            return
-        self._closed = True
-        self._queue.put(None)
+        with self._seq_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._queue.put(None)
         self._worker.join()
-        # a submit() racing close() may have enqueued after the sentinel;
-        # fail those futures rather than leaving them forever pending
+        # defense in depth: the lock above makes submit-vs-close atomic
+        # (no request can land after the sentinel), but fail anything
+        # unexpected rather than leaving a future forever pending
         while True:
             try:
                 req = self._queue.get_nowait()

@@ -19,13 +19,11 @@ _p = os.environ.get("JAX_PLATFORMS")
 if _p and "," not in _p:
     jax.config.update("jax_platforms", _p)
 # persistent compile cache: first-compile on the remote TPU toolchain can
-# take many minutes; cached re-verifies take seconds
-from pathlib import Path as _P
-import os as _os
-jax.config.update(
-    "jax_compilation_cache_dir",
-    str(_P(_os.environ.get("XDG_CACHE_HOME", _P.home() / ".cache")) / "fastforward_tpu" / "xla_cache"),
-)
+# take many minutes; cached re-verifies take seconds.  Use the library
+# helper so the location stays single-sourced and user config
+# (jax_compilation_cache_dir / FFTPU_NO_COMPILE_CACHE) is honored.
+from fastforward_tpu.index.base import Index as _Index
+_Index._ensure_compile_cache()
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 print("backend:", jax.default_backend(), jax.devices())
 

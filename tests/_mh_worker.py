@@ -244,6 +244,15 @@ def main() -> None:
     digests.append(sum(sorted(es_out.values())[-20:]))
 
     # --- fused serve (interpolate + top-k on device) across processes ----
+    # the streamed sharded scores must stay on device (global-mesh serve
+    # tail) — forbid the host top-k fallback for the duration
+    from fastforward_tpu import ops as _ops
+
+    def _no_host_topk(*a, **k):
+        raise AssertionError("multi-process serve took the host fallback")
+
+    _orig_host_topk = _ops.serve_topk_host
+    _ops.serve_topk_host = _no_host_topk
     alpha, cutoff = 0.3, 5
     served = index.serve(ranking, alpha, cutoff)
     assert len(served["q1"]) == cutoff, len(served["q1"])
@@ -262,6 +271,7 @@ def main() -> None:
     # pipelined variant returns the identical result
     fut = index.submit_serve(ranking, alpha, cutoff)
     assert fut.result() == served
+    _ops.serve_topk_host = _orig_host_topk
     digests.append(sum(sorted(got_serve.values())))
 
     print(f"MH_OK {np.round(np.asarray(digests), 4).tolist()}", flush=True)

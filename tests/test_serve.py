@@ -440,6 +440,50 @@ class TestServe(unittest.TestCase):
         with self.assertRaises(IndexError):
             index.serve(bad, 0.5, 10)
 
+    def test_preload_serve_requires_warm(self):
+        index, _ = _build()
+        with self.assertRaises(ValueError):
+            index.preload(serve=(0.2, 10))
+
+    def test_serve_keeps_query_column(self):
+        # the fused path must produce the same schema as the host fallback
+        # (which goes through interpolate and retains the query column)
+        index, ranking = _build()
+        got = index.serve(ranking, 0.3, 10)
+        self.assertTrue(got.has_queries)
+        df = got._df
+        for q_id, query in zip(df["q_id"], df["query"]):
+            self.assertEqual(str(query), f"query {str(q_id)[1:]}")
+        # pipelined flavor too
+        got2 = index.submit_serve(ranking, 0.3, 10).result()
+        self.assertTrue(got2.has_queries)
+
+    def test_refine_ignores_stale_query_upload(self):
+        # a cached transposed query upload (plan['q_t_dev'], written by the
+        # streamed scoring path) must be content-validated before the exact
+        # rescore phase reuses it: after an encoder swap the cache is stale
+        # and the refine phase would otherwise dot the new candidates
+        # against the OLD query vectors
+        import jax.numpy as jnp
+
+        index, ranking = _build()
+        index.serve(ranking, 0.3, 10, refine=8)
+        plan = index._plans.get((id(ranking._df), index._mode))
+        self.assertIsNotNone(plan)
+        # inject a wrong-content (right-shape) transposed query upload, as
+        # if an earlier call with different queries had cached it
+        view = index._device_view()
+        q_texts = [f"query {i}" for i in range(4)]
+        q_vecs = np.stack([index.query_encoder([t])[0] for t in q_texts])
+        q_pad = index._pad_queries(q_vecs, view)
+        stale = np.ascontiguousarray(
+            q_pad.T.reshape(-1, q_pad.shape[0]) + 1.0
+        )
+        plan["q_t_dev"] = (stale, jnp.asarray(stale))
+        want = _reference_serve(index, ranking, 0.3, 10)
+        got = index.serve(ranking, 0.3, 10, refine=8)
+        _assert_equivalent(self, got, want, 4)
+
 
 if __name__ == "__main__":
     unittest.main()
