@@ -17,6 +17,7 @@ array in the common one-vector-per-pair case), the score vector back.
 
 import abc
 import logging
+import threading
 import weakref
 from collections import OrderedDict, defaultdict
 from collections.abc import Callable, Iterable, Iterator, Sequence
@@ -526,6 +527,11 @@ class Index(abc.ABC):
         # rows, streamed layouts with device-resident grids, sort keys.
         # Re-scoring the same run then pays only encode + kernel + fetch.
         self._plans: OrderedDict[tuple, dict] = OrderedDict()
+        # guards the plan-cache MAP (not individual plans: concurrent
+        # callers always operate on DISTINCT rankings — BatchingServer
+        # prep workers build plans for different merged batches in
+        # parallel, each under its own key)
+        self._plans_lock = threading.Lock()
 
     _MAX_PLANS = 4
 
@@ -540,19 +546,20 @@ class Index(abc.ABC):
         set.
         """
         key = (id(ranking._df), self._mode)
-        plan = self._plans.get(key)
-        if plan is None:
-            plans = self._plans
+        with self._plans_lock:
+            plan = self._plans.get(key)
+            if plan is None:
+                plans = self._plans
 
-            def _evict(_ref, _key=key, _plans=plans):
-                _plans.pop(_key, None)
+                def _evict(_ref, _key=key, _plans=plans):
+                    _plans.pop(_key, None)
 
-            plan = {"_frame_ref": weakref.ref(ranking._df, _evict)}
-            plans[key] = plan
-            while len(plans) > self._MAX_PLANS:
-                plans.popitem(last=False)
-        else:
-            self._plans.move_to_end(key)
+                plan = {"_frame_ref": weakref.ref(ranking._df, _evict)}
+                plans[key] = plan
+                while len(plans) > self._MAX_PLANS:
+                    plans.popitem(last=False)
+            else:
+                self._plans.move_to_end(key)
         return plan
 
     # -- encoders ------------------------------------------------------------
@@ -2249,6 +2256,10 @@ class Index(abc.ABC):
             if refine_live
             else view
         )
+        # per-call token: query-upload caches validated during THIS call's
+        # scoring stamp themselves with it, so the refine branch below can
+        # reuse them without a second content compare
+        plan["_call_tok"] = plan.get("_call_tok", 0) + 1
         scores_dev = self._device_score_grouped(
             scoring_view,
             query_vectors,
@@ -2340,21 +2351,29 @@ class Index(abc.ABC):
                 sv["q_perm_dev"] = jnp.asarray(
                     sv["by_rank"].astype(np.int32)
                 )
-            # reuse the streamed path's transposed query upload only after
-            # validating it against THIS call's query vectors — the cache
-            # may be stale when scoring took a path that doesn't refresh it
-            # (Pallas fallback, grouped/bounded) after an encoder swap
-            q_pad = self._pad_queries(query_vectors, view)
+            # reuse the streamed path's transposed query upload only when
+            # it is provably current: either its stamp says the scoring
+            # phase of THIS call content-validated it (hot path, free), or
+            # a full compare against this call's query vectors passes —
+            # the cache may be stale when scoring took a path that doesn't
+            # refresh it (Pallas fallback, grouped/bounded) after an
+            # encoder swap
             cached_qt = plan.get("q_t_dev")
-            if cached_qt is not None and np.array_equal(
-                cached_qt[0], q_pad.T.reshape(-1, q_pad.shape[0])
+            if cached_qt is not None and plan.get("q_t_dev_tok") == plan.get(
+                "_call_tok"
             ):
                 q_dev, q_transposed = cached_qt[1], True
             else:
-                q_dev, q_transposed = (
-                    _cached_q_upload(q_pad, plan, "q_dev"),
-                    False,
-                )
+                q_pad = self._pad_queries(query_vectors, view)
+                if cached_qt is not None and np.array_equal(
+                    cached_qt[0], q_pad.T.reshape(-1, q_pad.shape[0])
+                ):
+                    q_dev, q_transposed = cached_qt[1], True
+                else:
+                    q_dev, q_transposed = (
+                        _cached_q_upload(q_pad, plan, "q_dev"),
+                        False,
+                    )
             packed = ops.serve_topk_refine(
                 scores_dev,
                 sv["lex_dev"],

@@ -304,10 +304,16 @@ def _cached_q_upload(q_host: np.ndarray, plan: dict | None, key: str):
     """
     cached = plan.get(key) if plan is not None else None
     if cached is not None and np.array_equal(cached[0], q_host):
+        if plan is not None:
+            # stamp: this upload was content-validated against THIS
+            # call's queries (the serve refine path reuses it without a
+            # second compare when the stamp matches its call token)
+            plan[key + "_tok"] = plan.get("_call_tok")
         return cached[1]
     q_dev = jnp.asarray(q_host)
     if plan is not None:
         plan[key] = (q_host, q_dev)
+        plan[key + "_tok"] = plan.get("_call_tok")
     return q_dev
 
 

@@ -23,7 +23,7 @@ import logging
 import queue
 import threading
 from collections import deque
-from concurrent.futures import Future
+from concurrent.futures import Future, ThreadPoolExecutor
 from time import monotonic
 
 import numpy as np
@@ -84,6 +84,15 @@ class BatchingServer:
         (``bench_logs/serve_depth.log``), so under continuous load a
         deeper pipeline hides the fetch latency of every batch but the
         last; an idle server still resolves immediately.
+    :param prep_workers: Threads preparing batches concurrently.  Every
+        merged batch is a NEW ranking, so its serve plan (candidate
+        resolution, streamed layout, device uploads) is built cold —
+        the dominant per-batch cost under continuous load
+        (``bench_logs/server_profile.log``: ~300 ms build vs ~70 ms
+        device serve).  Plan builds for different batches are
+        independent (per-ranking plan keys; the index's plan-cache map
+        is lock-guarded), so overlapping them raises aggregate
+        throughput; results still resolve in dispatch order.
     """
 
     def __init__(
@@ -96,6 +105,7 @@ class BatchingServer:
         max_wait_ms: float = 2.0,
         refine: "int | None" = None,
         pipeline_depth: int = 4,
+        prep_workers: int = 2,
     ) -> None:
         if cutoff < 1:
             raise ValueError("cutoff must be positive.")
@@ -103,6 +113,8 @@ class BatchingServer:
             raise ValueError("max_batch_queries must be positive.")
         if pipeline_depth < 1:
             raise ValueError("pipeline_depth must be positive.")
+        if prep_workers < 1:
+            raise ValueError("prep_workers must be positive.")
         self._index = index
         self._alpha = alpha
         self._cutoff = cutoff
@@ -114,6 +126,9 @@ class BatchingServer:
         self._seq = 0
         self._seq_lock = threading.Lock()
         self._closed = False
+        self._prep = ThreadPoolExecutor(
+            max_workers=prep_workers, thread_name_prefix="ff-batch-prep"
+        )
         self._worker = threading.Thread(
             target=self._serve_loop, name="ff-batching-server", daemon=True
         )
@@ -203,7 +218,11 @@ class BatchingServer:
         return batch
 
     def _serve_loop(self) -> None:
-        pending: "deque[tuple[list[_Request], object]]" = deque()
+        # pending holds (batch, prep_future); the prep pool merges the
+        # batch and builds/dispatches its serve plan off this thread, so
+        # batch i+1's (cold, host-dominated) plan build overlaps batch
+        # i's device execution and result fetch
+        pending: "deque[tuple[list[_Request], Future]]" = deque()
         carry: "_Request | None" = None
         while True:
             batch = self._collect_batch(carry)
@@ -211,10 +230,9 @@ class BatchingServer:
             if batch is None:
                 while pending:
                     self._resolve(*pending.popleft())
+                self._prep.shutdown(wait=False)
                 return
-            future = self._dispatch(batch)
-            if future is not None:  # else futures already errored
-                pending.append((batch, future))
+            pending.append((batch, self._prep.submit(self._dispatch, batch)))
             while len(pending) >= self._depth:
                 self._resolve(*pending.popleft())
             # opportunistic immediate drain when no request is waiting:
@@ -283,10 +301,13 @@ class BatchingServer:
                 req.future.set_exception(exc)
             return None
 
-    def _resolve(self, batch: "list[_Request]", future) -> None:
+    def _resolve(self, batch: "list[_Request]", prep_future) -> None:
         """Fetch the batch result and split it back per request."""
         try:
-            served = future.result()
+            serve_future = prep_future.result()
+            if serve_future is None:  # _dispatch already errored the batch
+                return
+            served = serve_future.result()
             df = _plain_ids(served._df)
             if len(df):
                 parts = df["q_id"].str.split(_SEP, n=1, expand=True)

@@ -160,6 +160,52 @@ class TestBatchingServer(unittest.TestCase):
             BatchingServer(index, ALPHA, 0)
         with self.assertRaises(ValueError):
             BatchingServer(index, ALPHA, CUTOFF, max_batch_queries=0)
+        with self.assertRaises(ValueError):
+            BatchingServer(index, ALPHA, CUTOFF, prep_workers=0)
+
+    def test_parallel_prep_under_continuous_load(self):
+        # many tiny batches in flight at once: prep workers build plans
+        # concurrently, results must still fan out to the right futures
+        index, rng, n = _build()
+        requests = [
+            _request(rng, n, [f"c{i}-q-{j}" for j in range(1 + i % 3)])
+            for i in range(24)
+        ]
+        want = [index.serve(r, ALPHA, CUTOFF) for r in requests]
+        with BatchingServer(
+            index,
+            ALPHA,
+            CUTOFF,
+            max_batch_queries=2,  # force one batch per 1-2 requests
+            max_wait_ms=1.0,
+            pipeline_depth=6,
+            prep_workers=3,
+        ) as server:
+            futures = [server.submit(r) for r in requests]
+            got = [f.result(timeout=120) for f in futures]
+        for g, w in zip(got, want):
+            _assert_same(self, g, w)
+
+    def test_close_waits_for_in_flight_batches(self):
+        # close() must resolve every already-submitted future (drain, not
+        # abandon) even while prep workers are mid-build
+        index, rng, n = _build()
+        requests = [_request(rng, n, [f"d{i}-q-0"]) for i in range(12)]
+        want = [index.serve(r, ALPHA, CUTOFF) for r in requests]
+        server = BatchingServer(
+            index,
+            ALPHA,
+            CUTOFF,
+            max_batch_queries=1,
+            max_wait_ms=1.0,
+            pipeline_depth=8,
+            prep_workers=2,
+        )
+        futures = [server.submit(r) for r in requests]
+        server.close()
+        got = [f.result(timeout=120) for f in futures]
+        for g, w in zip(got, want):
+            _assert_same(self, g, w)
 
 
 if __name__ == "__main__":
