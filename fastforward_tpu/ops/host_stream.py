@@ -107,7 +107,7 @@ def _chunk_accum_impl(
     elif use_pallas:
         from fastforward_tpu.ops import stream_kernel
 
-        outs = stream_kernel.stream_select(
+        outs = stream_kernel.stream_select_auto(
             table, q, cand, tile_idx, r=r, precision=precision
         )
     else:

@@ -244,7 +244,7 @@ def _stream_select_finalized(
     """
     from fastforward_tpu.ops import stream_kernel
 
-    outs = stream_kernel.stream_select(
+    outs = stream_kernel.stream_select_auto(
         table, q_t, cand, tile_idx, r=r, precision=precision
     )
     if counts is None:
@@ -264,7 +264,7 @@ def _stream_select_seg_finalized(
     """
     from fastforward_tpu.ops import stream_kernel
 
-    outs = stream_kernel.stream_select(
+    outs = stream_kernel.stream_select_auto(
         table, q_t, cand, tile_idx, r=r, precision=precision
     )
     picked = jnp.take(outs.reshape(-1), slot, axis=0)
@@ -1015,7 +1015,7 @@ def streamed_scores(
                         else np.asarray(jax.device_get(out))
                     )
                 else:  # slot map too large for int32: fetch-all fallback
-                    outs = stream_kernel.stream_select(
+                    outs = stream_kernel.stream_select_auto(
                         table, q_dev, cand_dev, tile_dev,
                         r=r, precision=precision,
                     )

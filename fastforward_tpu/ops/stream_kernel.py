@@ -208,3 +208,166 @@ def stream_select(
             transcendentals=0,
         ),
     )(tile_idx, table_in, qvecs_t, cand3)
+
+
+def stream_select_auto(
+    table: jax.Array,
+    qvecs_t: jax.Array,
+    cand3: jax.Array,
+    tile_idx: jax.Array,
+    r: int = KERNEL_TILE_ROWS,
+    interpret: bool = False,
+    precision: str = "exact",
+) -> jax.Array:
+    """Dispatch to the cheapest kernel body for the requested tier.
+
+    For 2D tables the pairwise kernel serves BOTH the "exact" and the
+    "high" tier: its rowwise reduction is a TRUE fp32 dot (strictly
+    better than "high"'s ~1e-6 bf16x3 approximation) at ~60% of the
+    classic exact cost — on-chip A/B at the flagship shape (N=2M,
+    Q=512, 512k pairs, ``bench_logs/r4n_pairwise_kernel.log``):
+    pairwise/exact 61.9 ms vs classic/high 65.0 vs classic/exact 103.2.
+    The fast tier (45.6 vs 46.7 ms — a wash, and the classic body is
+    long proven) and legacy 3D tables keep the matmul-select kernel.
+    """
+    if precision in ("exact", "high") and table.ndim == 2:
+        return stream_select_pairwise(
+            table, qvecs_t.T, cand3, tile_idx, r=r, interpret=interpret,
+            exact=True,
+        )
+    return stream_select(
+        table, qvecs_t, cand3, tile_idx, r=r, interpret=interpret,
+        precision=precision,
+    )
+
+
+def _pairwise_kernel(tile_idx_ref, table_ref, q_ref, cand_ref, out_ref, *, exact):
+    """Candidate-pair scoring: select rows AND query vectors, then dot.
+
+    The classic ``_select_kernel`` scores every tile row against every
+    query (``R x dim x Qb`` MACs per tile regardless of how many
+    candidates the tile holds) and then one-hot-selects the candidate
+    entries.  This body instead one-hot-selects the ``CAP`` candidate
+    rows (``CAP x R x dim``) and each candidate's query vector
+    (``CAP x Qb x dim``), then takes rowwise dots on the VPU — cost
+    scales with the candidate count, not ``R x Qb``.  At the flagship
+    shape (R=1024, Qb=512, cap=256, dim=768) that is 0.6 vs 1.07 GFLOP
+    per tile for the fast tier and 1.8 vs 5.4 for the exact tier; and
+    the exact tier's final reduction is a TRUE fp32 dot (the 3-part
+    bf16 split copies fp32 values exactly — see ``_split_bf16x3``),
+    not a 6-pass matmul approximation.
+    """
+    qb = q_ref.shape[0]
+    tile = table_ref[...]  # (R, dim); pairwise requires 2D tables
+    r = tile.shape[0]
+    cand = cand_ref[0]  # (CAP//128, 128) int32, packed local * Qb + qno
+    local = cand // qb
+    qsel = cand % qb
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, r), 2)
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, qb), 2)
+    # bf16 one-hots: 0.0/1.0 are exact in bf16, and the MXU accumulates
+    # in fp32, so a one-hot pass copies each bf16 operand value exactly
+    r_onehot = (local[:, :, None] == row_iota).astype(jnp.bfloat16)
+    q_onehot = (qsel[:, :, None] == q_iota).astype(jnp.bfloat16)
+
+    def pick(onehot, mat):  # (capr,128,K) x (K,dim) -> (capr,128,dim)
+        return jax.lax.dot_general(
+            onehot,
+            mat,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+
+    if exact:
+        # 3-part bf16 split sums back to fp32 EXACTLY, so the selected
+        # rows/queries are bit-exact fp32 and the VPU dot is a true
+        # fp32 dot product
+        th, tm, tl = _split_bf16x3(tile)
+        rows = pick(r_onehot, th) + pick(r_onehot, tm) + pick(r_onehot, tl)
+        qh, qm, ql = _split_bf16x3(q_ref[...])
+        qrows = pick(q_onehot, qh) + pick(q_onehot, qm) + pick(q_onehot, ql)
+    else:
+        # fast tier: one bf16 pass per side (same rounding as a
+        # DEFAULT-precision MXU matmul over bf16-truncated inputs)
+        rows = pick(r_onehot, tile.astype(jnp.bfloat16))
+        qrows = pick(q_onehot, q_ref[...].astype(jnp.bfloat16))
+    out_ref[0] = jnp.sum(rows * qrows, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("r", "interpret", "exact"))
+def stream_select_pairwise(
+    table: jax.Array,
+    qvecs: jax.Array,
+    cand3: jax.Array,
+    tile_idx: jax.Array,
+    r: int = KERNEL_TILE_ROWS,
+    interpret: bool = False,
+    exact: bool = True,
+) -> jax.Array:
+    """Fused streaming pair-select scoring (see ``_pairwise_kernel``).
+
+    Same contract as :func:`stream_select` except queries are passed
+    UN-transposed (``(Qb, dim)`` fp32, the one-hot contraction wants the
+    query axis leading) and precision is binary: ``exact=True`` yields
+    true fp32 dots (covers the classic kernel's "exact" AND "high"
+    tiers at 1/3 the FLOPs), ``exact=False`` the bf16 fast tier.
+    Requires a 2D ``(N_pad, dim)`` table; callers keep the classic
+    kernel for legacy 3D tables.
+
+    :param table: Embedding table, ``(N_pad, dim)``, ``N_pad % r == 0``.
+    :param qvecs: Query vectors, ``(Qb, dim)`` fp32.
+    :param cand3: Packed candidates ``local * Qb + qno``,
+        ``(Tv, CAP//128, 128)`` int32.
+    :param tile_idx: Base table tile per virtual tile, ``(Tv,)`` int32.
+    :param interpret: Pallas interpreter mode (CPU tests).
+    :param exact: True fp32 dots vs single-pass bf16.
+    :return: Scores per candidate slot, ``(Tv, CAP//128, 128)`` fp32.
+    """
+    t_virtual = cand3.shape[0]
+    capr = cand3.shape[1]
+    n_pad, dim = table.shape
+    table_spec = pl.BlockSpec(
+        (r, dim),
+        lambda t, tidx: (tidx[t], 0),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t_virtual,),
+        in_specs=[
+            table_spec,
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # queries, full
+            pl.BlockSpec(
+                (1, capr, 128),
+                lambda t, tidx: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, capr, 128), lambda t, tidx: (t, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    passes = 3 if exact else 1
+    return pl.pallas_call(
+        functools.partial(_pairwise_kernel, exact=exact),
+        out_shape=jax.ShapeDtypeStruct((t_virtual, capr, 128), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            # row-select (cap x R x dim) + q-select (cap x Qb x dim)
+            # contractions per pass
+            flops=2
+            * t_virtual
+            * passes
+            * (capr * 128)
+            * (r + qvecs.shape[0])
+            * dim,
+            bytes_accessed=t_virtual * r * dim * 4,
+            transcendentals=0,
+        ),
+    )(tile_idx, table, qvecs, cand3)

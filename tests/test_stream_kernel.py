@@ -50,6 +50,110 @@ class TestStreamKernelInterpret(unittest.TestCase):
         self.assertGreater(np.corrcoef(got, expected)[0, 1], 0.999)
 
 
+class TestStreamKernelPairwiseInterpret(unittest.TestCase):
+    """Pairwise select kernel (rows AND queries one-hot-selected, rowwise
+    fp32 dot) vs numpy ground truth and vs the classic select kernel."""
+
+    def _run(self, exact):
+        rng = np.random.default_rng(1)
+        n_pad, dim, qb, p = 4096, 256, 16, 5000
+        r, cap = stream_kernel.KERNEL_TILE_ROWS, stream_kernel.KERNEL_CAP
+        table = rng.normal(size=(n_pad, dim)).astype(np.float32)
+        q = rng.normal(size=(qb, dim)).astype(np.float32)
+        rows = rng.integers(0, n_pad, size=p).astype(np.int64)
+        qno = rng.integers(0, qb, size=p).astype(np.int64)
+        cand, tile_idx, slot = scoring.build_streamed_layout(
+            rows, qno, n_pad, qb, r=r, cap=cap
+        )
+        outs = stream_kernel.stream_select_pairwise(
+            table,
+            q,
+            cand.reshape(cand.shape[0], cap // 128, 128),
+            tile_idx,
+            r=r,
+            interpret=True,
+            exact=exact,
+        )
+        got = np.asarray(outs).reshape(-1)[slot]
+        expected = np.einsum("pd,pd->p", table[rows], q[qno])
+        return got, expected
+
+    def test_exact_matches_fp32_dot(self):
+        """3-part bf16 splits reconstruct fp32 exactly: true fp32 dots."""
+        got, expected = self._run(exact=True)
+        np.testing.assert_allclose(got, expected, atol=1e-4, rtol=1e-5)
+
+    def test_fast_tier_coarse(self):
+        got, expected = self._run(exact=False)
+        scale = np.abs(expected).mean()
+        self.assertLess(np.abs(got - expected).mean(), 0.02 * scale)
+        self.assertGreater(np.corrcoef(got, expected)[0, 1], 0.999)
+
+    def test_padding_slots_zero(self):
+        """Unused slots pack (local 0, query qb-1); with the zero-padded
+        query column their pairwise dot must come out 0."""
+        rng = np.random.default_rng(2)
+        n_pad, dim, qb = 2048, 256, 8
+        r, cap = stream_kernel.KERNEL_TILE_ROWS, stream_kernel.KERNEL_CAP
+        table = rng.normal(size=(n_pad, dim)).astype(np.float32)
+        q = rng.normal(size=(qb, dim)).astype(np.float32)
+        q[qb - 1] = 0.0  # the pack modulus reserves the last column
+        rows = np.array([5, 700], dtype=np.int64)
+        qno = np.array([0, 3], dtype=np.int64)
+        cand, tile_idx, slot = scoring.build_streamed_layout(
+            rows, qno, n_pad, qb, r=r, cap=cap
+        )
+        outs = np.asarray(
+            stream_kernel.stream_select_pairwise(
+                table,
+                q,
+                cand.reshape(cand.shape[0], cap // 128, 128),
+                tile_idx,
+                r=r,
+                interpret=True,
+                exact=True,
+            )
+        ).reshape(-1)
+        mask = np.ones(outs.shape[0], dtype=bool)
+        mask[slot] = False
+        np.testing.assert_array_equal(outs[mask], 0.0)
+
+
+class TestStreamSelectAuto(unittest.TestCase):
+    """The auto dispatcher serves exact/high on 2D tables with the
+    pairwise body (true fp32 dots) and falls back to the classic kernel
+    for the fast tier."""
+
+    def test_high_tier_is_true_fp32(self):
+        rng = np.random.default_rng(3)
+        n_pad, dim, qb, p = 2048, 256, 16, 1500
+        r, cap = stream_kernel.KERNEL_TILE_ROWS, stream_kernel.KERNEL_CAP
+        table = rng.normal(size=(n_pad, dim)).astype(np.float32)
+        q = rng.normal(size=(qb, dim)).astype(np.float32)
+        rows = rng.integers(0, n_pad, size=p).astype(np.int64)
+        qno = rng.integers(0, qb, size=p).astype(np.int64)
+        cand, tile_idx, slot = scoring.build_streamed_layout(
+            rows, qno, n_pad, qb, r=r, cap=cap
+        )
+        q_t = np.ascontiguousarray(q.T)
+        expected = np.einsum("pd,pd->p", table[rows], q[qno])
+        for precision, tol in (("high", 1e-4), ("exact", 1e-4), ("fast", None)):
+            outs = stream_kernel.stream_select_auto(
+                table,
+                q_t,
+                cand.reshape(cand.shape[0], cap // 128, 128),
+                tile_idx,
+                r=r,
+                interpret=True,
+                precision=precision,
+            )
+            got = np.asarray(outs).reshape(-1)[slot]
+            if tol is not None:
+                np.testing.assert_allclose(got, expected, atol=tol, rtol=1e-5)
+            else:
+                self.assertGreater(np.corrcoef(got, expected)[0, 1], 0.999)
+
+
 class TestStreamKernelPQInterpret(unittest.TestCase):
     """Fused Pallas streamed-ADC kernel vs numpy decode-then-dot."""
 
