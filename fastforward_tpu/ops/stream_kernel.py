@@ -221,19 +221,20 @@ def stream_select_auto(
 ) -> jax.Array:
     """Dispatch to the cheapest kernel body for the requested tier.
 
-    For 2D tables the pairwise kernel serves BOTH the "exact" and the
-    "high" tier: its rowwise reduction is a TRUE fp32 dot (strictly
-    better than "high"'s ~1e-6 bf16x3 approximation) at ~60% of the
-    classic exact cost — on-chip A/B at the flagship shape (N=2M,
-    Q=512, 512k pairs, ``bench_logs/r4n_pairwise_kernel.log``):
-    pairwise/exact 61.9 ms vs classic/high 65.0 vs classic/exact 103.2.
-    The fast tier (45.6 vs 46.7 ms — a wash, and the classic body is
-    long proven) and legacy 3D tables keep the matmul-select kernel.
+    For 2D tables the pairwise kernel serves EVERY tier — device-time
+    A/B at the flagship shape (N=2M, Q=512, 512k pairs, cap 256;
+    ``bench_logs/r4n_pairwise_cap.log``, RTT amortized over chained
+    dispatches): pairwise/exact 29.1 ms vs classic/exact ~80 / high ~42;
+    pairwise/fast 11.9 ms vs classic/fast 14.2 (HBM streaming floor is
+    ~7.5 ms).  "exact" and "high" both map to true-fp32 pairwise dots
+    (strictly better than "high"'s ~1e-6 bf16x3 approximation); "fast"
+    maps to the single-pass bf16 pairwise body.  Legacy 3D tables keep
+    the classic matmul-select kernel.
     """
-    if precision in ("exact", "high") and table.ndim == 2:
+    if table.ndim == 2:
         return stream_select_pairwise(
             table, qvecs_t.T, cand3, tile_idx, r=r, interpret=interpret,
-            exact=True,
+            exact=precision != "fast",
         )
     return stream_select(
         table, qvecs_t, cand3, tile_idx, r=r, interpret=interpret,
