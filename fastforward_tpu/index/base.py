@@ -2434,6 +2434,197 @@ class Index(abc.ABC):
             return finish
         return finish()
 
+    # -- array-path serving (BatchingServer) ---------------------------------
+
+    def _serve_prep(self, ranking: Ranking) -> "dict | None":
+        """Resolve ONE request into merge-ready arrays (array-path serving).
+
+        :class:`~fastforward_tpu.utils.serving.BatchingServer` calls this
+        from its resolver pool the moment a request is submitted:
+        per-request candidate resolution (a few thousand rows) overlaps
+        the batching wait, so the merged batch needs no frame concat, no
+        q_id namespacing, and no re-resolution of the 10^5-row merged
+        frame —
+        the dominant cold-batch costs (``scripts/profile_server.py``:
+        ~110 ms merge + ~50 ms resolve per 64x8-query batch).  Returns
+        ``None`` when this request cannot take the array path (no device
+        view, multi-process, too-ragged documents, empty ranking) — the
+        caller serves it through :meth:`serve` instead.
+        """
+        if jax.process_count() > 1:
+            return None
+        df = ranking._df
+        if not len(df) or self._device_view() is None:
+            return None
+        prep = self._candidate_arrays(df)
+        if prep is None:
+            return None
+        _view, rows_mat, counts_pp, k = prep
+        q_codes, q_uniques = pd.factorize(df["q_id"], sort=False)
+        first = ~df["q_id"].duplicated()
+        queries = df.loc[first, "query"].tolist()
+        uniq = np.asarray(q_uniques, dtype=object)
+        return {
+            "rows_mat": rows_mat,
+            "counts_pp": counts_pp,
+            "k": k,
+            "pair_qno": q_codes.astype(np.int64),
+            "lex": df["score"].to_numpy(dtype=np.float32),
+            "queries": queries,
+            "q_uniques": uniq,
+            # per-request output row order: q_id descending (the Ranking
+            # sort invariant) — baked into the merged slot layout so the
+            # packed result needs no post-hoc sort
+            "by_rank": np.argsort(uniq)[::-1].astype(np.int64),
+            "id_arr": df["id"].array,
+            "n_pairs": len(df),
+            "score_dtype": df.dtypes["score"],
+        }
+
+    def _serve_arrays(
+        self,
+        preps: "list[dict]",
+        alpha: float,
+        cutoff: int,
+        refine: "int | None" = None,
+    ) -> "Callable[[], tuple[np.ndarray, np.ndarray]] | None":
+        """Merged array-path serve over per-request :meth:`_serve_prep` dicts.
+
+        Merges the resolved arrays (numpy concats only), dispatches ONE
+        fused serve program, and returns a zero-arg
+        ``finish() -> (vals, pair_idx)``: row ``q_offset[r] + i`` holds
+        request ``r``'s ``i``-th output query (its queries in ``by_rank``
+        = q_id-descending order), ``pair_idx`` indexes the merged flat
+        pair space (request ``r``'s pairs start at ``pair_offset[r]``,
+        ``-1`` marks below-depth padding), and ``vals`` are the
+        interpolated top-``cutoff`` scores, descending per row.  Returns
+        ``None`` when the merged workload cannot run fused (caller falls
+        back to per-request :meth:`serve`).
+        """
+        view = self._device_view()
+        if view is None or jax.process_count() > 1:
+            return None
+        k = max(p["k"] for p in preps)
+        n_pairs = sum(p["n_pairs"] for p in preps)
+        rows_parts = [
+            p["rows_mat"]
+            if p["k"] == k
+            else np.pad(p["rows_mat"], ((0, 0), (0, k - p["k"])))
+            for p in preps
+        ]
+        rows_mat = (
+            rows_parts[0] if len(rows_parts) == 1
+            else np.concatenate(rows_parts)
+        )
+        counts_pp = np.concatenate([p["counts_pp"] for p in preps])
+        lex = np.concatenate([p["lex"] for p in preps])
+        q_offs = np.zeros(len(preps) + 1, dtype=np.int64)
+        q_offs[1:] = np.cumsum([len(p["q_uniques"]) for p in preps])
+        n_q = int(q_offs[-1])
+        pair_qno = np.concatenate(
+            [p["pair_qno"] + off for p, off in zip(preps, q_offs)]
+        )
+        queries = [q for p in preps for q in p["queries"]]
+        query_vectors = self.encode_queries(queries)
+
+        refine_live = (
+            refine is not None
+            and view.kind == "dense"
+            and view.mesh is None
+            and view.table.ndim == 2
+            and k == 1
+        )
+        scoring_view = (
+            dataclasses.replace(view, precision="fast")
+            if refine_live
+            else view
+        )
+        plan: dict = {"_call_tok": 1}
+        scores_dev = self._device_score_grouped(
+            scoring_view, query_vectors, rows_mat, pair_qno, counts_pp, k,
+            fetch=False, plan=plan,
+        )
+        if not (
+            isinstance(scores_dev, jax.Array)
+            and getattr(scores_dev, "is_fully_addressable", True)
+        ):
+            return None
+
+        d_max = int(np.bincount(pair_qno, minlength=n_q).max())
+        d_max = 1 << max(3, (d_max - 1).bit_length())
+        # slot rows padded to a power of two too: the fused program's
+        # shape stays stable across batches with varying request mixes
+        n_rows = 1 << max(3, (n_q - 1).bit_length())
+        slot = np.full((n_rows, d_max), -1, dtype=np.int32)
+        # request frames are q_id-sorted, so per-request codes are
+        # non-decreasing and the offset concat keeps them non-decreasing
+        if (np.diff(pair_qno) >= 0).all():
+            spq, order = pair_qno, None
+        else:  # pragma: no cover - defensive (unsorted request frame)
+            order = np.argsort(pair_qno, kind="stable")
+            spq = pair_qno[order]
+        seg_starts = np.searchsorted(spq, np.arange(n_q))
+        pos = np.arange(n_pairs, dtype=np.int64) - seg_starts[spq]
+        slot[spq, pos] = (
+            np.arange(n_pairs, dtype=np.int32)
+            if order is None
+            else order.astype(np.int32)
+        )
+        perm = np.concatenate(
+            [p["by_rank"] + off for p, off in zip(preps, q_offs)]
+        )
+        slot[:n_q] = slot[perm]
+
+        kc = min(cutoff, d_max)
+        lex_pad = np.zeros(ops.bucket(n_pairs), dtype=np.float32)
+        lex_pad[:n_pairs] = lex
+        lex_dev = jnp.asarray(lex_pad)
+        slot_dev = jnp.asarray(slot)
+        if refine_live:
+            from fastforward_tpu.ops.scoring import _cached_q_upload
+
+            rows_pad = np.zeros(ops.bucket(n_pairs), dtype=np.int32)
+            rows_pad[:n_pairs] = rows_mat[:, 0]
+            q_perm = np.zeros(n_rows, dtype=np.int32)
+            q_perm[:n_q] = perm.astype(np.int32)
+            cached_qt = plan.get("q_t_dev")
+            if cached_qt is not None and plan.get(
+                "q_t_dev_tok"
+            ) == plan.get("_call_tok"):
+                q_dev, q_transposed = cached_qt[1], True
+            else:  # pragma: no cover - non-streamed scoring path
+                q_pad = self._pad_queries(query_vectors, view)
+                q_dev, q_transposed = (
+                    _cached_q_upload(q_pad, plan, "q_dev"),
+                    False,
+                )
+            packed = ops.serve_topk_refine(
+                scores_dev,
+                lex_dev,
+                slot_dev,
+                np.float32(alpha),
+                kc,
+                int(refine),
+                view.table,
+                jnp.asarray(rows_pad),
+                q_dev,
+                jnp.asarray(q_perm),
+                q_transposed=q_transposed,
+            )
+        else:
+            packed = ops.serve_topk(
+                scores_dev, lex_dev, slot_dev, np.float32(alpha), kc
+            )
+        try:
+            packed.copy_to_host_async()
+        except Exception:  # pragma: no cover - backend-specific
+            pass
+
+        def finish() -> "tuple[np.ndarray, np.ndarray]":
+            return ops.decode_serve_topk(ops.fetch_np(packed))
+
+        return finish
+
     def _call(
         self,
         ranking: Ranking,

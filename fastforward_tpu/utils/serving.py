@@ -10,13 +10,21 @@ module adds the piece a deployment actually needs on top of that flow —
 a :class:`BatchingServer` that coalesces concurrent small requests into
 one fused device call and fans the per-request rankings back out.
 
-Requests are merged by namespacing query IDs with an opaque per-request
-prefix (so concurrent requests may reuse the same ``q_id`` strings), run
-through ONE ``submit_serve`` dispatch (semantic scoring + interpolation
-+ per-query top-``cutoff`` cut on device, only ``(2, Q, cutoff)`` packed
-values fetched), and split back into per-request results whose futures
-resolve independently.  Batches are pipelined depth-2: while batch *i*'s
-result fetch is in flight, batch *i+1* is collected and dispatched.
+Requests take the ARRAY path by default: each request resolves its
+candidates to row/score arrays in a resolver pool the moment it is
+submitted (``Index._serve_prep``, overlapping the batching wait — the
+submit call itself stays instant so simultaneous requests coalesce into
+full batches), merged batches are numpy concats feeding ONE fused
+device program (``Index._serve_arrays``), and results split back per
+request by query ranges — no frame concat, no q_id namespacing, no
+string splits (requests may reuse the same ``q_id`` strings; separation
+is positional).  Requests that cannot pre-resolve (no device view,
+multi-process meshes, too-ragged documents) send their batch down the
+frame path: query IDs namespaced with an opaque per-request prefix, one
+merged ``submit_serve`` dispatch, tag-based split.  Either way only
+``(2, Q, cutoff)`` packed values cross the link per batch, and batches
+are pipelined: while batch *i*'s result fetch is in flight, later
+batches are collected and dispatched.
 """
 
 import logging
@@ -49,12 +57,16 @@ def _concat_col(parts: list) -> "pd.Series | pd.Categorical":
 
 
 class _Request:
-    __slots__ = ("ranking", "future", "tag")
+    __slots__ = ("ranking", "future", "tag", "prep", "prep_future")
 
-    def __init__(self, ranking: Ranking, tag: str) -> None:
+    def __init__(self, ranking: Ranking, tag: str, prep_future=None) -> None:
         self.ranking = ranking
         self.future: "Future[Ranking]" = Future()
         self.tag = tag
+        # per-request resolved arrays (Index._serve_prep), built in the
+        # resolver pool concurrently with batching; None -> frame fallback
+        self.prep = None
+        self.prep_future = prep_future
 
 
 class BatchingServer:
@@ -84,15 +96,15 @@ class BatchingServer:
         (``bench_logs/serve_depth.log``), so under continuous load a
         deeper pipeline hides the fetch latency of every batch but the
         last; an idle server still resolves immediately.
-    :param prep_workers: Threads preparing batches concurrently.  Every
-        merged batch is a NEW ranking, so its serve plan (candidate
-        resolution, streamed layout, device uploads) is built cold —
-        the dominant per-batch cost under continuous load
-        (``bench_logs/server_profile.log``: ~300 ms build vs ~70 ms
-        device serve).  Plan builds for different batches are
-        independent (per-ranking plan keys; the index's plan-cache map
-        is lock-guarded), so overlapping them raises aggregate
-        throughput; results still resolve in dispatch order.
+    :param prep_workers: Threads merging + dispatching batches
+        concurrently.  On the array path the per-batch work is the numpy
+        merge, the streamed-layout build, and the device uploads; on the
+        frame fallback it is the full cold plan build (candidate
+        resolution included — ``bench_logs/server_profile.log``: ~300 ms
+        vs ~70 ms device serve).  Batch builds are independent
+        (per-batch plans; the index's plan-cache map is lock-guarded),
+        so overlapping them raises aggregate throughput; results still
+        resolve in dispatch order.
     """
 
     def __init__(
@@ -129,6 +141,14 @@ class BatchingServer:
         self._prep = ThreadPoolExecutor(
             max_workers=prep_workers, thread_name_prefix="ff-batch-prep"
         )
+        # separate pool for per-request resolution: batch dispatches (in
+        # self._prep) BLOCK on these futures, so sharing one pool could
+        # deadlock with every worker stuck in a dispatch waiting on a
+        # prep task queued behind it
+        self._resolve_pool = ThreadPoolExecutor(
+            max_workers=max(2, prep_workers),
+            thread_name_prefix="ff-request-prep",
+        )
         self._worker = threading.Thread(
             target=self._serve_loop, name="ff-batching-server", daemon=True
         )
@@ -155,9 +175,26 @@ class BatchingServer:
                 raise RuntimeError("BatchingServer is closed.")
             tag = f"{self._seq:012d}"
             self._seq += 1
-            req = _Request(ranking, tag)
+            # per-request candidate resolution runs in the resolver pool,
+            # overlapping the batching wait — submit() itself stays
+            # instant so simultaneous requests coalesce into FULL batches
+            # (prep on the submit path stretched the arrival window past
+            # max_wait_ms and fragmented batches).  Resolution failures
+            # (e.g. unknown IDs) fall back to the frame path, which
+            # surfaces the same exception on the future.
+            req = _Request(
+                ranking,
+                tag,
+                self._resolve_pool.submit(self._safe_prep, ranking),
+            )
             self._queue.put(req)
         return req.future
+
+    def _safe_prep(self, ranking: Ranking):
+        try:
+            return self._index._serve_prep(ranking)
+        except Exception:  # noqa: BLE001 - frame fallback raises it properly
+            return None
 
     def serve(self, ranking: Ranking) -> Ranking:
         """Blocking convenience wrapper around :meth:`submit`."""
@@ -231,6 +268,7 @@ class BatchingServer:
                 while pending:
                     self._resolve(*pending.popleft())
                 self._prep.shutdown(wait=False)
+                self._resolve_pool.shutdown(wait=False)
                 return
             pending.append((batch, self._prep.submit(self._dispatch, batch)))
             while len(pending) >= self._depth:
@@ -251,6 +289,27 @@ class BatchingServer:
                 break
 
     def _dispatch(self, batch: "list[_Request]"):
+        """Dispatch one batch: array path when every request pre-resolved,
+        else the namespaced frame-merge path."""
+        try:
+            for req in batch:
+                req.prep = req.prep_future.result()
+            if all(req.prep is not None for req in batch):
+                preps = [req.prep for req in batch]
+                finish = self._index._serve_arrays(
+                    preps, self._alpha, self._cutoff, refine=self._refine
+                )
+                if finish is not None:
+                    return ("arrays", finish)
+            return ("frames", self._dispatch_merged(batch))
+        except Exception as exc:  # noqa: BLE001 - fan the failure out
+            for req in batch:
+                if not req.future.set_running_or_notify_cancel():
+                    continue
+                req.future.set_exception(exc)
+            return None
+
+    def _dispatch_merged(self, batch: "list[_Request]"):
         """Merge the batch into one namespaced ranking and dispatch it."""
         try:
             # request frames are individually (q_id desc, score desc)-sorted
@@ -304,10 +363,16 @@ class BatchingServer:
     def _resolve(self, batch: "list[_Request]", prep_future) -> None:
         """Fetch the batch result and split it back per request."""
         try:
-            serve_future = prep_future.result()
-            if serve_future is None:  # _dispatch already errored the batch
+            dispatched = prep_future.result()
+            if dispatched is None:  # _dispatch already errored the batch
                 return
-            served = serve_future.result()
+            kind, payload = dispatched
+            if payload is None:  # inner dispatch already errored the batch
+                return
+            if kind == "arrays":
+                self._fanout_arrays(batch, payload())
+                return
+            served = payload.result()
             df = _plain_ids(served._df)
             if len(df):
                 parts = df["q_id"].str.split(_SEP, n=1, expand=True)
@@ -343,3 +408,45 @@ class BatchingServer:
                 if not req.future.set_running_or_notify_cancel():
                     continue
                 req.future.set_exception(exc)
+
+    @staticmethod
+    def _fanout_arrays(
+        batch: "list[_Request]", packed: "tuple[np.ndarray, np.ndarray]"
+    ) -> None:
+        """Split an array-path result back per request.
+
+        ``packed`` is ``Index._serve_arrays``'s ``(vals, pair_idx)``: row
+        blocks follow the batch's request order (each request's queries
+        q_id-descending), so the split is pure slicing — no namespace
+        tags, no string splits, no groupby.
+        """
+        vals, pair_idx = packed
+        q_off = p_off = 0
+        for req in batch:
+            p = req.prep
+            nq = len(p["q_uniques"])
+            v = vals[q_off : q_off + nq]
+            idx = pair_idx[q_off : q_off + nq]
+            q_off += nq
+            pair_base = p_off
+            p_off += p["n_pairs"]
+            if not req.future.set_running_or_notify_cancel():
+                continue
+            valid = idx >= 0
+            take = (idx[valid] - pair_base).astype(np.int64)
+            n_per_row = valid.sum(axis=1)
+            order = p["by_rank"]
+            df = pd.DataFrame(
+                {
+                    "q_id": np.repeat(p["q_uniques"][order], n_per_row),
+                    "id": p["id_arr"].take(take),
+                    "score": v[valid].astype(p["score_dtype"], copy=False),
+                    "query": np.repeat(
+                        np.asarray(p["queries"], dtype=object)[order],
+                        n_per_row,
+                    ),
+                }
+            )
+            req.future.set_result(
+                Ranking._from_trusted_frame(df, "fast-forward")
+            )

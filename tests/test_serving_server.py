@@ -154,6 +154,99 @@ class TestBatchingServer(unittest.TestCase):
             got = server.submit(good).result(timeout=60)
         _assert_same(self, got, want)
 
+    def test_array_path_is_taken(self):
+        # the batch must flow through the array path (per-request prep +
+        # numpy merge), never the namespaced frame merge: poison the
+        # frame path and check the requests still serve correctly
+        index, rng, n = _build()
+        requests = [_request(rng, n, [f"a{i}-q-{j}" for j in range(2)])
+                    for i in range(6)]
+        want = [index.serve(r, ALPHA, CUTOFF) for r in requests]
+        with BatchingServer(
+            index, ALPHA, CUTOFF, max_batch_queries=4, max_wait_ms=20.0
+        ) as server:
+            server._dispatch_merged = lambda batch: (_ for _ in ()).throw(
+                AssertionError("frame path used")
+            )
+            futures = [server.submit(r) for r in requests]
+            got = [f.result(timeout=60) for f in futures]
+        for g, w in zip(got, want):
+            _assert_same(self, g, w)
+
+    def test_frame_fallback_when_prep_unavailable(self):
+        # a request that can't pre-resolve (prep None) sends its batch
+        # down the namespaced frame path with identical results
+        index, rng, n = _build()
+        requests = [_request(rng, n, [f"f{i}-q-0"]) for i in range(4)]
+        want = [index.serve(r, ALPHA, CUTOFF) for r in requests]
+        index._serve_prep = lambda ranking: None
+        try:
+            with BatchingServer(
+                index, ALPHA, CUTOFF, max_batch_queries=4, max_wait_ms=20.0
+            ) as server:
+                futures = [server.submit(r) for r in requests]
+                got = [f.result(timeout=60) for f in futures]
+        finally:
+            del index._serve_prep
+        for g, w in zip(got, want):
+            _assert_same(self, g, w)
+
+    def test_doc_mode_requests(self):
+        # MAXP documents (multiple passages per doc id) through the array
+        # path: grouped-K merge across requests with different K
+        rng = np.random.default_rng(3)
+        n, dim = 512, 16
+        corpus = rng.standard_normal((n, dim)).astype(np.float32)
+        qvecs = rng.standard_normal((8, dim)).astype(np.float32)
+        by_text = {f"query {i}": qvecs[i] for i in range(8)}
+        index = InMemoryIndex(
+            LambdaEncoder(lambda t: by_text[t]), mode=Mode.MAXP
+        )
+        # doc d{i} holds 1-5 passages
+        doc_ids, psg_ids = [], []
+        d = 0
+        while len(psg_ids) < n:
+            npass = 1 + d % 5
+            for j in range(min(npass, n - len(psg_ids))):
+                doc_ids.append(f"d{d}")
+                psg_ids.append(f"d{d}#p{j}")
+            d += 1
+        index.add(corpus, doc_ids=doc_ids, psg_ids=psg_ids)
+        uniq_docs = sorted(set(doc_ids))
+
+        def _doc_request(q_ids, depth=16):
+            run = {
+                q: {
+                    doc: float(rng.standard_normal())
+                    for doc in rng.choice(uniq_docs, size=depth, replace=False)
+                }
+                for q in q_ids
+            }
+            queries = {
+                q: f"query {int(q.split('-')[-1]) % 8}" for q in q_ids
+            }
+            return Ranking.from_run(run, queries=queries)
+
+        requests = [
+            _doc_request([f"m{i}-q-{j}" for j in range(1 + i % 2)])
+            for i in range(6)
+        ]
+        # one request touching ONLY single-passage docs: its grouped K is
+        # 1 while the others need K=8 — the merge must pad columns
+        single = [d for d in uniq_docs if doc_ids.count(d) == 1][:16]
+        run = {"m9-q-0": {doc: 1.0 + i for i, doc in enumerate(single)}}
+        requests.append(
+            Ranking.from_run(run, queries={"m9-q-0": "query 1"})
+        )
+        want = [index.serve(r, ALPHA, CUTOFF) for r in requests]
+        with BatchingServer(
+            index, ALPHA, CUTOFF, max_batch_queries=4, max_wait_ms=20.0
+        ) as server:
+            futures = [server.submit(r) for r in requests]
+            got = [f.result(timeout=60) for f in futures]
+        for g, w in zip(got, want):
+            _assert_same(self, g, w)
+
     def test_cutoff_and_batch_validation(self):
         index, _, _ = _build()
         with self.assertRaises(ValueError):
