@@ -96,7 +96,7 @@ def _chunk_accum_impl(
         if use_pallas:
             from fastforward_tpu.ops import stream_kernel_pq
 
-            outs = stream_kernel_pq.stream_select_pq(
+            outs = stream_kernel_pq.stream_select_pq_auto(
                 table, cb_a, cb_b, cb_c, q, cand, tile_idx,
                 m=m, r=r, precision=precision,
             )

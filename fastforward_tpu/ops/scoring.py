@@ -1074,7 +1074,7 @@ def _stream_select_pq_finalized(
     """Pallas ADC kernel + slot gather (+ K reduction) as ONE dispatch."""
     from fastforward_tpu.ops import stream_kernel_pq
 
-    outs = stream_kernel_pq.stream_select_pq(
+    outs = stream_kernel_pq.stream_select_pq_auto(
         codes_p, bd_hi, bd_mid, bd_lo, q_t, cand, tile_idx,
         m=m, r=r, precision=precision,
     )
@@ -1097,7 +1097,7 @@ def _stream_select_pq_seg_finalized(
     """
     from fastforward_tpu.ops import stream_kernel_pq
 
-    outs = stream_kernel_pq.stream_select_pq(
+    outs = stream_kernel_pq.stream_select_pq_auto(
         codes_p, bd_hi, bd_mid, bd_lo, q_t, cand, tile_idx,
         m=m, r=r, precision=precision,
     )

@@ -188,6 +188,194 @@ def _adc_kernel(
     out_ref[0] = jnp.sum(picked * q_onehot, axis=-1)
 
 
+def _adc_pairwise_kernel(
+    tile_idx_ref, codes_ref, bdhi_ref, bdmid_ref, bdlo_ref, q_ref,
+    cand_ref, out_ref, *, num_groups, g, ks, exact
+):
+    """Candidate-pair ADC: dequantize ONLY the selected slots.
+
+    The classic ``_adc_kernel`` dequantizes every tile row (cost
+    ``R x M x Ks x Ds`` MACs per tile regardless of how many candidates
+    the tile holds) and scores against all queries.  This body one-hot
+    selects the ``CAP`` candidate rows' CODES (integers <= 255 are exact
+    in bf16, so an MXU one-hot pass copies them exactly), dequantizes
+    just those rows through the same permuted block-diagonal codebooks,
+    selects each candidate's query vector, and reduces rowwise — cost
+    scales with the slot capacity (cap=256 vs R=512 at the flagship PQ
+    shape), and under ``exact`` the result is a TRUE fp32 ADC dot
+    (hi/mid/lo codebooks + 3-part query split).
+
+    Reshapes are leading-collapses ``(capr, 128, X) <-> (capr*128, X)``
+    only — layout no-ops under the (8, 128) tiling (the last two dims'
+    tiling is unchanged); there are NO trailing reshapes, matching the
+    Mosaic constraints probed for the classic body.
+    """
+    qb = q_ref.shape[0]
+    codes = codes_ref[0]  # (R, M_PAD) int8/uint8
+    r = codes.shape[0]
+    cand = cand_ref[0]  # (capr, 128) int32, packed local * Qb + qno
+    capr = cand.shape[0]
+    cap = capr * 128
+    local = cand // qb
+    qsel = cand % qb
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, r), 2)
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, qb), 2)
+    r_onehot = (local[:, :, None] == row_iota).astype(jnp.bfloat16)
+    q_onehot = (qsel[:, :, None] == q_iota).astype(jnp.bfloat16)
+
+    def pick(onehot, mat):  # (capr,128,K) x (K,X) -> (capr,128,X)
+        return jax.lax.dot_general(
+            onehot,
+            mat,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+
+    # select the candidate rows' codes — in f32 (Mosaic has no
+    # uint8->bf16 cast; DEFAULT-precision truncation to bf16 is exact
+    # for one-hots and code values <= 255)
+    codes_f = codes.astype(jnp.int32).astype(jnp.float32)
+    crow3 = jax.lax.dot_general(
+        r_onehot.astype(jnp.float32),
+        codes_f,
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
+    )  # (capr, 128, M_PAD)
+    crow = crow3.reshape(cap, crow3.shape[2]).astype(jnp.int32)
+
+    def dot(a, b):
+        return jax.lax.dot(a, b, preferred_element_type=jnp.float32)
+
+    # dequantize the CAP selected rows (2D, same group structure and
+    # permuted one-hot construction as the classic body)
+    k_of_lane = jax.lax.broadcasted_iota(jnp.int32, (cap, g * ks), 1) // g
+    deq_groups = []
+    for grp in range(num_groups):
+        cg = crow[:, grp * g : (grp + 1) * g]  # (cap, g) static lane slice
+        tiled = pltpu.repeat(cg, ks, axis=1)  # (cap, g*Ks)
+        oh = (tiled == k_of_lane).astype(jnp.bfloat16)
+        if exact:
+            deq_groups.append(
+                dot(oh, bdhi_ref[grp])
+                + dot(oh, bdmid_ref[grp])
+                + dot(oh, bdlo_ref[grp])
+            )
+        else:
+            deq_groups.append(dot(oh, bdhi_ref[grp]))
+    deq = jnp.concatenate(deq_groups, axis=1)  # (cap, dim) fp32
+
+    # select each candidate's query vector (exact via 3-part split)
+    if exact:
+        qh, qm, ql = _split_bf16x3(q_ref[...])
+        qrows3 = pick(q_onehot, qh) + pick(q_onehot, qm) + pick(q_onehot, ql)
+    else:
+        qrows3 = pick(q_onehot, q_ref[...].astype(jnp.bfloat16))
+    deq3 = deq.reshape(capr, 128, deq.shape[1])
+    out_ref[0] = jnp.sum(deq3 * qrows3, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "r", "interpret", "exact"))
+def stream_select_pq_pairwise(
+    codes_t: jax.Array,
+    bd_hi: jax.Array,
+    bd_mid: jax.Array,
+    bd_lo: jax.Array,
+    qvecs: jax.Array,
+    cand3: jax.Array,
+    tile_idx: jax.Array,
+    m: int,
+    r: int = KERNEL_PQ_TILE_ROWS,
+    interpret: bool = False,
+    exact: bool = True,
+) -> jax.Array:
+    """Fused pairwise streamed-ADC scoring (see ``_adc_pairwise_kernel``).
+
+    Same contract as :func:`stream_select_pq` except queries arrive
+    UN-transposed (``(Qb, dim)`` fp32) and precision is binary:
+    ``exact=True`` yields true fp32 ADC dots (covers the classic
+    "exact" AND "high" tiers), ``exact=False`` a single bf16 pass per
+    stage (the "fast" tier).
+
+    :param codes_t: PQ codes, ``(N_pad, M_PAD)``, ``N_pad % r == 0``.
+    :param bd_hi: Block-diagonal codebook hi parts ``(G, g*Ks, 128)``.
+    :param bd_mid: Matching mid parts, same shape.
+    :param bd_lo: Matching lo parts, same shape.
+    :param qvecs: Query vectors ``(Qb, dim)`` fp32 (OPQ-rotated where
+        applicable).
+    :param cand3: Packed candidates ``(Tv, CAP//128, 128)`` int32.
+    :param tile_idx: Base code tile per virtual tile, ``(Tv,)`` int32.
+    :param m: Real subspace count (static).
+    :param r: Rows per code tile (static).
+    :param interpret: Pallas interpreter mode (CPU tests).
+    :param exact: True fp32 ADC dots vs single-pass bf16.
+    :return: Scores per candidate slot, ``(Tv, CAP//128, 128)`` fp32.
+    """
+    t_virtual = cand3.shape[0]
+    capr = cand3.shape[1]
+    num_groups, gks, _ = bd_hi.shape
+    g = m // num_groups
+    ks = gks // g
+    n_pad, m_pad = codes_t.shape
+    codes3 = codes_t.reshape(n_pad // r, r, m_pad)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t_virtual,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, r, m_pad),
+                lambda t, tidx: (tidx[t], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bd_hi
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bd_mid
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bd_lo
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # queries, full
+            pl.BlockSpec(
+                (1, capr, 128),
+                lambda t, tidx: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, capr, 128),
+            lambda t, tidx: (t, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    cap = capr * 128
+    passes = 3 if exact else 1
+    return pl.pallas_call(
+        functools.partial(
+            _adc_pairwise_kernel,
+            num_groups=num_groups,
+            g=g,
+            ks=ks,
+            exact=exact,
+        ),
+        out_shape=jax.ShapeDtypeStruct((t_virtual, capr, 128), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            # code row-select + per-group one-hot dequantize passes +
+            # query select passes, all scaling with cap (not R)
+            flops=2 * t_virtual * cap * (
+                r * m_pad
+                + passes * num_groups * gks * 128
+                + passes * qvecs.shape[0] * qvecs.shape[1]
+            ),
+            bytes_accessed=t_virtual * r * m_pad,
+            transcendentals=0,
+        ),
+    )(tile_idx, codes3, bd_hi, bd_mid, bd_lo, qvecs, cand3)
+
+
 @functools.partial(
     jax.jit, static_argnames=("m", "r", "interpret", "precision")
 )
@@ -286,3 +474,42 @@ def stream_select_pq(
             transcendentals=0,
         ),
     )(tile_idx, codes3, bd_hi, bd_mid, bd_lo, qvecs_t, cand3)
+
+
+def stream_select_pq_auto(
+    codes_t: jax.Array,
+    bd_hi: jax.Array,
+    bd_mid: jax.Array,
+    bd_lo: jax.Array,
+    qvecs_t: jax.Array,
+    cand3: jax.Array,
+    tile_idx: jax.Array,
+    m: int,
+    r: int = KERNEL_PQ_TILE_ROWS,
+    interpret: bool = False,
+    precision: str = "exact",
+) -> jax.Array:
+    """Dispatch to the cheapest ADC kernel body for the requested tier.
+
+    When the slot capacity is at most the tile row count the pairwise
+    body wins every tier — its cost scales with ``CAP`` where the
+    classic body pays ``R x Ks x Ds`` dequant MACs plus an ``R x Qb``
+    scores matmul per tile regardless of occupancy.  On-chip A/B at the
+    flagship PQ shape (N=2M, Q=512, 512k pairs, cap 256, R 512;
+    ``bench_logs/r4r_pq_pairwise_onchip.log``): pairwise/exact
+    120.7 ms vs classic/exact 304.2; pairwise/fast 44.6 vs classic/fast
+    88.5 — with identical max error per tier.  "exact" and "high" both
+    map to TRUE fp32 ADC dots (strictly better than "high"'s bf16x3
+    approximation); "fast" maps to the single-pass bf16 body.  Sparse
+    layouts where ``cap > r`` keep the classic matmul-select kernel.
+    """
+    cap = cand3.shape[1] * 128
+    if cap <= r:
+        return stream_select_pq_pairwise(
+            codes_t, bd_hi, bd_mid, bd_lo, qvecs_t.T, cand3, tile_idx,
+            m=m, r=r, interpret=interpret, exact=precision != "fast",
+        )
+    return stream_select_pq(
+        codes_t, bd_hi, bd_mid, bd_lo, qvecs_t, cand3, tile_idx,
+        m=m, r=r, interpret=interpret, precision=precision,
+    )

@@ -196,12 +196,108 @@ class TestStreamKernelPQInterpret(unittest.TestCase):
         )
         return got, expected
 
+    def _run_pairwise(self, exact):
+        import jax.numpy as jnp
+
+        from fastforward_tpu.ops import stream_kernel_pq as skpq
+
+        rng = np.random.default_rng(3)
+        n_pad, m, ks, ds, qb, p = 2048, 16, 16, 8, 8, 3000
+        r = skpq.KERNEL_PQ_TILE_ROWS
+        codes = rng.integers(0, ks, size=(n_pad, m)).astype(np.uint8)
+        cb = rng.normal(size=(m, ks, ds)).astype(np.float32)
+        q = rng.normal(size=(qb, m * ds)).astype(np.float32)
+        rows = rng.integers(0, n_pad, size=p).astype(np.int64)
+        qno = rng.integers(0, qb, size=p).astype(np.int64)
+        cap = 512
+        cand, tile_idx, slot = scoring.build_streamed_layout(
+            rows, qno, n_pad, qb, r=r, cap=cap
+        )
+        codes_p = scoring._pad_pq_codes(jnp.asarray(codes), skpq.M_PAD)
+        bd_hi, bd_mid, bd_lo = skpq.build_blockdiag_codebooks(cb)
+        outs = skpq.stream_select_pq_pairwise(
+            codes_p,
+            jnp.asarray(bd_hi),
+            jnp.asarray(bd_mid),
+            jnp.asarray(bd_lo),
+            q,
+            cand.reshape(cand.shape[0], cap // 128, 128),
+            tile_idx,
+            m=m,
+            r=r,
+            interpret=True,
+            exact=exact,
+        )
+        got = np.asarray(outs).reshape(-1)[slot]
+        deq = cb[np.arange(m)[None, :], codes[rows]]  # (p, m, ds)
+        expected = np.einsum(
+            "pmd,pmd->p", deq, q.reshape(qb, m, ds)[qno]
+        )
+        return got, expected
+
     def test_matches_decode_dot(self):
         """exact tier: hi/mid/lo codebook split reconstructs fp32 — parity
         with the numpy decode-then-dot at fp32 rounding level (a two-part
         split leaves ~1e-5 relative error and needed atol=1e-3 here)."""
         got, expected = self._run()
         np.testing.assert_allclose(got, expected, atol=1e-5, rtol=1e-6)
+
+    def test_pairwise_exact_matches_decode_dot(self):
+        """Pairwise ADC exact tier: select rows' codes, dequantize only
+        the candidates, true fp32 dots."""
+        got, expected = self._run_pairwise(exact=True)
+        np.testing.assert_allclose(got, expected, atol=1e-5, rtol=1e-6)
+
+    def test_auto_dispatch_all_tiers(self):
+        """The auto wrapper (transposed-query signature, as the scoring
+        finalizers call it) hits fp32 parity on exact AND high (both map
+        to pairwise true-fp32 when cap <= r) and tracks on fast."""
+        import jax.numpy as jnp
+
+        from fastforward_tpu.ops import stream_kernel_pq as skpq
+
+        rng = np.random.default_rng(3)
+        n_pad, m, ks, ds, qb, p = 2048, 16, 16, 8, 8, 3000
+        r = skpq.KERNEL_PQ_TILE_ROWS
+        codes = rng.integers(0, ks, size=(n_pad, m)).astype(np.uint8)
+        cb = rng.normal(size=(m, ks, ds)).astype(np.float32)
+        q = rng.normal(size=(qb, m * ds)).astype(np.float32)
+        rows = rng.integers(0, n_pad, size=p).astype(np.int64)
+        qno = rng.integers(0, qb, size=p).astype(np.int64)
+        cap = 512
+        cand, tile_idx, slot = scoring.build_streamed_layout(
+            rows, qno, n_pad, qb, r=r, cap=cap
+        )
+        self.assertLessEqual(cap, r)  # routes to the pairwise body
+        codes_p = scoring._pad_pq_codes(jnp.asarray(codes), skpq.M_PAD)
+        bd_hi, bd_mid, bd_lo = skpq.build_blockdiag_codebooks(cb)
+        deq = cb[np.arange(m)[None, :], codes[rows]]
+        expected = np.einsum("pmd,pmd->p", deq, q.reshape(qb, m, ds)[qno])
+        for precision, tol in (("exact", 1e-5), ("high", 1e-5), ("fast", None)):
+            outs = skpq.stream_select_pq_auto(
+                codes_p,
+                jnp.asarray(bd_hi),
+                jnp.asarray(bd_mid),
+                jnp.asarray(bd_lo),
+                jnp.asarray(np.ascontiguousarray(q.T)),
+                cand.reshape(cand.shape[0], cap // 128, 128),
+                tile_idx,
+                m=m,
+                r=r,
+                interpret=True,
+                precision=precision,
+            )
+            got = np.asarray(outs).reshape(-1)[slot]
+            if tol is not None:
+                np.testing.assert_allclose(got, expected, atol=tol, rtol=1e-6)
+            else:
+                self.assertGreater(np.corrcoef(got, expected)[0, 1], 0.999)
+
+    def test_pairwise_fast_tier_coarse(self):
+        got, expected = self._run_pairwise(exact=False)
+        scale = np.abs(expected).mean()
+        self.assertLess(np.abs(got - expected).mean(), 0.01 * scale)
+        self.assertGreater(np.corrcoef(got, expected)[0, 1], 0.999)
 
     def test_high_tier_single_pass_dequant(self):
         """precision != "exact" keeps only the hi codebook pass: the
