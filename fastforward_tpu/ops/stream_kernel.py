@@ -228,10 +228,21 @@ def stream_select_auto(
     pairwise/fast 11.9 ms vs classic/fast 14.2 (HBM streaming floor is
     ~7.5 ms).  "exact" and "high" both map to true-fp32 pairwise dots
     (strictly better than "high"'s ~1e-6 bf16x3 approximation); "fast"
-    maps to the single-pass bf16 pairwise body.  Legacy 3D tables keep
-    the classic matmul-select kernel.
+    maps to the single-pass bf16 pairwise body.  3D INTEGER tables
+    (int8 codes) also route pairwise when the slot capacity fits the
+    tile rows — int8 values are exact in bf16, so exact/high int8
+    scoring is true fp32 at 4 MXU passes.  On-chip A/B at the flagship
+    int8 shape (N=2M, dim=768, Q=512, 512k pairs, cap 256;
+    ``bench_logs/r4s_int8_pairwise_onchip.log``): pairwise/exact
+    31.6 ms vs classic/exact 79.2 / classic/high 45.5 — faster than
+    BOTH approximate classic tiers while being true fp32 (max err
+    2.1e-3 vs high's 3.8e-2); pairwise/fast 23.0 vs classic/fast 25.3.
+    Other 3D tables keep the classic matmul-select kernel.
     """
-    if table.ndim == 2:
+    if table.ndim == 2 or (
+        jnp.issubdtype(table.dtype, jnp.integer)
+        and cand3.shape[1] * 128 <= r
+    ):
         return stream_select_pairwise(
             table, qvecs_t.T, cand3, tile_idx, r=r, interpret=interpret,
             exact=precision != "fast",
@@ -259,8 +270,17 @@ def _pairwise_kernel(tile_idx_ref, table_ref, q_ref, cand_ref, out_ref, *, exact
     not a 6-pass matmul approximation.
     """
     qb = q_ref.shape[0]
-    tile = table_ref[...]  # (R, dim); pairwise requires 2D tables
-    r = tile.shape[0]
+    if table_ref.ndim == 4:  # int8 3D tables: (1, R, dim//128, 128) block
+        r = table_ref.shape[1]
+        tile = table_ref[0].reshape(r, table_ref.shape[2] * table_ref.shape[3])
+    else:  # 2D tables: (R, dim) block
+        tile = table_ref[...]
+        r = tile.shape[0]
+    # integer tables (int8 codes; scales folded into the queries by the
+    # caller) are EXACT in bf16 (|v| <= 127 has an exact bf16 encoding),
+    # so one bf16 row pass already copies them exactly — the 3-part split
+    # is only needed for fp32 tables
+    int_rows = jnp.issubdtype(table_ref.dtype, jnp.integer)
     cand = cand_ref[0]  # (CAP//128, 128) int32, packed local * Qb + qno
     local = cand // qb
     qsel = cand % qb
@@ -281,18 +301,26 @@ def _pairwise_kernel(tile_idx_ref, table_ref, q_ref, cand_ref, out_ref, *, exact
             preferred_element_type=jnp.float32,
         )
 
+    # Mosaic has no direct int8->bf16 cast; route through f32 (f32 of an
+    # int8 value is exact, and f32->bf16 of |v|<=127 is exact too)
+    tile_bf = tile.astype(jnp.float32).astype(jnp.bfloat16)
     if exact:
         # 3-part bf16 split sums back to fp32 EXACTLY, so the selected
         # rows/queries are bit-exact fp32 and the VPU dot is a true
         # fp32 dot product
-        th, tm, tl = _split_bf16x3(tile)
-        rows = pick(r_onehot, th) + pick(r_onehot, tm) + pick(r_onehot, tl)
+        if int_rows:
+            rows = pick(r_onehot, tile_bf)  # already exact in one pass
+        else:
+            th, tm, tl = _split_bf16x3(tile)
+            rows = (
+                pick(r_onehot, th) + pick(r_onehot, tm) + pick(r_onehot, tl)
+            )
         qh, qm, ql = _split_bf16x3(q_ref[...])
         qrows = pick(q_onehot, qh) + pick(q_onehot, qm) + pick(q_onehot, ql)
     else:
         # fast tier: one bf16 pass per side (same rounding as a
         # DEFAULT-precision MXU matmul over bf16-truncated inputs)
-        rows = pick(r_onehot, tile.astype(jnp.bfloat16))
+        rows = pick(r_onehot, tile_bf)
         qrows = pick(q_onehot, q_ref[...].astype(jnp.bfloat16))
     out_ref[0] = jnp.sum(rows * qrows, axis=-1)
 
@@ -314,10 +342,14 @@ def stream_select_pairwise(
     query axis leading) and precision is binary: ``exact=True`` yields
     true fp32 dots (covers the classic kernel's "exact" AND "high"
     tiers at 1/3 the FLOPs), ``exact=False`` the bf16 fast tier.
-    Requires a 2D ``(N_pad, dim)`` table; callers keep the classic
-    kernel for legacy 3D tables.
+    Tables may be 2D ``(N_pad, dim)`` (dense fp32/bf16) or 3D integer
+    ``(N_pad, dim//128, 128)`` (int8 codes; scales folded into the
+    queries by the caller) — int8 values are exact in bf16, so BOTH
+    tiers copy the rows in one bf16 pass and ``exact`` int8 scoring is
+    true fp32 at 4 total MXU passes (vs the classic high tier's 6-ish).
 
-    :param table: Embedding table, ``(N_pad, dim)``, ``N_pad % r == 0``.
+    :param table: Embedding table, ``(N_pad, dim)`` or integer
+        ``(N_pad, dim//128, 128)``, ``N_pad % r == 0``.
     :param qvecs: Query vectors, ``(Qb, dim)`` fp32.
     :param cand3: Packed candidates ``local * Qb + qno``,
         ``(Tv, CAP//128, 128)`` int32.
@@ -328,12 +360,23 @@ def stream_select_pairwise(
     """
     t_virtual = cand3.shape[0]
     capr = cand3.shape[1]
-    n_pad, dim = table.shape
-    table_spec = pl.BlockSpec(
-        (r, dim),
-        lambda t, tidx: (tidx[t], 0),
-        memory_space=pltpu.VMEM,
-    )
+    if table.ndim == 3:  # int8 code tables
+        n_pad, k, lanes = table.shape
+        dim = k * lanes
+        table_in = table.reshape(n_pad // r, r, k, lanes)
+        table_spec = pl.BlockSpec(
+            (1, r, k, lanes),
+            lambda t, tidx: (tidx[t], 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        n_pad, dim = table.shape
+        table_in = table
+        table_spec = pl.BlockSpec(
+            (r, dim),
+            lambda t, tidx: (tidx[t], 0),
+            memory_space=pltpu.VMEM,
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(t_virtual,),
@@ -368,7 +411,7 @@ def stream_select_pairwise(
             * (capr * 128)
             * (r + qvecs.shape[0])
             * dim,
-            bytes_accessed=t_virtual * r * dim * 4,
+            bytes_accessed=t_virtual * r * dim * table.dtype.itemsize,
             transcendentals=0,
         ),
-    )(tile_idx, table, qvecs, cand3)
+    )(tile_idx, table_in, qvecs, cand3)

@@ -119,6 +119,85 @@ class TestStreamKernelPairwiseInterpret(unittest.TestCase):
         np.testing.assert_array_equal(outs[mask], 0.0)
 
 
+class TestStreamKernelPairwiseInt8(unittest.TestCase):
+    """3D int8 code tables through the pairwise body: int8 values are
+    exact in bf16, so exact-tier scoring is TRUE fp32 against the
+    dequantized table (scales folded into the queries by the caller)."""
+
+    def _run(self, exact):
+        rng = np.random.default_rng(4)
+        n_pad, dim, qb, p = 4096, 256, 16, 5000
+        r, cap = stream_kernel.KERNEL_TILE_ROWS, stream_kernel.KERNEL_CAP
+        table = rng.integers(-127, 128, size=(n_pad, dim // 128, 128)).astype(
+            np.int8
+        )
+        q = rng.normal(size=(qb, dim)).astype(np.float32)
+        rows = rng.integers(0, n_pad, size=p).astype(np.int64)
+        qno = rng.integers(0, qb, size=p).astype(np.int64)
+        cand, tile_idx, slot = scoring.build_streamed_layout(
+            rows, qno, n_pad, qb, r=r, cap=cap
+        )
+        outs = stream_kernel.stream_select_pairwise(
+            table,
+            q,
+            cand.reshape(cand.shape[0], cap // 128, 128),
+            tile_idx,
+            r=r,
+            interpret=True,
+            exact=exact,
+        )
+        got = np.asarray(outs).reshape(-1)[slot]
+        expected = np.einsum(
+            "pd,pd->p",
+            table.reshape(n_pad, dim)[rows].astype(np.float32),
+            q[qno],
+        )
+        return got, expected
+
+    def test_exact_matches_fp32_dot(self):
+        got, expected = self._run(exact=True)
+        np.testing.assert_allclose(got, expected, atol=1e-3, rtol=1e-5)
+
+    def test_fast_tier_coarse(self):
+        got, expected = self._run(exact=False)
+        scale = np.abs(expected).mean()
+        self.assertLess(np.abs(got - expected).mean(), 0.02 * scale)
+        self.assertGreater(np.corrcoef(got, expected)[0, 1], 0.999)
+
+    def test_auto_routes_int8_when_cap_fits(self):
+        """stream_select_auto sends 3D integer tables to the pairwise body
+        (cap <= r) and exact-tier output is true fp32."""
+        rng = np.random.default_rng(5)
+        n_pad, dim, qb, p = 2048, 256, 8, 1200
+        r, cap = stream_kernel.KERNEL_TILE_ROWS, stream_kernel.KERNEL_CAP
+        table = rng.integers(-127, 128, size=(n_pad, dim // 128, 128)).astype(
+            np.int8
+        )
+        q = rng.normal(size=(qb, dim)).astype(np.float32)
+        rows = rng.integers(0, n_pad, size=p).astype(np.int64)
+        qno = rng.integers(0, qb, size=p).astype(np.int64)
+        cand, tile_idx, slot = scoring.build_streamed_layout(
+            rows, qno, n_pad, qb, r=r, cap=cap
+        )
+        self.assertLessEqual(cap, r)
+        outs = stream_kernel.stream_select_auto(
+            table,
+            np.ascontiguousarray(q.T),
+            cand.reshape(cand.shape[0], cap // 128, 128),
+            tile_idx,
+            r=r,
+            interpret=True,
+            precision="exact",
+        )
+        got = np.asarray(outs).reshape(-1)[slot]
+        expected = np.einsum(
+            "pd,pd->p",
+            table.reshape(n_pad, dim)[rows].astype(np.float32),
+            q[qno],
+        )
+        np.testing.assert_allclose(got, expected, atol=1e-3, rtol=1e-5)
+
+
 class TestStreamSelectAuto(unittest.TestCase):
     """The auto dispatcher serves exact/high on 2D tables with the
     pairwise body (true fp32 dots) and falls back to the classic kernel
