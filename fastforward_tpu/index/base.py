@@ -2461,14 +2461,34 @@ class Index(abc.ABC):
             return None
         _view, rows_mat, counts_pp, k = prep
         q_codes, q_uniques = pd.factorize(df["q_id"], sort=False)
-        first = ~df["q_id"].duplicated()
-        queries = df.loc[first, "query"].tolist()
+        pair_qno = q_codes.astype(np.int64)
         uniq = np.asarray(q_uniques, dtype=object)
+        # the Ranking ctor sorts frames by (q_id desc, score desc), so
+        # first-appearance codes are non-decreasing and each query's pairs
+        # are one contiguous flat range — the merged batch can then ship
+        # per-query (start, count) vectors instead of a materialized slot
+        # matrix; guard anyway (a False here sends the batch down the
+        # host-built slot path)
+        sorted_codes = bool((np.diff(pair_qno) >= 0).all())
+        q_counts = np.bincount(pair_qno, minlength=len(uniq)).astype(
+            np.int64
+        )
+        first = np.empty(len(pair_qno), dtype=bool)
+        if len(pair_qno):
+            first[0] = True
+            np.not_equal(pair_qno[1:], pair_qno[:-1], out=first[1:])
+        queries = (
+            df["query"].to_numpy()[first].tolist()
+            if sorted_codes
+            else df.loc[~df["q_id"].duplicated(), "query"].tolist()
+        )
         return {
             "rows_mat": rows_mat,
             "counts_pp": counts_pp,
             "k": k,
-            "pair_qno": q_codes.astype(np.int64),
+            "pair_qno": pair_qno,
+            "sorted": sorted_codes,
+            "q_counts": q_counts,
             "lex": df["score"].to_numpy(dtype=np.float32),
             "queries": queries,
             "q_uniques": uniq,
@@ -2550,36 +2570,46 @@ class Index(abc.ABC):
         ):
             return None
 
-        d_max = int(np.bincount(pair_qno, minlength=n_q).max())
-        d_max = 1 << max(3, (d_max - 1).bit_length())
         # slot rows padded to a power of two too: the fused program's
         # shape stays stable across batches with varying request mixes
         n_rows = 1 << max(3, (n_q - 1).bit_length())
-        slot = np.full((n_rows, d_max), -1, dtype=np.int32)
-        # request frames are q_id-sorted, so per-request codes are
-        # non-decreasing and the offset concat keeps them non-decreasing
-        if (np.diff(pair_qno) >= 0).all():
-            spq, order = pair_qno, None
-        else:  # pragma: no cover - defensive (unsorted request frame)
-            order = np.argsort(pair_qno, kind="stable")
-            spq = pair_qno[order]
-        seg_starts = np.searchsorted(spq, np.arange(n_q))
-        pos = np.arange(n_pairs, dtype=np.int64) - seg_starts[spq]
-        slot[spq, pos] = (
-            np.arange(n_pairs, dtype=np.int32)
-            if order is None
-            else order.astype(np.int32)
-        )
         perm = np.concatenate(
             [p["by_rank"] + off for p, off in zip(preps, q_offs)]
         )
-        slot[:n_q] = slot[perm]
+        seg_live = all(p.get("sorted") for p in preps)
+        if seg_live:
+            # contiguous per-query pair ranges (the common case: every
+            # request frame is Ranking-sorted): ship two (n_rows,) int32
+            # vectors and let the device rebuild the slot matrix —
+            # kilobytes across the link instead of the multi-MB matrix
+            counts_q = np.concatenate([p["q_counts"] for p in preps])
+            d_max = int(counts_q.max()) if n_q else 1
+            d_max = 1 << max(3, (d_max - 1).bit_length())
+            starts_q = np.zeros(n_q, dtype=np.int64)
+            np.cumsum(counts_q[:-1], out=starts_q[1:])
+            starts_perm = np.zeros(n_rows, dtype=np.int32)
+            starts_perm[:n_q] = starts_q[perm]
+            counts_perm = np.zeros(n_rows, dtype=np.int32)
+            counts_perm[:n_q] = counts_q[perm]
+            starts_dev = jnp.asarray(starts_perm)
+            counts_dev = jnp.asarray(counts_perm)
+            slot_dev = None
+        else:  # pragma: no cover - defensive (unsorted request frame)
+            d_max = int(np.bincount(pair_qno, minlength=n_q).max())
+            d_max = 1 << max(3, (d_max - 1).bit_length())
+            slot = np.full((n_rows, d_max), -1, dtype=np.int32)
+            order = np.argsort(pair_qno, kind="stable")
+            spq = pair_qno[order]
+            seg_starts = np.searchsorted(spq, np.arange(n_q))
+            pos = np.arange(n_pairs, dtype=np.int64) - seg_starts[spq]
+            slot[spq, pos] = order.astype(np.int32)
+            slot[:n_q] = slot[perm]
+            slot_dev = jnp.asarray(slot)
 
         kc = min(cutoff, d_max)
         lex_pad = np.zeros(ops.bucket(n_pairs), dtype=np.float32)
         lex_pad[:n_pairs] = lex
         lex_dev = jnp.asarray(lex_pad)
-        slot_dev = jnp.asarray(slot)
         if refine_live:
             from fastforward_tpu.ops.scoring import _cached_q_upload
 
@@ -2598,20 +2628,42 @@ class Index(abc.ABC):
                     _cached_q_upload(q_pad, plan, "q_dev"),
                     False,
                 )
-            packed = ops.serve_topk_refine(
-                scores_dev,
-                lex_dev,
-                slot_dev,
-                np.float32(alpha),
-                kc,
-                int(refine),
-                view.table,
-                jnp.asarray(rows_pad),
-                q_dev,
-                jnp.asarray(q_perm),
-                q_transposed=q_transposed,
+            if slot_dev is None:
+                packed = ops.serve_topk_refine_seg(
+                    scores_dev,
+                    lex_dev,
+                    starts_dev,
+                    counts_dev,
+                    np.float32(alpha),
+                    kc,
+                    int(refine),
+                    d_max,
+                    view.table,
+                    jnp.asarray(rows_pad),
+                    q_dev,
+                    jnp.asarray(q_perm),
+                    q_transposed=q_transposed,
+                )
+            else:  # pragma: no cover - defensive (unsorted request frame)
+                packed = ops.serve_topk_refine(
+                    scores_dev,
+                    lex_dev,
+                    slot_dev,
+                    np.float32(alpha),
+                    kc,
+                    int(refine),
+                    view.table,
+                    jnp.asarray(rows_pad),
+                    q_dev,
+                    jnp.asarray(q_perm),
+                    q_transposed=q_transposed,
+                )
+        elif slot_dev is None:
+            packed = ops.serve_topk_seg(
+                scores_dev, lex_dev, starts_dev, counts_dev,
+                np.float32(alpha), kc, d_max,
             )
-        else:
+        else:  # pragma: no cover - defensive (unsorted request frame)
             packed = ops.serve_topk(
                 scores_dev, lex_dev, slot_dev, np.float32(alpha), kc
             )

@@ -1419,6 +1419,45 @@ def _interpolate(lexical, semantic, alpha):
     return alpha * lexical + (1.0 - alpha) * semantic
 
 
+def _slot_from_segments(
+    starts: jnp.ndarray, counts: jnp.ndarray, d_max: int
+) -> jnp.ndarray:
+    """Rebuild the ``(Q, D)`` slot matrix on device from per-row segments.
+
+    When pair query numbers are non-decreasing (the Ranking sort invariant
+    guarantees it for every frame the serve paths see), query ``q``'s flat
+    pair positions are the contiguous range ``starts[q] .. starts[q] +
+    counts[q]``, so the full slot matrix is derivable from two ``(Q,)``
+    int32 vectors — the host uploads kilobytes instead of the multi-MB
+    materialized matrix (the dominant per-batch upload on the
+    BatchingServer array path).
+    """
+    d = jnp.arange(d_max, dtype=jnp.int32)[None, :]
+    return jnp.where(
+        d < counts[:, None], starts[:, None] + d, jnp.int32(-1)
+    )
+
+
+def _serve_topk_body(scores_pad, lex_pad, slot_mat, alpha, cutoff):
+    valid = slot_mat >= 0
+    safe = jnp.where(valid, slot_mat, 0)
+    # gather BOTH sides per slot (rather than interpolating the flat arrays
+    # elementwise) so score arrays of any padded length >= n_pairs work
+    interp = alpha * lex_pad[safe] + (1.0 - alpha) * scores_pad[safe]
+    gathered = jnp.where(valid, interp, -jnp.inf)
+    vals, pos = jax.lax.top_k(gathered, cutoff)
+    pair_idx = jnp.take_along_axis(slot_mat, pos, axis=1)
+    return jnp.stack(
+        [
+            jax.lax.bitcast_convert_type(
+                vals.astype(jnp.float32), jnp.int32
+            ),
+            pair_idx.astype(jnp.int32),
+        ],
+        axis=0,
+    )
+
+
 @partial(jax.jit, static_argnames=("cutoff",))
 def serve_topk(
     scores_pad: jnp.ndarray,
@@ -1451,23 +1490,29 @@ def serve_topk(
     :return: ``(2, Q, cutoff)`` int32 — ``[0]`` the selected interpolated
         scores (fp32 bit pattern), ``[1]`` the selected flat pair indices.
     """
-    valid = slot_mat >= 0
-    safe = jnp.where(valid, slot_mat, 0)
-    # gather BOTH sides per slot (rather than interpolating the flat arrays
-    # elementwise) so score arrays of any padded length >= n_pairs work
-    interp = alpha * lex_pad[safe] + (1.0 - alpha) * scores_pad[safe]
-    gathered = jnp.where(valid, interp, -jnp.inf)
-    vals, pos = jax.lax.top_k(gathered, cutoff)
-    pair_idx = jnp.take_along_axis(slot_mat, pos, axis=1)
-    return jnp.stack(
-        [
-            jax.lax.bitcast_convert_type(
-                vals.astype(jnp.float32), jnp.int32
-            ),
-            pair_idx.astype(jnp.int32),
-        ],
-        axis=0,
-    )
+    return _serve_topk_body(scores_pad, lex_pad, slot_mat, alpha, cutoff)
+
+
+@partial(jax.jit, static_argnames=("cutoff", "d_max"))
+def serve_topk_seg(
+    scores_pad: jnp.ndarray,
+    lex_pad: jnp.ndarray,
+    starts: jnp.ndarray,
+    counts: jnp.ndarray,
+    alpha,
+    cutoff: int,
+    d_max: int,
+) -> jnp.ndarray:
+    """:func:`serve_topk` with the slot matrix built on device.
+
+    ``starts``/``counts`` are ``(Q,)`` int32 in output-row order (rows past
+    the live queries carry ``counts == 0``); the candidate layout must be
+    contiguous per query in the flat pair space (non-decreasing pair query
+    numbers).  Identical packed result, ~1000x less host->device transfer
+    than shipping the materialized ``(Q, D)`` matrix.
+    """
+    slot_mat = _slot_from_segments(starts, counts, d_max)
+    return _serve_topk_body(scores_pad, lex_pad, slot_mat, alpha, cutoff)
 
 
 @partial(jax.jit, static_argnames=("cutoff", "margin", "q_transposed"))
@@ -1513,6 +1558,46 @@ def serve_topk_refine(
     :param q_transposed: Whether ``q_dev`` is ``(dim, Q)``.
     :return: ``(2, Q, cutoff)`` int32, packed like :func:`serve_topk`.
     """
+    return _serve_topk_refine_body(
+        scores_fast, lex_pad, slot_mat, alpha, cutoff, margin, table,
+        rows_pad, q_dev, q_perm, q_transposed,
+    )
+
+
+@partial(
+    jax.jit, static_argnames=("cutoff", "margin", "d_max", "q_transposed")
+)
+def serve_topk_refine_seg(
+    scores_fast: jnp.ndarray,
+    lex_pad: jnp.ndarray,
+    starts: jnp.ndarray,
+    counts: jnp.ndarray,
+    alpha,
+    cutoff: int,
+    margin: int,
+    d_max: int,
+    table: jnp.ndarray,
+    rows_pad: jnp.ndarray,
+    q_dev: jnp.ndarray,
+    q_perm: jnp.ndarray,
+    q_transposed: bool = False,
+) -> jnp.ndarray:
+    """:func:`serve_topk_refine` with the slot matrix built on device.
+
+    Same segment contract as :func:`serve_topk_seg` (contiguous per-query
+    pair ranges, ``(Q,)`` int32 ``starts``/``counts`` in output-row order).
+    """
+    slot_mat = _slot_from_segments(starts, counts, d_max)
+    return _serve_topk_refine_body(
+        scores_fast, lex_pad, slot_mat, alpha, cutoff, margin, table,
+        rows_pad, q_dev, q_perm, q_transposed,
+    )
+
+
+def _serve_topk_refine_body(
+    scores_fast, lex_pad, slot_mat, alpha, cutoff, margin, table, rows_pad,
+    q_dev, q_perm, q_transposed,
+):
     valid = slot_mat >= 0
     safe = jnp.where(valid, slot_mat, 0)
     interp = alpha * lex_pad[safe] + (1.0 - alpha) * scores_fast[safe]

@@ -418,10 +418,17 @@ class BatchingServer:
         ``packed`` is ``Index._serve_arrays``'s ``(vals, pair_idx)``: row
         blocks follow the batch's request order (each request's queries
         q_id-descending), so the split is pure slicing — no namespace
-        tags, no string splits, no groupby.
+        tags, no string splits, no groupby.  The result frame is built
+        ONCE for the whole batch (the per-request numpy parts are tiny —
+        ``cutoff`` rows per query) and sliced back out: one pandas ctor
+        per batch instead of one per request, ~2.5x less host time on
+        the 64-request wave (the fan-out was a profiled wave cost,
+        ``bench_logs/r4p_arrays_profile_syncprep.log``).
         """
         vals, pair_idx = packed
         q_off = p_off = 0
+        qid_parts, id_parts, score_parts, query_parts = [], [], [], []
+        spans: "list[tuple[_Request, int, object]]" = []
         for req in batch:
             p = req.prep
             nq = len(p["q_uniques"])
@@ -430,23 +437,39 @@ class BatchingServer:
             q_off += nq
             pair_base = p_off
             p_off += p["n_pairs"]
-            if not req.future.set_running_or_notify_cancel():
-                continue
             valid = idx >= 0
             take = (idx[valid] - pair_base).astype(np.int64)
             n_per_row = valid.sum(axis=1)
             order = p["by_rank"]
-            df = pd.DataFrame(
-                {
-                    "q_id": np.repeat(p["q_uniques"][order], n_per_row),
-                    "id": p["id_arr"].take(take),
-                    "score": v[valid].astype(p["score_dtype"], copy=False),
-                    "query": np.repeat(
-                        np.asarray(p["queries"], dtype=object)[order],
-                        n_per_row,
-                    ),
-                }
+            qid_parts.append(np.repeat(p["q_uniques"][order], n_per_row))
+            id_parts.append(
+                np.asarray(p["id_arr"].take(take), dtype=object)
             )
+            score_parts.append(v[valid])
+            query_parts.append(
+                np.repeat(
+                    np.asarray(p["queries"], dtype=object)[order],
+                    n_per_row,
+                )
+            )
+            spans.append((req, int(len(take)), p["score_dtype"]))
+        big = pd.DataFrame(
+            {
+                "q_id": np.concatenate(qid_parts),
+                "id": np.concatenate(id_parts),
+                "score": np.concatenate(score_parts),
+                "query": np.concatenate(query_parts),
+            }
+        )
+        off = 0
+        for req, n_rows, score_dtype in spans:
+            part = big.iloc[off : off + n_rows]
+            off += n_rows
+            if not req.future.set_running_or_notify_cancel():
+                continue
+            df = part.reset_index(drop=True)
+            if df.dtypes["score"] != score_dtype:
+                df["score"] = df["score"].astype(score_dtype, copy=False)
             req.future.set_result(
                 Ranking._from_trusted_frame(df, "fast-forward")
             )
