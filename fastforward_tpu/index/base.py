@@ -532,6 +532,8 @@ class Index(abc.ABC):
         # prep workers build plans for different merged batches in
         # parallel, each under its own key)
         self._plans_lock = threading.Lock()
+        # preload-warm twin view (see _active_view); None outside preload
+        self._view_override: DeviceView | None = None
 
     _MAX_PLANS = 4
 
@@ -724,6 +726,32 @@ class Index(abc.ABC):
         """
         return None
 
+    def _twin_view(self) -> DeviceView | None:
+        """Backend hook: zeros-shaped twin of the (unbuilt) device view.
+
+        A twin has the exact shapes/dtypes the real view will have but its
+        table is created ON DEVICE (``jnp.zeros`` — no host->device
+        transfer).  ``preload`` warms every device program against the twin
+        while the real table upload rides in a background thread: programs
+        are keyed on avals, so they are cache hits when the real view lands
+        (probed on the tunnel: a program first-run against the zeros twin
+        re-ran against the real table with zero recompile).  ``None`` means
+        the backend can't (or need not) build one — preload then uploads
+        first and warms after, sequentially.
+        """
+        return None
+
+    def _active_view(self) -> DeviceView | None:
+        """The scoring view: the preload-warm twin override, if set.
+
+        Scoring paths resolve the device view through this so that
+        ``preload``'s warm phase can run against the zeros twin while the
+        real upload is still in flight.  Outside preload it is exactly
+        ``_device_view()``.
+        """
+        override = self._view_override
+        return override if override is not None else self._device_view()
+
     @staticmethod
     def _ensure_compile_cache() -> None:
         """Enable JAX's persistent compilation cache when none is configured.
@@ -782,6 +810,15 @@ class Index(abc.ABC):
         optional third element warms the two-phase path
         (``serve=(alpha, cutoff, refine_margin)``).
 
+        On single-device backends the upload and the warm OVERLAP: the warm
+        runs against a zeros-shaped twin of the device view (programs are
+        keyed on avals, so every twin-compiled program is a cache hit for
+        the real table) while the real upload rides in a background thread
+        — and the rerank and serve warms themselves run in parallel threads
+        (the compile service handles concurrently dispatched programs in
+        parallel; measured two first-executions in threads = 1x wall).
+        Per-phase wall times are recorded in ``self._preload_stats``.
+
         :param warm: Optional ``(num_queries, depth)`` workload shape.
         :param serve: Optional ``(alpha, cutoff)`` to warm :meth:`serve`.
         :return: Whether a device table exists for this backend.
@@ -793,7 +830,26 @@ class Index(abc.ABC):
                 "workload through serve()."
             )
         self._ensure_compile_cache()
-        view = self._device_view()
+        stats: dict = {"overlap": False}
+        self._preload_stats = stats
+        twin = self._twin_view() if warm is not None else None
+        upload_thread: "threading.Thread | None" = None
+        if twin is not None:
+            def _upload() -> None:
+                t0 = perf_counter()
+                self._device_view()
+                stats["upload_s"] = perf_counter() - t0
+
+            upload_thread = threading.Thread(
+                target=_upload, name="ff-preload-upload", daemon=True
+            )
+            upload_thread.start()
+            stats["overlap"] = True
+            view: DeviceView | None = twin
+        else:
+            t0 = perf_counter()
+            view = self._device_view()
+            stats["upload_s"] = perf_counter() - t0
         if view is None:
             return False
         if warm is None:
@@ -801,6 +857,8 @@ class Index(abc.ABC):
         num_q, depth = warm
         n = len(self)
         if n == 0 or num_q <= 0 or depth <= 0:
+            if upload_thread is not None:
+                upload_thread.join()
             return True
         # candidates must SPREAD over the whole table like a production
         # run: the streamed kernel's grid is bucketed by the number of
@@ -840,9 +898,12 @@ class Index(abc.ABC):
             frame["id"].notna() & ~frame.duplicated(["q_id", "id"])
         ]
         if not len(frame):
+            if upload_thread is not None:
+                upload_thread.join()
             return True
         queries = {q: f"ff warm query {q}" for q in q_names}
         ranking = Ranking(frame, queries=queries, copy=False, is_sorted=True)
+        serve_ranking: Ranking | None = None
         encoder = self._query_encoder
         try:
             # always bypass the user's encoder for the synthetic queries:
@@ -859,17 +920,52 @@ class Index(abc.ABC):
                 len(ranking),
                 depth,
             )
-            self(ranking)
+            self._view_override = twin
+            serve_thread: "threading.Thread | None" = None
+            serve_err: list[BaseException] = []
             if serve is not None:
-                self.serve(
-                    ranking,
-                    serve[0],
-                    serve[1],
-                    refine=serve[2] if len(serve) > 2 else None,
+                # the serve warm gets its OWN ranking (fresh frame object,
+                # so a fresh plan key): the rerank and serve warms then
+                # never touch the same plan dict from two threads
+                serve_ranking = Ranking(
+                    frame.copy(), queries=queries, copy=False, is_sorted=True
                 )
+
+                def _serve_warm() -> None:
+                    t0 = perf_counter()
+                    try:
+                        self.serve(
+                            serve_ranking,
+                            serve[0],
+                            serve[1],
+                            refine=serve[2] if len(serve) > 2 else None,
+                        )
+                    except BaseException as exc:  # re-raised on join
+                        serve_err.append(exc)
+                    finally:
+                        stats["warm_serve_s"] = perf_counter() - t0
+
+                serve_thread = threading.Thread(
+                    target=_serve_warm, name="ff-preload-serve-warm"
+                )
+                serve_thread.start()
+            t0 = perf_counter()
+            self(ranking)
+            stats["warm_rerank_s"] = perf_counter() - t0
+            if serve_thread is not None:
+                serve_thread.join()
+                if serve_err:
+                    raise serve_err[0]
         finally:
+            self._view_override = None
             self._query_encoder = encoder
             self._plans.pop((id(ranking._df), self._mode), None)
+            if serve_ranking is not None:
+                self._plans.pop((id(serve_ranking._df), self._mode), None)
+            if upload_thread is not None:
+                t0 = perf_counter()
+                upload_thread.join()
+                stats["upload_tail_s"] = perf_counter() - t0
         return True
 
     def _prepare_queries(self, query_vectors: np.ndarray, view: DeviceView) -> np.ndarray:
@@ -892,7 +988,7 @@ class Index(abc.ABC):
         Fallback: gather (and decode) candidate vectors on the host and ship
         them to the device for this call only.
         """
-        view = self._device_view()
+        view = self._active_view()
         if view is not None:
             rows, counts = self._ids.resolve(ids, self.mode)
             return view, rows, counts
@@ -1193,7 +1289,7 @@ class Index(abc.ABC):
         layout consumed by :meth:`_device_score_grouped` — or ``None`` when
         documents are too ragged for the grouped layout.
         """
-        view = self._device_view()
+        view = self._active_view()
         if view is not None and self.mode in (Mode.PASSAGE, Mode.FIRSTP):
             # exactly one row per pair: resolve the whole id column directly
             # (zero-copy from the arrow buffers), skipping factorize+expand
@@ -1239,13 +1335,13 @@ class Index(abc.ABC):
             rows_mat = plan["rows_mat"]
             counts_pp = plan["counts_pp"]
             k = plan["k"]
-            view = self._device_view()
+            view = self._active_view()
             if view is None:  # pragma: no cover - table vanished mid-life
                 return None
         else:
             # plans only make sense against a persistent device table; the
             # host-gather fallback rebuilds its per-call table every time
-            if plan is not None and self._device_view() is None:
+            if plan is not None and self._active_view() is None:
                 plan = None
             if plan is not None and plan.get("cand_ready"):
                 # candidate resolution already done (e.g. by a serve() call
@@ -1255,7 +1351,7 @@ class Index(abc.ABC):
                 rows_mat = plan["rows_mat"]
                 counts_pp = plan["counts_pp"]
                 k = plan["k"]
-                view = self._device_view()
+                view = self._active_view()
             else:
                 n_pairs = len(df)
                 pair_qno = df["q_no"].to_numpy(dtype=np.int64)
@@ -1693,7 +1789,7 @@ class Index(abc.ABC):
             # queries that stop early never pay resolution for their deep
             # candidates (this also matches the reference, which only
             # touches the rows of scored chunks)
-            view = self._device_view()
+            view = self._active_view()
             lazy = view is not None and self.mode in (
                 Mode.PASSAGE,
                 Mode.FIRSTP,
@@ -1853,6 +1949,7 @@ class Index(abc.ABC):
         q_uniques,
         score_dtype,
         plan: dict | None,
+        cut: "int | None" = None,
     ) -> Ranking:
         """Assemble the ES result ranking from scored-row indices.
 
@@ -1891,6 +1988,19 @@ class Index(abc.ABC):
         # (q_id desc, score desc) via the shared composite-key radix
         # argsort (a np.lexsort here measured ~60 ms per call at 512k rows)
         order = _desc_rank_order(qhi[take], ff)
+        if cut is not None and order.size:
+            # ES-serve tail: keep the top `cut` rows per query directly in
+            # the sorted order — queries are contiguous runs of equal qhi
+            keys = qhi[take][order]
+            run_start = np.empty(keys.size, dtype=bool)
+            run_start[0] = True
+            np.not_equal(keys[1:], keys[:-1], out=run_start[1:])
+            starts = np.flatnonzero(run_start)
+            lens = np.diff(np.concatenate((starts, [keys.size])))
+            pos = np.arange(keys.size, dtype=np.int64) - np.repeat(
+                starts, lens
+            )
+            order = order[pos < cut]
         final = take[order]
         out = pd.DataFrame(
             {
@@ -2163,36 +2273,50 @@ class Index(abc.ABC):
     ) -> Ranking:
         """Early-stopping serve: schedule-scored subset -> interpolate -> cut.
 
-        The interpolation is an INNER join over the scored subset — a
-        plain outer-merge ``interpolate`` would give never-scored
-        candidates a semantic score of 0 and surface them on
-        ``alpha * lexical`` alone (reference semantics leave this step to
-        the user; ES subset per ``index/base.py:316-387``).
-        """
-        from fastforward_tpu.ranking import _plain_ids
+        The interpolation covers ONLY the scored subset — an outer-merge
+        ``interpolate`` would give never-scored candidates a semantic score
+        of 0 and surface them on ``alpha * lexical`` alone (reference
+        semantics leave this step to the user; ES subset per
+        ``index/base.py:316-387``).
 
-        ff = self(
-            ranking,
-            early_stopping=cutoff,
-            early_stopping_alpha=alpha,
-            early_stopping_depths=depths,
+        Fused tail: the interpolation is a host axpy over the ES loop's own
+        ``(take, ff)`` arrays and the cut happens inside the shared
+        composite-key sort (``_assemble_es(cut=...)``), so the result frame
+        is built at ``Q x cutoff`` rows.  The previous tail assembled the
+        full scored frame, re-extracted it with ``_plain_ids``, ran an
+        O(pairs) hash join against the lexical frame, and sorted twice —
+        ~10x the host work for the same ranking.
+        """
+        plan = self._get_plan(ranking)
+        es_prep = plan.get("es_prep")
+        if es_prep is not None:
+            df, queries, q_uniques = es_prep
+        else:
+            df = ranking._df.copy()
+            q_codes, q_uniques = pd.factorize(df["q_id"], sort=False)
+            df["q_no"] = q_codes
+            queries = df.loc[~df["q_id"].duplicated(), "query"].tolist()
+            plan["es_prep"] = (df, queries, q_uniques)
+        query_vectors = self.encode_queries(queries)
+        take, ff = self._early_stopping(
+            df, query_vectors, cutoff, alpha, depths, plan=plan
         )
-        sem = _plain_ids(ff._df)[["q_id", "id", "score"]].rename(
-            columns={"score": "ff"}
+        state = plan.get("es_state")
+        lex = (
+            state["lex"]
+            if state is not None
+            else df["score"].to_numpy(dtype=np.float32)
         )
-        lex = _plain_ids(ranking._df)[["q_id", "id", "score"]]
-        merged = sem.merge(lex, on=["q_id", "id"], how="left")
-        merged["score"] = (
-            alpha * merged["score"] + (1.0 - alpha) * merged["ff"]
+        interp = (alpha * lex[take] + (1.0 - alpha) * ff).astype(np.float32)
+        return self._assemble_es(
+            df,
+            take,
+            interp,
+            q_uniques,
+            ranking._df.dtypes["score"],
+            plan,
+            cut=cutoff,
         )
-        out = Ranking(
-            merged[["q_id", "id", "score"]],
-            name="fast-forward",
-            dtype=ranking._df.dtypes["score"],
-            copy=False,
-            is_sorted=False,
-        )
-        return out.cut(cutoff)
 
     def _serve_fused(
         self,
@@ -2213,7 +2337,7 @@ class Index(abc.ABC):
         pay only encode + device program + the ``(2, Q, cutoff)`` fetch.
         """
         multiprocess = jax.process_count() > 1
-        view = self._device_view()
+        view = self._active_view()
         if view is None:
             return None
         score_dtype = ranking._df.dtypes["score"]
@@ -2454,7 +2578,7 @@ class Index(abc.ABC):
         if jax.process_count() > 1:
             return None
         df = ranking._df
-        if not len(df) or self._device_view() is None:
+        if not len(df) or self._active_view() is None:
             return None
         prep = self._candidate_arrays(df)
         if prep is None:
@@ -2521,7 +2645,7 @@ class Index(abc.ABC):
         ``None`` when the merged workload cannot run fused (caller falls
         back to per-request :meth:`serve`).
         """
-        view = self._device_view()
+        view = self._active_view()
         if view is None or jax.process_count() > 1:
             return None
         k = max(p["k"] for p in preps)

@@ -174,6 +174,8 @@ class InMemoryIndex(Index):
         self._mesh_config = mesh_config
         self._mesh = None
         self._dev_view: DeviceView | None = None
+        # canonical row band retained after narrow_to_shard (None = full)
+        self._narrow: "tuple[int, int] | None" = None
         super().__init__(
             query_encoder=query_encoder,
             quantizer=quantizer,
@@ -214,7 +216,11 @@ class InMemoryIndex(Index):
     ) -> None:
         num_new = vectors.shape[0]
         start = self._num
-
+        if self._narrow is not None:
+            raise RuntimeError(
+                "cannot add to a narrowed index: shard row boundaries "
+                "move with N (narrow_to_shard is a post-build step)"
+            )
         self._ids.add(doc_ids, psg_ids, start)
         if self._store_mode == "device":
             self._append_device(vectors, start)
@@ -228,10 +234,78 @@ class InMemoryIndex(Index):
         """Trim the host store to exactly the used capacity.
 
         No-op for ``store="device"`` (the HBM buffer stays padded to the
-        scoring row granularity).
+        scoring row granularity) and after :meth:`narrow_to_shard` (the
+        store is already the shard-local band).
         """
-        if self._store is not None:
+        if self._store is not None and self._narrow is None:
             self._store = self._store[: self._num].copy()
+
+    def narrow_to_shard(self) -> tuple[int, int]:
+        """Free canonical rows outside this process's device shards.
+
+        Under multi-process meshes every process ``add``s the full corpus
+        (the SPMD contract), so each host transiently holds the whole
+        canonical table even though its chips score only their row slice.
+        Once the sharded device view is built (``preload()``), call this to
+        drop the out-of-shard rows: per-host RSS falls to roughly
+        ``1 / shard_groups`` of the table, matching what ``OnDiskIndex``
+        achieves with lazy per-shard HDF5 reads (the reference serves
+        arbitrary N from disk in every configuration,
+        ``/root/reference/src/fast_forward/index/disk.py:309-336``; the
+        resident path gets there by narrowing after upload instead).
+
+        Afterwards host-side row reads (:meth:`_get_vectors`, iteration)
+        serve only shard-local rows and raise for others; device scoring —
+        the production path — is unaffected.  ``add`` raises after
+        narrowing (shard boundaries would move with N).
+
+        :raises ValueError: Without a mesh-sharded resident device view,
+            or on the hybrid tier (it streams from the full canonical
+            copy).
+        :return: The retained canonical row range ``(start, stop)``.
+        """
+        if self._store_mode != "host" or self._store is None:
+            raise ValueError(
+                "narrow_to_shard requires store='host' with vectors added"
+            )
+        view = self._device_view()
+        if view is None or view.mesh is None or view.kind == "hybrid":
+            raise ValueError(
+                "narrow_to_shard requires a mesh-sharded resident device "
+                "view (configure mesh_config and call preload() first); "
+                "the hybrid beyond-HBM tier streams from the full "
+                "canonical copy and cannot narrow"
+            )
+        if self._narrow is not None:
+            return self._narrow
+        n_pad = view.table.shape[0]
+        spans = sorted(
+            (
+                s.index[0].start or 0,
+                n_pad if s.index[0].stop is None else s.index[0].stop,
+            )
+            for s in view.table.addressable_shards
+        )
+        cover = spans[0]
+        for s0, s1 in spans[1:]:
+            if s0 > cover[1]:  # pragma: no cover - defensive (exotic mesh)
+                raise ValueError(
+                    "this process's shards are not one contiguous row "
+                    "band; cannot narrow"
+                )
+            cover = (cover[0], max(cover[1], s1))
+        start, stop = min(cover[0], self._num), min(cover[1], self._num)
+        before = self._store.nbytes
+        self._store = np.ascontiguousarray(self._store[start:stop])
+        self._narrow = (start, stop)
+        LOGGER.info(
+            "narrowed canonical store to rows [%d, %d): %.1f -> %.1f MiB",
+            start,
+            stop,
+            before / 2**20,
+            self._store.nbytes / 2**20,
+        )
+        return self._narrow
 
     # -- device-resident store (store="device") --------------------------------
 
@@ -335,11 +409,26 @@ class InMemoryIndex(Index):
         out_ids = [i for i, c in zip(ids, counts) for _ in range(c)]
         if self._store_mode == "device":
             return self._fetch_device_rows(rows), out_ids
+        if self._narrow is not None:
+            start, stop = self._narrow
+            if rows.size and (rows.min() < start or rows.max() >= stop):
+                raise IndexError(
+                    "host row read outside this process's shard band "
+                    f"[{start}, {stop}) — the canonical store was narrowed "
+                    "by narrow_to_shard(); only device scoring covers the "
+                    "full corpus"
+                )
+            return self._store[rows - start], out_ids
         return self._store[rows], out_ids
 
     def _batch_iter(
         self, batch_size: int
     ) -> Iterator[tuple[np.ndarray, IDSequence, IDSequence]]:
+        if self._narrow is not None:
+            raise RuntimeError(
+                "cannot iterate a narrowed index: the canonical store "
+                "holds only this process's shard band (narrow_to_shard)"
+            )
         doc_list, psg_list = self._ids.inverse(self._num)
         for i in range(0, self._num, batch_size):
             j = min(i + batch_size, self._num)
@@ -379,6 +468,62 @@ class InMemoryIndex(Index):
             codebooks=codebooks,
             scales=scales,
             mesh=self._mesh,
+        )
+
+    def _twin_view(self) -> DeviceView | None:
+        """Zeros-shaped twin of the pending device view (no upload).
+
+        Mirrors ``_device_view``'s shape/dtype decisions for the
+        single-device resident kinds (dense fp32/bf16, int8 codes, PQ
+        codes); ``tests/test_preload_overlap.py`` asserts twin and real
+        views agree on kind/shape/dtype for every covered configuration.
+        Mesh, hybrid (``hbm_budget``), device-store, and unknown-quantizer
+        configurations return ``None`` (preload falls back to sequential
+        upload-then-warm).
+        """
+        if (
+            self._num == 0
+            or self._dev_view is not None
+            or self._store_mode == "device"
+            or self._mesh_config is not None
+            or self._hbm_budget is not None
+        ):
+            return None
+        n_pad = -(-self._num // _ROW_PAD) * _ROW_PAD
+        if isinstance(self._quantizer, PQ):
+            from fastforward_tpu.ops.scoring import pallas_stream_enabled
+
+            m = self._store.shape[1]
+            width = 128 if m <= 128 and pallas_stream_enabled() else m
+            return DeviceView(
+                kind="pq",
+                table=jnp.zeros((n_pad, width), self._store.dtype),
+                codebooks=jnp.asarray(
+                    np.asarray(self._quantizer.codewords, dtype=np.float32)
+                ),
+                precision=self._precision,
+            )
+        if isinstance(self._quantizer, ScalarQuantizer):
+            dim = self._store.shape[1]
+            shape = (
+                (n_pad, dim // 128, 128) if dim % 128 == 0 else (n_pad, dim)
+            )
+            return DeviceView(
+                kind="scalar",
+                table=jnp.zeros(shape, jnp.int8),
+                scales=self._quantizer.scales,
+                precision=self._precision,
+            )
+        if self._quantizer is not None:
+            return None
+        dim = self._store.shape[1]
+        dtype = (
+            jnp.bfloat16 if self._device_dtype == "bfloat16" else jnp.float32
+        )
+        return DeviceView(
+            kind="dense",
+            table=jnp.zeros((n_pad, dim), dtype),
+            precision=self._precision,
         )
 
     def _device_view(self) -> DeviceView | None:

@@ -129,7 +129,6 @@ def main():
     index = InMemoryIndex(
         query_encoder=LambdaEncoder(lambda _: np.zeros(DIM, np.float32)),
         mode=Mode.PASSAGE,
-        dim=DIM,
         precision="high",
     )
     index.add(vecs, doc_ids=None, psg_ids=ids)

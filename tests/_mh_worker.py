@@ -108,6 +108,37 @@ def main() -> None:
         assert abs(truth - q_out[pid]) < 0.05, (pid, truth, q_out[pid])
     digests.append(sum(sorted(q_out.values())[:50]))
 
+    # --- per-host canonical narrowing on the in-memory path ---------------
+    # after the sharded view is built, each process may drop the canonical
+    # rows outside its own shard band: host memory falls to ~1/2 of the
+    # table in this 2-process job, and device scoring is unaffected
+    bytes_before = q_index._store.nbytes
+    lo, hi = q_index.narrow_to_shard()
+    assert hi - lo <= n // 2, (lo, hi, n)
+    assert q_index._store.nbytes <= bytes_before // 2 + 1, (
+        q_index._store.nbytes,
+        bytes_before,
+    )
+    fresh = Ranking.from_run(run, queries={"q1": "a", "q2": "b"})
+    q_out_narrow = q_index(fresh)["q1"]
+    assert q_out_narrow == q_out, "narrowing changed device scoring"
+    # host row reads now cover only the local band
+    local_pid = f"p{lo}"
+    got_vecs, got_ids = q_index._get_vectors([local_pid])
+    assert got_ids == [local_pid]
+    foreign_row = hi if hi < n else lo - 1
+    try:
+        q_index._get_vectors([f"p{foreign_row}"])
+        raise AssertionError("expected IndexError for out-of-band row")
+    except IndexError:
+        pass
+    try:
+        q_index.add(corpus[:1], psg_ids=["extra"])
+        raise AssertionError("expected RuntimeError for add after narrow")
+    except RuntimeError:
+        pass
+    digests.append(sum(sorted(q_out_narrow.values())[:50]))
+
     # --- PQ codes + replicated codebooks over the mesh --------------------
     from fastforward_tpu.quantizer import PQ
 
