@@ -155,10 +155,18 @@ class InMemoryIndex(Index):
         ):
             raise ValueError(
                 "hbm_budget + mesh_config (the sharded hybrid tier) is "
-                "single-process only: the host tail streams through this "
-                "controller's devices.  Multi-host pods shard the full "
-                "table across hosts instead (OnDiskIndex reads per-shard "
-                "rows lazily from HDF5)."
+                "single-process BY DESIGN: the beyond-HBM tail streams "
+                "host->device per scoring call, and under multi-controller "
+                "SPMD every process would have to stream the identical "
+                "tail rows in lockstep — multiplying host-link traffic by "
+                "the process count for zero extra throughput (the tail is "
+                "the bottleneck already).  Pods have two supported "
+                "layouts that both scale N with the number of hosts: "
+                "(1) quantize (int8 cuts HBM 4x, PQ ~48x) so the table is "
+                "resident across the pod's chips — then narrow_to_shard() "
+                "frees per-host RAM; (2) OnDiskIndex with mesh_config "
+                "(per-shard lazy HDF5 reads; arbitrary N, reference-"
+                "equivalent, index/disk.py)."
             )
         self._hbm_budget = hbm_budget
         self._stream_chunk_rows = stream_chunk_rows

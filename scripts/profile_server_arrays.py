@@ -27,7 +27,15 @@ parser.add_argument("--dim", type=int, default=768)
 parser.add_argument("--iters", type=int, default=6)
 args = parser.parse_args()
 
+import os  # noqa: E402
+
 import jax  # noqa: E402
+
+# honor an explicit JAX_PLATFORMS=cpu even under the sitecustomize that
+# pins the tunnel backend (the env var alone is overridden)
+_p = os.environ.get("JAX_PLATFORMS")
+if _p and "," not in _p:
+    jax.config.update("jax_platforms", _p)
 
 print("backend:", jax.default_backend(), flush=True)
 
