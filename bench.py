@@ -349,7 +349,8 @@ def measure_reference(corpus, qvecs, run, queries, repeats, serve=None):
 
 
 def measure_server(
-    corpus, qvecs, run, queries, depth, repeats, precision, req_q, loops=3
+    corpus, qvecs, run, queries, depth, repeats, precision, req_q, loops=3,
+    prep_workers=2,
 ):
     """Config: concurrent small requests through ``utils.BatchingServer``.
 
@@ -415,6 +416,7 @@ def measure_server(
         cutoff,
         max_batch_queries=len(q_ids),
         max_wait_ms=5.0,
+        prep_workers=prep_workers,
     ) as server:
         got0 = server.serve(requests[0])  # warm the server path
         assert list(got0["q0"]) == list(want0["q0"]), "server != serve"
@@ -1124,6 +1126,10 @@ def main():
         help="queries per concurrent request for --config server",
     )
     parser.add_argument(
+        "--server-prep-workers", type=int, default=2,
+        help="BatchingServer batch-prep threads for --config server",
+    )
+    parser.add_argument(
         "--pipeline-depth", type=int, default=4,
         help="in-flight submit/submit_serve futures for the serve and "
         "pipelined configs; in-flight tunnel round trips overlap almost "
@@ -1324,6 +1330,7 @@ def main():
         qps, seq_qps = measure_server(
             corpus, qvecs, run, queries, args.depth, args.repeats,
             args.precision, args.server_request_queries, loops=args.loops,
+            prep_workers=args.server_prep_workers,
         )
         print(
             json.dumps(
