@@ -921,6 +921,9 @@ class Index(abc.ABC):
                 depth,
             )
             self._view_override = twin
+            from fastforward_tpu.ops import scoring as _scoring
+
+            fails_before = _scoring._pallas_failures
             serve_thread: "threading.Thread | None" = None
             serve_err: list[BaseException] = []
             if serve is not None:
@@ -956,6 +959,28 @@ class Index(abc.ABC):
                 serve_thread.join()
                 if serve_err:
                     raise serve_err[0]
+            if (
+                _scoring._pallas_failures > fails_before
+                and _scoring.pallas_stream_enabled()
+            ):
+                # a transient kernel failure during warm silently falls
+                # back to XLA for that call — the kernel would then first
+                # compile on the REAL serving path, exactly what warm
+                # exists to prevent.  One retry re-attempts it here.
+                LOGGER.warning(
+                    "pallas kernel failed during warm; retrying once so "
+                    "the first real call does not pay its compile"
+                )
+                t0 = perf_counter()
+                self(ranking)
+                if serve is not None:
+                    self.serve(
+                        serve_ranking,
+                        serve[0],
+                        serve[1],
+                        refine=serve[2] if len(serve) > 2 else None,
+                    )
+                stats["warm_retry_s"] = perf_counter() - t0
         finally:
             self._view_override = None
             self._query_encoder = encoder
