@@ -832,12 +832,33 @@ class Index(abc.ABC):
         self._ensure_compile_cache()
         stats: dict = {"overlap": False}
         self._preload_stats = stats
+
+        def _sync_table(v: "DeviceView | None") -> None:
+            # jnp.asarray schedules the host->device table transfer
+            # ASYNCHRONOUSLY; over a remote-attached device it can land
+            # long after the call returns, and the first real dispatch
+            # then blocks on it (measured: preload returned at 155.7 s
+            # with a 119.7 s first-call transfer tail,
+            # bench_logs/r5b_bench_overlap.log).  A one-element fetch
+            # orders after the transfer — block_until_ready is not
+            # reliable over the tunnel — so upload_s is honest and the
+            # first real call is transfer-free.  Sharded tables are
+            # skipped (a host fetch of a multi-process global array is
+            # not generally addressable); their puts are synchronous.
+            if v is None or v.mesh is not None:
+                return
+            try:
+                tab = v.table
+                np.asarray(tab[(0,) * (tab.ndim - 1) + (slice(0, 1),)])
+            except Exception:  # pragma: no cover - sync is best-effort
+                LOGGER.debug("table sync fetch failed", exc_info=True)
+
         twin = self._twin_view() if warm is not None else None
         upload_thread: "threading.Thread | None" = None
         if twin is not None:
             def _upload() -> None:
                 t0 = perf_counter()
-                self._device_view()
+                _sync_table(self._device_view())
                 stats["upload_s"] = perf_counter() - t0
 
             upload_thread = threading.Thread(
@@ -849,6 +870,7 @@ class Index(abc.ABC):
         else:
             t0 = perf_counter()
             view = self._device_view()
+            _sync_table(view)
             stats["upload_s"] = perf_counter() - t0
         if view is None:
             return False
@@ -923,7 +945,7 @@ class Index(abc.ABC):
             self._view_override = twin
             from fastforward_tpu.ops import scoring as _scoring
 
-            fails_before = _scoring._pallas_failures
+            fails_before = _scoring._pallas_failures_total
             serve_thread: "threading.Thread | None" = None
             serve_err: list[BaseException] = []
             if serve is not None:
@@ -960,7 +982,7 @@ class Index(abc.ABC):
                 if serve_err:
                     raise serve_err[0]
             if (
-                _scoring._pallas_failures > fails_before
+                _scoring._pallas_failures_total > fails_before
                 and _scoring.pallas_stream_enabled()
             ):
                 # a transient kernel failure during warm silently falls

@@ -866,6 +866,12 @@ def _adaptive_cap(p: int, num_tiles: int) -> int:
 
 _pallas_stream: bool | None = None
 _pallas_failures: int = 0
+#: monotonic failure count (never reset by successes) — consumers that need
+#: "did ANY kernel failure happen in this window?" (preload's warm retry)
+#: must use this: ``_pallas_failures`` is a *consecutive* counter that any
+#: later success resets, so a failure in one thread can be masked by a
+#: success in another before the window closes
+_pallas_failures_total: int = 0
 #: consecutive kernel failures before the Pallas path is disabled for the
 #: process; below this, each failure falls back to XLA *for that call only*
 #: (a transient tunnel/compile hiccup must not degrade every later call)
@@ -900,10 +906,11 @@ def _pallas_success() -> None:
 
 def _note_pallas_failure(exc: Exception) -> None:
     """Record a kernel failure; disable the kernel only when persistent."""
-    global _pallas_failures, _pallas_stream
+    global _pallas_failures, _pallas_failures_total, _pallas_stream
     import logging
 
     _pallas_failures += 1
+    _pallas_failures_total += 1
     if _pallas_failures >= _PALLAS_MAX_FAILURES:
         logging.getLogger(__name__).error(
             "pallas stream kernel failed %d times (%s); disabling it for "

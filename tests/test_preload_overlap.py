@@ -158,6 +158,42 @@ class TestPreloadOverlapCorrectness(unittest.TestCase):
         self.assertIn("warm_serve_s", stats)
         self.assertIn("upload_s", stats)
 
+    def test_warm_retry_fires_on_masked_kernel_failure(self):
+        # a kernel failure in one warm thread followed by a kernel SUCCESS
+        # in the other resets the consecutive-failure counter — the retry
+        # must key on the monotonic total, or the masked failure leaves the
+        # kernel uncompiled for the first real call
+        from unittest import mock
+
+        from fastforward_tpu.index import base as base_mod
+        from fastforward_tpu.ops import scoring
+
+        vecs = _vecs(4)
+        index = InMemoryIndex(_encoder(), mode=Mode.PASSAGE)
+        _add(index, vecs)
+
+        calls: list[str] = []
+        orig_call = base_mod.Index.__call__
+
+        def warm_call(self, ranking, **kw):
+            calls.append("rerank")
+            if len(calls) == 1:
+                # simulate: this thread's kernel fails (silent XLA
+                # fallback), another thread's kernel then succeeds
+                scoring._note_pallas_failure(RuntimeError("transient"))
+                scoring._pallas_success()
+            return ranking
+
+        with mock.patch.object(base_mod.Index, "__call__", warm_call), \
+                mock.patch.object(
+                    scoring, "pallas_stream_enabled", lambda: True
+                ):
+            index.preload(warm=(2, 8))
+        self.assertEqual(calls.count("rerank"), 2)
+        self.assertIn("warm_retry_s", index._preload_stats)
+        # the real __call__ still works after the patch is lifted
+        self.assertIs(base_mod.Index.__call__, orig_call)
+
     def test_sequential_fallback_still_warms(self):
         # hybrid config: no twin — preload must fall back to sequential
         vecs = _vecs(5)
