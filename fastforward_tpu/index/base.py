@@ -186,7 +186,9 @@ def build_hybrid_view(
     # row_bytes is exact
     def _upload(res2):
         if mesh is None:
-            return jnp.asarray(res2)
+            from fastforward_tpu.ops.upload import upload_table
+
+            return upload_table(res2)
         from fastforward_tpu.parallel.multihost import put_row_sharded
 
         return put_row_sharded(mesh, res2, ndim=2)

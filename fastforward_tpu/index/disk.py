@@ -26,6 +26,7 @@ from fastforward_tpu.encoder.base import Encoder
 from fastforward_tpu.index.base import DeviceView, IDSequence, Index
 from fastforward_tpu.index.memory import InMemoryIndex
 from fastforward_tpu.index.mode import Mode
+from fastforward_tpu.ops.upload import upload_table
 from fastforward_tpu.quantizer import Quantizer
 from fastforward_tpu.quantizer.pq import PQ
 from fastforward_tpu.quantizer.scalar import ScalarQuantizer
@@ -313,7 +314,7 @@ class OnDiskIndex(Index):
         """Place a padded table on device: replicated, or row-sharded when a
         mesh is configured."""
         if self._mesh_config is None:
-            return jnp.asarray(table), None
+            return upload_table(table), None
         if require_lanes and table.ndim == 2 and table.shape[1] % 128:
             raise ValueError(
                 "Sharded tables require dim % 128 == 0 "
@@ -510,7 +511,7 @@ class OnDiskIndex(Index):
                 else:
                     self._dev_view = DeviceView(
                         kind="pq",
-                        table=jnp.asarray(codes),
+                        table=upload_table(codes),
                         codebooks=jnp.asarray(codebooks),
                         precision=self._precision,
                     )

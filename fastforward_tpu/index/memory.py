@@ -24,6 +24,7 @@ if TYPE_CHECKING:
 from fastforward_tpu.encoder.base import Encoder
 from fastforward_tpu.index.base import DeviceView, IDSequence, Index
 from fastforward_tpu.index.mode import Mode
+from fastforward_tpu.ops.upload import upload_table
 from fastforward_tpu.quantizer import Quantizer
 from fastforward_tpu.quantizer.pq import PQ
 from fastforward_tpu.quantizer.scalar import ScalarQuantizer
@@ -641,7 +642,7 @@ class InMemoryIndex(Index):
             else:
                 self._dev_view = DeviceView(
                     kind="pq",
-                    table=jnp.asarray(codes),
+                    table=upload_table(codes),
                     codebooks=jnp.asarray(codebooks),
                     precision=self._precision,
                 )
@@ -696,7 +697,7 @@ class InMemoryIndex(Index):
                 # split matters
                 self._dev_view = DeviceView(
                     kind="scalar",
-                    table=jnp.asarray(codes),
+                    table=upload_table(codes),
                     scales=self._quantizer.scales,
                     precision=self._precision,
                 )
@@ -707,7 +708,9 @@ class InMemoryIndex(Index):
             )
             table[: self._num] = self._quantizer.decode(data)
             self._dev_view = DeviceView(
-                kind="dense", table=jnp.asarray(table), precision=self._precision
+                kind="dense",
+                table=upload_table(table),
+                precision=self._precision,
             )
         elif self._mesh_config is not None:
             # multi-chip: row-sharded table over the mesh's shard axis
@@ -756,11 +759,15 @@ class InMemoryIndex(Index):
             # tiling pads the middle dim 6 -> 8; caught as an OOM at N=8M)
             table = np.zeros((n_pad, dim), dtype=np.float32)
             table[: self._num] = data
-            dev = jnp.asarray(table)
             if self._device_dtype == "bfloat16":
-                # halves HBM footprint and gather bandwidth; dots still
-                # accumulate in fp32
-                dev = dev.astype(jnp.bfloat16)
+                # halves HBM footprint and gather bandwidth — and, converted
+                # on HOST, halves the bytes crossing the host->device link
+                # (the dominant cold-start cost over a remote-attached
+                # device); dots still accumulate in fp32
+                import ml_dtypes
+
+                table = table.astype(ml_dtypes.bfloat16)
+            dev = upload_table(table)
             self._dev_view = DeviceView(
                 kind="dense", table=dev, precision=self._precision
             )
