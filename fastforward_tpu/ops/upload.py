@@ -8,7 +8,8 @@ tunnel's flow control degrades with message size).  The reference never
 uploads anything (pure numpy scoring, ``/root/reference/src/fast_forward/
 index/memory.py``) — this cost class is ours alone, so it gets its own op.
 
-Two placement strategies, picked by free-HBM headroom:
+Two placement strategies, picked by free-HBM headroom (in-place whenever
+headroom is unknown or tight):
 
 - **concat**: serial chunked ``device_put`` + one device-side
   ``jnp.concatenate``.  Fastest, but transiently holds 2x the table
@@ -75,7 +76,12 @@ def upload_table(host: np.ndarray, *, chunk_bytes: int = CHUNK_BYTES):
     cs = max(1, chunk_bytes // row_bytes)
     n = host.shape[0]
     free = _free_hbm()
-    in_place = free is not None and free < 2 * nbytes + (1 << 30)
+    # unknown free HBM (the axon tunnel returns no memory_stats) must pick
+    # the SAFE strategy: concat transiently holds 2x the table, which OOMs
+    # when the preload zeros-twin is alive (seen as a first-call
+    # RESOURCE_EXHAUSTED at N=2M: table + chunks + twin ~= 3x).  In-place
+    # costs no bandwidth (59 vs 57 MB/s, bench_logs/r5d_upload_probe2.log)
+    in_place = free is None or free < 2 * nbytes + (1 << 30)
     LOGGER.info(
         "chunked table upload: %.2f GB in %d x %d-row chunks (%s placement)",
         nbytes / 1e9,
