@@ -2036,11 +2036,12 @@ class Index(abc.ABC):
             qhi, qid_arr, id_arr, query_arr = arrs
         # (q_id desc, score desc) via the shared composite-key radix
         # argsort (a np.lexsort here measured ~60 ms per call at 512k rows)
-        order = _desc_rank_order(qhi[take], ff)
+        qhi_take = qhi[take]
+        order = _desc_rank_order(qhi_take, ff)
         if cut is not None and order.size:
             # ES-serve tail: keep the top `cut` rows per query directly in
             # the sorted order — queries are contiguous runs of equal qhi
-            keys = qhi[take][order]
+            keys = qhi_take[order]
             run_start = np.empty(keys.size, dtype=bool)
             run_start[0] = True
             np.not_equal(keys[1:], keys[:-1], out=run_start[1:])

@@ -29,6 +29,7 @@ batches are collected and dispatched.
 
 import logging
 import queue
+import sys
 import threading
 from collections import deque
 from concurrent.futures import Future, ThreadPoolExecutor
@@ -105,6 +106,15 @@ class BatchingServer:
         (per-batch plans; the index's plan-cache map is lock-guarded),
         so overlapping them raises aggregate throughput; results still
         resolve in dispatch order.
+    :param gil_switch_interval: While the server is open, set Python's
+        thread switch interval (``sys.setswitchinterval``) to this many
+        seconds; ``close()`` restores the previous value.  Remote-attached
+        backends move data in many small GIL-interleaved steps, and each
+        step waits out the full switch interval behind the CPU-bound
+        request-prep threads — at the default 5 ms that convoy inflated a
+        ~50 ms batch dispatch to ~1.3 s under load
+        (``bench_logs/r5g_server_timeline.log``).  ``None`` leaves the
+        interpreter default untouched.  Process-global, like the GIL.
     """
 
     def __init__(
@@ -118,6 +128,7 @@ class BatchingServer:
         refine: "int | None" = None,
         pipeline_depth: int = 4,
         prep_workers: int = 2,
+        gil_switch_interval: "float | None" = 0.0005,
     ) -> None:
         if cutoff < 1:
             raise ValueError("cutoff must be positive.")
@@ -135,6 +146,10 @@ class BatchingServer:
         self._max_q = max_batch_queries
         self._max_wait_s = max_wait_ms / 1000.0
         self._queue: "queue.SimpleQueue[_Request | None]" = queue.SimpleQueue()
+        self._prev_switch_interval: "float | None" = None
+        if gil_switch_interval is not None:
+            self._prev_switch_interval = sys.getswitchinterval()
+            sys.setswitchinterval(gil_switch_interval)
         self._seq = 0
         self._seq_lock = threading.Lock()
         self._closed = False
@@ -208,6 +223,8 @@ class BatchingServer:
             self._closed = True
             self._queue.put(None)
         self._worker.join()
+        if self._prev_switch_interval is not None:
+            sys.setswitchinterval(self._prev_switch_interval)
         # defense in depth: the lock above makes submit-vs-close atomic
         # (no request can land after the sentinel), but fail anything
         # unexpected rather than leaving a future forever pending
