@@ -410,13 +410,25 @@ class Ranking:
         :param dtype: Score representation dtype.
         :return: The ranking.
         """
-        q_ids, ids, scores = [], [], []
-        for q_id, doc_scores in run.items():
-            for doc_id, score in doc_scores.items():
-                q_ids.append(q_id)
-                ids.append(doc_id)
-                scores.append(score)
-        df = pd.DataFrame({"q_id": q_ids, "id": ids, "score": scores})
+        # columnar build: per-query lengths -> one np.repeat for the q_id
+        # column, flat iterators -> np.fromiter for ids/scores.  The
+        # row-at-a-time triple-append version cost seconds of pure
+        # interpreter time at production shapes (512 queries x depth-5000
+        # = 2.56M rows: 7.7M list appends).
+        counts = np.fromiter(
+            (len(v) for v in run.values()), dtype=np.int64, count=len(run)
+        )
+        total = int(counts.sum())
+        q_col = np.repeat(np.fromiter(run, dtype=object, count=len(run)), counts)
+        ids = np.fromiter(
+            (d for v in run.values() for d in v), dtype=object, count=total
+        )
+        scores = np.fromiter(
+            (s for v in run.values() for s in v.values()),
+            dtype=np.float64,
+            count=total,
+        )
+        df = pd.DataFrame({"q_id": q_col, "id": ids, "score": scores})
         return cls(df, name=name, queries=queries, dtype=dtype, copy=False)
 
     @classmethod
