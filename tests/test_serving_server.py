@@ -301,5 +301,57 @@ class TestBatchingServer(unittest.TestCase):
             _assert_same(self, g, w)
 
 
+class TestServePrepRunHeads(unittest.TestCase):
+    """Round-5 prep rework: run-boundary query codes (``_run_heads``)."""
+
+    def test_run_heads_backends_agree(self):
+        from fastforward_tpu.index.base import _run_heads
+
+        vals = ["b", "b", "a", "a", "a", "c"]
+        want = [True, False, True, False, False, True]
+        for series in (
+            pd.Series(pd.Categorical(vals)),
+            pd.Series(pd.array(vals, dtype="string[pyarrow]")),
+            pd.Series(np.asarray(vals, dtype=object)),
+        ):
+            self.assertEqual(list(_run_heads(series)), want)
+
+    def test_run_heads_tiny(self):
+        from fastforward_tpu.index.base import _run_heads
+
+        self.assertEqual(list(_run_heads(pd.Series(["x"]))), [True])
+        self.assertEqual(len(_run_heads(pd.Series([], dtype=object))), 0)
+
+    def test_split_run_frame_falls_back_and_stays_correct(self):
+        # a foreign trusted frame whose q_id runs are NOT contiguous must
+        # not be mis-coded by the run-boundary fast path: _serve_prep
+        # falls back to factorize (sorted=False -> host-built slot path)
+        # and the server still returns per-request results equal to serve()
+        index, rng, n = _build()
+        req = _request(rng, n, ["s0-q-0", "s0-q-1"], depth=8)
+        df = req._df
+        # interleave the two queries' rows (q0,q1,q0,q1,...) so each q_id
+        # appears as several split runs — the trusted ctor does not re-sort
+        rows = []
+        a = df[df["q_id"] == "s0-q-0"].reset_index(drop=True)
+        b = df[df["q_id"] == "s0-q-1"].reset_index(drop=True)
+        for i in range(len(a)):
+            rows.append(a.iloc[[i]])
+            rows.append(b.iloc[[i]])
+        frame = pd.concat(rows, ignore_index=True)
+        split = Ranking._from_trusted_frame(frame, None)
+        prep = index._serve_prep(split)
+        if prep is not None:
+            self.assertFalse(prep["sorted"])
+            finish = index._serve_arrays([prep], ALPHA, CUTOFF)
+            # the unsorted path may fall back entirely (finish None): the
+            # server then serves the request via the frame path — both are
+            # exercised below through the public API
+        want = index.serve(req, ALPHA, CUTOFF)
+        with BatchingServer(index, ALPHA, CUTOFF, max_wait_ms=1.0) as server:
+            got = server.submit(split).result(timeout=120)
+        _assert_same(self, got, want)
+
+
 if __name__ == "__main__":
     unittest.main()
