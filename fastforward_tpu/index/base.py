@@ -570,6 +570,9 @@ class Index(abc.ABC):
         self._plans_lock = threading.Lock()
         # preload-warm twin view (see _active_view); None outside preload
         self._view_override: DeviceView | None = None
+        # background exact-fp32 tail of a progressive preload (see
+        # preload(progressive=True) / preload_join)
+        self._progressive_thread: "threading.Thread | None" = None
 
     _MAX_PLANS = 4
 
@@ -820,10 +823,42 @@ class Index(abc.ABC):
         except Exception:  # pragma: no cover - cache is best-effort
             LOGGER.debug("could not enable persistent compile cache")
 
+    def _progressive_job(self):
+        """Backend hook: split-plane progressive upload job, or ``None``.
+
+        See :class:`fastforward_tpu.index.memory._ProgressiveUpload` for
+        the resident-dense implementation; backends without one fall back
+        to the standard upload inside :meth:`preload`.
+        """
+        return None
+
+    def preload_join(self, timeout: "float | None" = None) -> bool:
+        """Wait for a progressive preload's exact-fp32 tail to land.
+
+        After ``preload(..., progressive=True)`` returns, serving runs
+        against the truncated-fp32 table (bf16-magnitude score error,
+        identical to the ``"fast"`` tier's) while the low 16-bit planes
+        upload in the background; this blocks until the exact table has
+        been swapped in.  No-op (returns ``True``) when no progressive
+        tail is pending.
+
+        :param timeout: Seconds to wait (``None`` = forever).
+        :return: Whether the exact table is installed.
+        """
+        thread = self._progressive_thread
+        if thread is None:
+            return True
+        thread.join(timeout)
+        if thread.is_alive():
+            return False
+        self._progressive_thread = None
+        return True
+
     def preload(
         self,
         warm: "tuple[int, int] | None" = None,
         serve: "tuple[float, int] | None" = None,
+        progressive: bool = False,
     ) -> bool:
         """Eagerly build/upload the device scoring table.
 
@@ -855,8 +890,21 @@ class Index(abc.ABC):
         parallel; measured two first-executions in threads = 1x wall).
         Per-phase wall times are recorded in ``self._preload_stats``.
 
+        With ``progressive=True`` (large dense fp32 resident tables) the
+        upload ships the table's HIGH 16-bit planes only — half the
+        bytes, so serving starts in roughly half the upload time —
+        expands them on device into a truncated-fp32 table with the
+        final table's aval (every warmed program applies unchanged), and
+        folds the low planes in on a background thread.  Until
+        :meth:`preload_join` reports completion, scores carry
+        bf16-magnitude error (the ``"fast"`` tier's — identical top-k in
+        practice); afterwards they are exactly the standard path's.
+        Unsupported configurations fall back to the standard upload.
+
         :param warm: Optional ``(num_queries, depth)`` workload shape.
         :param serve: Optional ``(alpha, cutoff)`` to warm :meth:`serve`.
+        :param progressive: Split-plane upload — serve at half the
+            cold-start upload time, exact fp32 lands in the background.
         :return: Whether a device table exists for this backend.
         """
         if serve is not None and warm is None:
@@ -889,12 +937,40 @@ class Index(abc.ABC):
             except Exception:  # pragma: no cover - sync is best-effort
                 LOGGER.debug("table sync fetch failed", exc_info=True)
 
+        job = self._progressive_job() if progressive else None
+        if progressive and job is None:
+            LOGGER.warning(
+                "progressive preload is not supported for this "
+                "configuration (needs a large dense fp32 resident table "
+                "on one device); using the standard upload"
+            )
         twin = self._twin_view() if warm is not None else None
         upload_thread: "threading.Thread | None" = None
+
+        def _finish_upload() -> None:
+            # join the upload, then (progressive only) install the
+            # truncated-fp32 serving view and start the exact tail —
+            # callers free the zeros-twin first where HBM headroom
+            # matters (the expansion holds plane + table transiently)
+            nonlocal job
+            if upload_thread is not None:
+                t0 = perf_counter()
+                upload_thread.join()
+                stats["upload_tail_s"] = perf_counter() - t0
+            if job is not None:
+                t0 = perf_counter()
+                job.activate()
+                stats["activate_s"] = perf_counter() - t0
+                stats["progressive"] = True
+                job = None
+
         if twin is not None:
             def _upload() -> None:
                 t0 = perf_counter()
-                _sync_table(self._device_view())
+                if job is not None:
+                    job.upload_hi()
+                else:
+                    _sync_table(self._device_view())
                 stats["upload_s"] = perf_counter() - t0
 
             upload_thread = threading.Thread(
@@ -903,6 +979,12 @@ class Index(abc.ABC):
             upload_thread.start()
             stats["overlap"] = True
             view: DeviceView | None = twin
+        elif job is not None:
+            t0 = perf_counter()
+            job.upload_hi()
+            stats["upload_s"] = perf_counter() - t0
+            _finish_upload()
+            view = self._device_view()
         else:
             t0 = perf_counter()
             view = self._device_view()
@@ -915,8 +997,8 @@ class Index(abc.ABC):
         num_q, depth = warm
         n = len(self)
         if n == 0 or num_q <= 0 or depth <= 0:
-            if upload_thread is not None:
-                upload_thread.join()
+            twin = view = None
+            _finish_upload()
             return True
         # candidates must SPREAD over the whole table like a production
         # run: the streamed kernel's grid is bucketed by the number of
@@ -956,8 +1038,8 @@ class Index(abc.ABC):
             frame["id"].notna() & ~frame.duplicated(["q_id", "id"])
         ]
         if not len(frame):
-            if upload_thread is not None:
-                upload_thread.join()
+            twin = view = None
+            _finish_upload()
             return True
         queries = {q: f"ff warm query {q}" for q in q_names}
         ranking = Ranking(frame, queries=queries, copy=False, is_sorted=True)
@@ -1045,10 +1127,11 @@ class Index(abc.ABC):
             self._plans.pop((id(ranking._df), self._mode), None)
             if serve_ranking is not None:
                 self._plans.pop((id(serve_ranking._df), self._mode), None)
-            if upload_thread is not None:
-                t0 = perf_counter()
-                upload_thread.join()
-                stats["upload_tail_s"] = perf_counter() - t0
+            # free the zeros-twin BEFORE the progressive activation: the
+            # hi-plane expansion transiently holds plane + table (1.5x),
+            # and twin + plane + table would not fit flagship HBM
+            twin = view = None
+            _finish_upload()
         return True
 
     def _prepare_queries(self, query_vectors: np.ndarray, view: DeviceView) -> np.ndarray:

@@ -10,6 +10,7 @@ program.
 """
 
 import logging
+import threading
 from collections.abc import Iterable, Iterator
 from functools import partial
 from typing import TYPE_CHECKING
@@ -34,6 +35,131 @@ LOGGER = logging.getLogger(__name__)
 # device tables are padded to a multiple of this many rows so the scoring
 # program recompiles only on growth, not on every add
 _ROW_PAD = 4096
+
+# tables at or below this skip the progressive (split-plane) preload: the
+# split only pays when the upload dominates the cold start
+_MIN_PROGRESSIVE_BYTES = 512 << 20
+
+
+class _ProgressiveUpload:
+    """One split-plane progressive upload of a dense fp32 host-store table.
+
+    Driven by :meth:`fastforward_tpu.index.base.Index.preload` with
+    ``progressive=True``: :meth:`upload_hi` runs in preload's upload
+    thread (it ships the table's high 16-bit planes — half the bytes of
+    the full table); :meth:`activate` runs once the warm twin is dropped
+    — it expands the hi plane on device into a truncated-fp32 table with
+    the FINAL table's aval (every warmed program is a cache hit) and
+    installs it as the serving view, then folds the low planes in on a
+    background daemon thread for exact fp32.
+
+    Swap safety: the serving table is never donated — in-flight scoring
+    calls hold references to the old array, which stays valid until they
+    finish; each swap is one GIL-atomic attribute assignment, and a
+    generation check skips the swap when :meth:`InMemoryIndex.add` raced
+    the upload (the lazy path then rebuilds from scratch).
+    """
+
+    def __init__(self, index: "InMemoryIndex") -> None:
+        self._index = index
+        self._gen = index._table_gen
+        self._host = index._store[: index._num]  # no padded host copy
+        self._n_pad = -(-index._num // _ROW_PAD) * _ROW_PAD
+        self._hi = None
+        self._trunc = None
+
+    def upload_hi(self) -> None:
+        """Ship the hi planes (half the table's bytes) and sync."""
+        from fastforward_tpu.ops.upload import upload_plane
+
+        hi = upload_plane(self._host, "hi", total_rows=self._n_pad)
+        np.asarray(hi[0, :1])  # observe transfer completion
+        self._hi = hi
+
+    def activate(self) -> None:
+        """Install the truncated-fp32 serving view; start the exact tail.
+
+        Must run after the warm's zeros-twin is dropped: the expansion
+        transiently holds plane + table (1.5x the table) in HBM.
+        """
+        from fastforward_tpu.ops.upload import expand_hi
+
+        index = self._index
+        if self._hi is None:  # upload_hi failed; lazy path will rebuild
+            return
+        trunc = expand_hi(self._hi)
+        np.asarray(trunc[0, :1])
+        self._hi = None  # free the plane (trunc contains it)
+        self._trunc = trunc
+        if index._table_gen != self._gen:
+            LOGGER.warning(
+                "progressive preload overlapped an add(); discarding"
+            )
+            return
+        index._dev_view = DeviceView(
+            kind="dense", table=trunc, precision=index._precision
+        )
+        thread = threading.Thread(
+            target=self._exact_tail, name="ff-progressive-lo", daemon=True
+        )
+        index._progressive_thread = thread
+        thread.start()
+
+    def _exact_tail(self) -> None:
+        """Fold the lo planes in; swap the exact table into the view.
+
+        Primary path: lo-plane upload (half the table's bytes) + a
+        non-donating device combine — transiently old table + plane +
+        new table in HBM.  On RESOURCE_EXHAUSTED it falls back to a
+        fresh chunked upload of the exact fp32 table (old + new tables
+        only, the same peak the standard preload already proved out).
+        """
+        from fastforward_tpu.ops.upload import (
+            combine_lo,
+            upload_plane,
+            upload_table,
+        )
+
+        index = self._index
+        trunc, self._trunc = self._trunc, None
+        try:
+            lo = None
+            try:
+                lo = upload_plane(self._host, "lo", total_rows=self._n_pad)
+                full = combine_lo(trunc, lo)
+                np.asarray(full[0, :1])
+            except Exception:
+                lo = None  # free the plane before the fallback upload
+                LOGGER.warning(
+                    "split-plane exact tail failed (likely HBM headroom "
+                    "for the transient second table); re-uploading the "
+                    "exact fp32 table instead",
+                    exc_info=True,
+                )
+                # the serving view still holds the interim table: the
+                # fallback peak is old + new table (the same budget the
+                # standard twin-overlap preload already fits)
+                del trunc
+                table = np.zeros(
+                    (self._n_pad, self._host.shape[1]), np.float32
+                )
+                table[: self._host.shape[0]] = self._host
+                full = upload_table(table)
+                np.asarray(full[0, :1])
+            if index._table_gen != self._gen:
+                LOGGER.warning(
+                    "progressive exact tail overlapped an add(); discarding"
+                )
+                return
+            index._dev_view = DeviceView(
+                kind="dense", table=full, precision=index._precision
+            )
+            stats = getattr(index, "_preload_stats", None)
+            if stats is not None:
+                stats["progressive_exact"] = True
+            LOGGER.info("progressive preload: exact fp32 table installed")
+        finally:
+            self._host = None
 
 
 def _dev_place(dst, src, start):
@@ -185,6 +311,9 @@ class InMemoryIndex(Index):
         self._dev_view: DeviceView | None = None
         # canonical row band retained after narrow_to_shard (None = full)
         self._narrow: "tuple[int, int] | None" = None
+        # bumped on every add(): in-flight progressive uploads check it
+        # before swapping their table into the serving view
+        self._table_gen = 0
         super().__init__(
             query_encoder=query_encoder,
             quantizer=quantizer,
@@ -238,6 +367,7 @@ class InMemoryIndex(Index):
             self._store[start : start + num_new] = vectors
         self._num += num_new
         self._dev_view = None  # device table is stale
+        self._table_gen += 1  # and so is any in-flight progressive upload
 
     def consolidate(self) -> None:
         """Trim the host store to exactly the used capacity.
@@ -478,6 +608,29 @@ class InMemoryIndex(Index):
             scales=scales,
             mesh=self._mesh,
         )
+
+    def _progressive_job(self) -> "_ProgressiveUpload | None":
+        """Split-plane progressive upload job, when the configuration
+        supports one (see :class:`_ProgressiveUpload`).
+
+        Eligible: dense fp32 host-store tables on a single device, big
+        enough (> ``_MIN_PROGRESSIVE_BYTES``) that the upload dominates
+        the cold start.  Everything else returns ``None`` and
+        ``preload(progressive=True)`` falls back to the standard upload.
+        """
+        if (
+            self._num == 0
+            or self._dev_view is not None
+            or self._store_mode != "host"
+            or self._mesh_config is not None
+            or self._hbm_budget is not None
+            or self._quantizer is not None
+            or self._device_dtype != "float32"
+            or self._store.dtype != np.float32
+            or self._store[: self._num].nbytes <= _MIN_PROGRESSIVE_BYTES
+        ):
+            return None
+        return _ProgressiveUpload(self)
 
     def _twin_view(self) -> DeviceView | None:
         """Zeros-shaped twin of the pending device view (no upload).

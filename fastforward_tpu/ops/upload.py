@@ -61,6 +61,87 @@ def _free_hbm() -> "int | None":
         return None
 
 
+def upload_plane(
+    host_f32: np.ndarray,
+    which: str,
+    *,
+    total_rows: int | None = None,
+    chunk_bytes: int = CHUNK_BYTES,
+):
+    """Ship one 16-bit plane of an fp32 table as a ``uint16`` device array.
+
+    ``which="hi"`` ships bits 31..16 of every element — exactly the
+    element's bf16-truncated value — and ``which="lo"`` ships bits 15..0.
+    Together the planes are a lossless split of the fp32 table at half
+    the per-plane transfer cost; the progressive preload uploads ``hi``
+    first (serving starts against :func:`expand_hi`'s truncated-fp32
+    table, same aval as the final table so every warmed program applies)
+    and folds ``lo`` in later via :func:`combine_lo`.
+
+    Each plane chunk is derived on the host per transfer chunk (a few
+    hundred MB of transient, never a full-table uint32 temp) and lands in
+    a preallocated device buffer via the donated in-place placement —
+    peak HBM is the plane plus one chunk.
+
+    :param host_f32: The fp32 table, C-contiguous ``(rows, ...)``.
+    :param which: ``"hi"`` or ``"lo"``.
+    :param total_rows: Device-buffer row count (``>= rows``; the extra
+        rows stay zero — i.e. fp32 ``0.0`` after recombination).  Lets a
+        padded device table be built without a padded HOST copy.
+    :param chunk_bytes: Target bytes per transfer chunk (of the PLANE).
+    :return: ``uint16`` device array, ``(total_rows, ...)`` (transfers
+        may be in flight — fetch an element to observe completion).
+    """
+    if host_f32.dtype != np.float32:
+        raise ValueError(f"plane upload needs float32, got {host_f32.dtype}")
+    if which not in ("hi", "lo"):
+        raise ValueError(f"which must be 'hi' or 'lo', got {which!r}")
+    n = host_f32.shape[0]
+    rows = n if total_rows is None else total_rows
+    if rows < n:
+        raise ValueError(f"total_rows ({rows}) < host rows ({n})")
+    row_bytes = max(1, (host_f32.nbytes // 2) // n)
+    cs = max(1, chunk_bytes // row_bytes)
+    buf = jnp.zeros((rows, *host_f32.shape[1:]), jnp.uint16)
+    for b in range(0, n, cs):
+        block = host_f32[b : b + cs].view(np.uint32)
+        plane = (
+            (block >> 16) if which == "hi" else (block & 0xFFFF)
+        ).astype(np.uint16)
+        buf = _place(buf, jax.device_put(plane), np.int32(b))
+    return buf
+
+
+@jax.jit
+def expand_hi(hi):
+    """Expand a hi plane (``uint16``) to its truncated-fp32 table.
+
+    The result has the FINAL table's aval (fp32, same shape): programs
+    compiled against it serve the exact table after :func:`combine_lo`
+    with zero recompiles.  Values equal the fp32 originals with the low
+    16 mantissa bits zeroed (bf16-magnitude error, ~0.4% relative)."""
+    return jax.lax.bitcast_convert_type(
+        hi.astype(jnp.uint32) << 16, jnp.float32
+    )
+
+
+@jax.jit
+def combine_lo(trunc, lo):
+    """OR the lo plane into a truncated-fp32 table — exact fp32 out.
+
+    ``trunc`` is deliberately NOT donated: during a progressive preload
+    it is the LIVE serving table, and in-flight scoring calls hold
+    references to it — donation would invalidate those mid-call.  The
+    cost is a transient second table in HBM (old + lo + new); callers
+    that cannot afford it fall back to a fresh
+    :func:`upload_table` of the exact table instead (see
+    ``InMemoryIndex._progressive_job``)."""
+    u = jax.lax.bitcast_convert_type(trunc, jnp.uint32) | lo.astype(
+        jnp.uint32
+    )
+    return jax.lax.bitcast_convert_type(u, jnp.float32)
+
+
 def upload_table(host: np.ndarray, *, chunk_bytes: int = CHUNK_BYTES):
     """Ship ``host`` (row-major, any leading-axis-splittable shape) to the
     default device in leading-axis chunks.
