@@ -151,7 +151,7 @@ def _enable_compile_cache():
 def measure_ours(
     corpus, qvecs, run, queries, depth, repeats, precision="exact",
     hbm_budget=None, loops=2, pipelined=False, transport="f32",
-    serve=None, pipeline_depth=4,
+    serve=None, pipeline_depth=4, progressive=False,
 ):
     from fastforward_tpu.encoder import LambdaEncoder
     from fastforward_tpu.index import InMemoryIndex, Mode
@@ -185,17 +185,29 @@ def measure_ours(
         # upload rides in a background thread under the program warm (the
         # warm runs against a zeros twin of the view), and the rerank /
         # serve warms run in parallel threads
-        index.preload(warm=(len(queries), depth), serve=serve)
+        index.preload(
+            warm=(len(queries), depth), serve=serve, progressive=progressive
+        )
     preload_s = time.perf_counter() - t0
     pstats = getattr(index, "_preload_stats", {})
     log(
         f"ours: preload (table upload + program warm) {preload_s:.1f}s "
         f"(overlap={pstats.get('overlap')}, "
+        f"progressive={pstats.get('progressive', False)}, "
         f"upload {pstats.get('upload_s', float('nan')):.1f}s, "
         f"rerank warm {pstats.get('warm_rerank_s', float('nan')):.1f}s, "
         f"serve warm {pstats.get('warm_serve_s', float('nan')):.1f}s, "
         f"upload tail {pstats.get('upload_tail_s', 0.0):.1f}s)"
     )
+    if progressive and pstats.get("progressive"):
+        t_join = time.perf_counter()
+        index.preload_join()
+        log(
+            f"ours: progressive exact tail joined "
+            f"{time.perf_counter() - t_join:.1f}s after preload "
+            f"(exact={pstats.get('progressive_exact', False)}) — serving "
+            f"was live (truncated-fp32) the whole time"
+        )
     for line in cstats.report().splitlines():
         log(f"warm accounting | {line}")
 
@@ -1149,6 +1161,12 @@ def main():
         help="score transport for rerank/pipelined configs (u16 halves the "
         "per-call device->host score copy)",
     )
+    parser.add_argument(
+        "--progressive", action="store_true",
+        help="split-plane progressive preload: serving starts after the "
+        "hi-plane upload (half the table bytes); the exact fp32 tail is "
+        "joined (and timed) before the measurement loops",
+    )
     args = parser.parse_args()
 
     ensure_backend()
@@ -1363,6 +1381,7 @@ def main():
         precision=args.precision, hbm_budget=hbm_budget, loops=args.loops,
         pipelined=args.config == "pipelined", transport=args.transport,
         serve=serve, pipeline_depth=args.pipeline_depth,
+        progressive=args.progressive,
     )
 
     baseline_file = REPO / "BASELINE_MEASURED.json"
